@@ -1,0 +1,101 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+North-star extensions beyond the reference's surface (BASELINE.json).
+Everything is a native Column expression — at 100 TB these run inside
+whole-stage codegen over the parquet scan with full column pruning; no
+Python per row, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# Deliberately small + deterministic so the oracle SQL can replicate them.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "to"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "los", "las", "es", "una"],
+}
+
+# Word-ish tokens: letters/digits plus common BPE-style subword splits on
+# apostrophes; mirrors a whitespace+punctuation tokenizer.
+TOKEN_PATTERN = r"[A-Za-z0-9_']+"
+
+
+def tokens(col: Column | str) -> Column:
+    """array<string> of lowercase word tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace/regex token count (long)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language guess from stopword-marker hit counts.
+
+    Counts occurrences of each language's marker words (as standalone
+    tokens) and returns the argmax language code, 'und' when no marker
+    hits. Ties break by fixed language order (en, fr, de, es) —
+    deterministic so results are reproducible and oracle-checkable.
+    """
+    toks = tokens(col)
+
+    def _marker_hits(words: list[str]):
+        # Factory closure: a default-arg lambda would change the lambda's
+        # arity and break PySpark's higher-order-function binding.
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = [_marker_hits(words) for words in _LANG_MARKERS.values()]
+    best = F.greatest(*scores)
+    result = F.lit("und")
+    # Build reversed so earlier languages win ties via later when() override.
+    for lang, score in reversed(list(zip(_LANG_MARKERS.keys(), scores))):
+        result = F.when(score == best, F.lit(lang)).otherwise(result)
+    return F.when(best > 0, result).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality score from cheap surface features.
+
+    Blend of: length band (50..2000 chars), alphabetic ratio, and
+    mean-word-length band (3..12) — the standard cheap pre-filters a
+    training-data pipeline applies before expensive model scoring.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("double")
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    n_toks = token_count(c).cast("double")
+    length_ok = (
+        F.when(n_chars >= 2000, F.lit(1.0))
+        .when(n_chars >= 50, n_chars / F.lit(2000.0))
+        .otherwise(n_chars / F.lit(200.0))
+    )
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_toks > 0, n_alpha / n_toks).otherwise(F.lit(0.0))
+    word_len_ok = F.when(
+        (mean_word_len >= 3.0) & (mean_word_len <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return F.round(
+        F.least(F.lit(1.0), length_ok) * 0.4 + alpha_ratio * 0.4 + word_len_ok * 0.2, 6
+    )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Normalization fingerprint for near-exact dedup.
+
+    lower -> strip non-alphanumerics -> collapse whitespace -> sha2-256.
+    Two documents differing only in case/punctuation/whitespace collide.
+    (A rolling/shingle hash variant lives in operators/dedup.py.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    )
+    return F.sha2(normalized, 256)

@@ -1,0 +1,749 @@
+"""Query catalog: every operator exposed through the driver contract.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI-SQL oracle for DuckDB (or None for ops whose
+semantics are not SQL-expressible — approximate LSH candidates, streaming
+state). Column names/aliases match exactly between the two sides; doubles
+are rounded identically on both sides.
+
+The catalog maps SURVEY.md section 2's operator inventory onto the
+synthetic star schema (TESTDATA.md): ``events`` plays the toot table
+(user_id~username, ts~created_at, event_type~hashtag/language,
+props~raw JSON), ``documents``/``embeddings`` carry the north-star
+dedup/similarity/text-analysis operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_5spar_sparkstreaming_spark.functions.textstats import (
+    language_id,
+    quality_score,
+    token_count,
+)
+from projet_5spar_sparkstreaming_spark.functions.text import keyword_filter
+from projet_5spar_sparkstreaming_spark.functions.textstats import doc_fingerprint
+from projet_5spar_sparkstreaming_spark.operators.dedup import (
+    latest_per_key,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from projet_5spar_sparkstreaming_spark.operators.rollup import (
+    time_bucket_counts,
+    tumbling_window_counts,
+)
+from projet_5spar_sparkstreaming_spark.operators.similarity import (
+    brute_force_top_k,
+    lsh_bucketed_top_k,
+)
+from projet_5spar_sparkstreaming_spark.operators.topk import top_k_per_group
+from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_table
+
+
+@dataclass(frozen=True)
+class CatalogQuery:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over pre-registered table views
+    doc: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Event analytics (reference parity: SURVEY.md section 2.5/2.6/2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_user_activity(spark, sf_dir):
+    # A1 group-by count (reference: src/batch_analytics.py:32)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("toot_count"))
+    )
+
+
+def q_active_users(spark, sf_dir):
+    # A8 aggregate-then-threshold / HAVING (reference: src/batch_analytics.py:35-36)
+    return q_user_activity(spark, sf_dir).filter(F.col("toot_count") >= 70)
+
+
+def q_avg_value_by_user(spark, sf_dir):
+    # A2 group-by avg (reference: src/batch_analytics.py:51-52)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+def q_hourly_counts(spark, sf_dir):
+    # A3 hour bucket (reference: src/batch_analytics.py:25-26)
+    return time_bucket_counts(_t(spark, sf_dir, "events"), "ts", "hour", bucket_name="hour")
+
+
+def q_daily_counts(spark, sf_dir):
+    # A4 day bucket (reference: src/batch_analytics.py:28-29)
+    return time_bucket_counts(_t(spark, sf_dir, "events"), "ts", "day", bucket_name="day")
+
+
+def q_type_daily_counts(spark, sf_dir):
+    # A6 two-key group count (reference: src/batch_analytics.py:44)
+    return time_bucket_counts(
+        _t(spark, sf_dir, "events"), "ts", "day", extra_keys=("event_type",), bucket_name="day"
+    )
+
+
+def q_top_type_per_day(spark, sf_dir):
+    # W2 top-1 per group with deterministic tie-break (reference: src/batch_analytics.py:47-49)
+    return top_k_per_group(
+        q_type_daily_counts(spark, sf_dir),
+        ["day"],
+        [F.col("cnt").desc(), F.col("event_type").asc()],
+        k=1,
+    )
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    # W1 latest-per-key dedup (reference: src/batch_clean_historical.py:34-37)
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    latest = latest_per_key(ev, ["user_id"], "ts", tie_break=("event_id",))
+    return latest.select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+
+
+def q_minute_window_counts(spark, sf_dir):
+    # A5 tumbling 1-minute windows, batch form (reference: src/spark_stream.py:119-131)
+    return tumbling_window_counts(_t(spark, sf_dir, "events"), "ts", "1 minute")
+
+
+def q_json_k_stats(spark, sf_dir):
+    # C2 schema-less JSON extraction (reference: 5SPAR.ipynb get_json_object)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k_value", F.get_json_object("props", "$.k").cast("long")
+    )
+    return (
+        ev.filter(F.col("k_value").isNotNull())
+        .groupBy("k_value")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def q_distinct_users_by_type(spark, sf_dir):
+    # Distinct aggregate (M3 relational completeness, SURVEY.md section 7)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"), F.count("*").alias("cnt"))
+    )
+
+
+def q_value_rollup_by_type(spark, sf_dir):
+    # ROLLUP grouping sets (M3)
+    return (
+        _t(spark, sf_dir, "events")
+        .rollup("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def q_setop_intersect(spark, sf_dir):
+    # Set ops (SURVEY.md section 2.8 — absent in reference, engine provides)
+    ev = _t(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return purchasers.intersect(erroring)
+
+
+def q_setop_except(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return signups.exceptAll(purchasers).distinct()
+
+
+def q_union_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase")
+    b = ev.filter(F.col("event_type") == "signup")
+    return time_bucket_counts(
+        a.unionByName(b), "ts", "day", extra_keys=("event_type",), bucket_name="day"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational / TPC-H-ish (M3; exercised for join/shuffle plan quality)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    # TPC-H Q1 shape: wide scan -> filter -> 8-agg groupBy. Map-side
+    # combine leaves a tiny shuffle; parquet scan prunes to 7 columns.
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_top_orders(spark, sf_dir):
+    # TPC-H Q3 shape: dim filter -> join -> agg -> deterministic top-10.
+    # customer is small: broadcast to keep orders/lineitem shuffle-free
+    # on the build side.
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    revenue = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    ).alias("revenue")
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(revenue)
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "o_orderdate", "revenue")
+    )
+
+
+def q5_region_revenue(spark, sf_dir):
+    # TPC-H Q5 shape: 6-table join; dims broadcast, facts shuffle on keys.
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q_nation_region(spark, sf_dir):
+    # Broadcast equi-join of two dims.
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+def q_semi_join_urgent(spark, sf_dir):
+    # Left-semi join (EXISTS).
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_anti_join_urgent(spark, sf_dir):
+    # Left-anti join (NOT EXISTS).
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_segment_order_stats(spark, sf_dir):
+    # Fact-dim join + multi-agg incl. distinct.
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+def q_top3_orders_per_customer(spark, sf_dir):
+    # Analytic window rank (SURVEY.md section 2.6 family).
+    orders = _t(spark, sf_dir, "orders")
+    top = top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+        rank_col="rank",
+    )
+    return top.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"), "rank"
+    )
+
+
+def q_order_gaps(spark, sf_dir):
+    # lag() analytic: days since customer's previous order.
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.col("prev_date")).alias("days_since_prev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup (north-star, BASELINE.json)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("toks", token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("toks"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+def q_doc_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_pred", language_id("text"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("q", quality_score("text"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_quality"))
+    )
+
+
+def q_doc_keyword_filter(spark, sf_dir):
+    # F2 regex keyword filter (reference: src/spark_stream.py:100-104)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(keyword_filter("text", ["spark", "stream"]))
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    # Normalization-fingerprint groups (near-exact dedup accounting).
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", doc_fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    # Exact trigram-Jaccard near-dup pairs (threshold tuned to the
+    # planted near-dups in the synthetic corpus).
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    # MinHash-LSH near-dup candidates (approximate — no SQL oracle;
+    # tests/test_dedup.py checks recall against exact Jaccard).
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    # SimHash near-dup candidates (approximate — no SQL oracle).
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8, n=3)
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    # Exact cosine top-5 neighbors for the first 20 vectors.
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return brute_force_top_k(queries, emb, "vec_id", "vec_id", k=5)
+
+
+def q_knn_lsh(spark, sf_dir):
+    # Approximate LSH top-5 (no SQL oracle; tests check recall vs brute force).
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_bucketed_top_k(queries, emb, "vec_id", "vec_id", k=5, n_planes=6, n_tables=8)
+
+
+def q_embedding_pair_sims(spark, sf_dir):
+    # Exact pairwise cosine above a loose threshold (sampled a-side).
+    from projet_5spar_sparkstreaming_spark.functions.vectors import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect, ANSI where possible)
+# ---------------------------------------------------------------------------
+
+# Doubled apostrophe: this literal is embedded inside SQL single quotes.
+_TOKEN_RE_SQL = "[a-z0-9_'']+"
+
+
+def _oracles() -> dict[str, str | None]:
+    tok = f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')"
+    return {
+        "user_activity": "SELECT user_id, COUNT(*) AS toot_count FROM events GROUP BY user_id",
+        "active_users": (
+            "SELECT user_id, COUNT(*) AS toot_count FROM events "
+            "GROUP BY user_id HAVING COUNT(*) >= 70"
+        ),
+        "avg_value_by_user": (
+            "SELECT user_id, ROUND(AVG(value), 4) AS avg_value FROM events GROUP BY user_id"
+        ),
+        "hourly_counts": (
+            "SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS cnt FROM events "
+            "GROUP BY 1"
+        ),
+        "daily_counts": (
+            "SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt FROM events GROUP BY 1"
+        ),
+        "type_daily_counts": (
+            "SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt FROM events "
+            "GROUP BY 1, 2"
+        ),
+        "top_type_per_day": (
+            "SELECT day, event_type, cnt FROM ("
+            "  SELECT day, event_type, cnt, ROW_NUMBER() OVER ("
+            "    PARTITION BY day ORDER BY cnt DESC, event_type ASC) AS rn"
+            "  FROM (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt"
+            "        FROM events GROUP BY 1, 2)"
+            ") WHERE rn = 1"
+        ),
+        "latest_event_per_user": (
+            "SELECT user_id, event_id, event_type, ROUND(value, 2) AS value FROM ("
+            "  SELECT *, ROW_NUMBER() OVER ("
+            "    PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id ASC) AS rn"
+            "  FROM events) WHERE rn = 1"
+        ),
+        "minute_window_counts": (
+            "SELECT date_trunc('minute', ts) AS window_start, "
+            "date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end, "
+            "COUNT(*) AS cnt FROM events GROUP BY 1, 2"
+        ),
+        "json_k_stats": (
+            "SELECT CAST(props->>'$.k' AS BIGINT) AS k_value, COUNT(*) AS cnt, "
+            "ROUND(SUM(value), 2) AS total_value FROM events "
+            "WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL GROUP BY 1"
+        ),
+        "distinct_users_by_type": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS cnt "
+            "FROM events GROUP BY event_type"
+        ),
+        "value_rollup_by_type": (
+            "SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value "
+            "FROM events GROUP BY ROLLUP(event_type)"
+        ),
+        "setop_intersect": (
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' "
+            "INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'"
+        ),
+        "setop_except": (
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' "
+            "EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'"
+        ),
+        "union_daily": (
+            "SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt FROM ("
+            "  SELECT * FROM events WHERE event_type = 'purchase'"
+            "  UNION ALL SELECT * FROM events WHERE event_type = 'signup'"
+            ") GROUP BY 1, 2"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+            "ROUND(AVG(l_quantity), 4) AS avg_qty, "
+            "ROUND(AVG(l_extendedprice), 4) AS avg_price, "
+            "ROUND(AVG(l_discount), 4) AS avg_disc, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q3_top_orders": (
+            "SELECT l_orderkey, o_orderdate, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+        ),
+        "q5_region_revenue": (
+            "SELECT n_name, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"
+        ),
+        "nation_region": (
+            "SELECT n_nationkey, n_name, r_name FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "semi_join_urgent": (
+            "SELECT c_custkey, c_name FROM customer WHERE EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT')"
+        ),
+        "anti_join_urgent": (
+            "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT')"
+        ),
+        "segment_order_stats": (
+            "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+            "COUNT(DISTINCT o_custkey) AS n_customers, "
+            "ROUND(SUM(o_totalprice), 2) AS total_price, "
+            "ROUND(AVG(o_totalprice), 4) AS avg_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "top3_orders_per_customer": (
+            "SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total_price, rank FROM ("
+            "  SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER ("
+            "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank"
+            "  FROM orders) WHERE rank <= 3"
+        ),
+        "order_gaps": (
+            "SELECT o_custkey, o_orderkey, "
+            "date_diff('day', prev_date, o_orderdate) AS days_since_prev FROM ("
+            "  SELECT o_custkey, o_orderkey, o_orderdate, LAG(o_orderdate) OVER ("
+            "    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_date"
+            "  FROM orders) WHERE prev_date IS NOT NULL"
+        ),
+        "doc_token_stats": (
+            f"SELECT lang, COUNT(*) AS n_docs, "
+            f"ROUND(AVG(len({tok})), 4) AS avg_tokens, "
+            f"ROUND(AVG(n_chars), 4) AS avg_chars "
+            f"FROM documents GROUP BY lang"
+        ),
+        "doc_lang_id": None,  # replicated below after marker-set SQL is built
+        "doc_quality": None,  # replicated below
+        "doc_keyword_filter": (
+            "SELECT lang, COUNT(*) AS cnt FROM documents "
+            "WHERE regexp_matches(text, '(?i)(spark|stream)') GROUP BY lang"
+        ),
+        "doc_fingerprint": (
+            "SELECT sha256(trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp, "
+            "MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
+            "FROM documents GROUP BY 1"
+        ),
+        "ngram_jaccard_pairs": (
+            f"WITH toks AS (SELECT doc_id, {tok} AS t FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(list_transform("
+            "  range(0, greatest(len(t) - 3, 0) + 1), "
+            "  i -> array_to_string(t[i + 1 : i + 3], ' '))) AS s FROM toks), "
+            "ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh), "
+            "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c "
+            "  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2), "
+            "sz AS (SELECT doc_id, len(s) AS z FROM sh) "
+            "SELECT id_a, id_b, ROUND(c / (za.z + zb.z - c), 6) AS jaccard "
+            "FROM common JOIN sz za ON id_a = za.doc_id JOIN sz zb ON id_b = zb.doc_id "
+            "WHERE c / (za.z + zb.z - c) >= 0.8"
+        ),
+        "minhash_pairs": None,  # approximate: rows-only check
+        "simhash_pairs": None,  # approximate: rows-only check
+        "knn_bruteforce": (
+            "SELECT query_id, neighbor_id, cosine, rank FROM ("
+            "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "  ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "        CAST(c.embedding AS DOUBLE[])), 6) AS cosine, "
+            "  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+            "    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "          CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id ASC) AS rank "
+            "  FROM embeddings q CROSS JOIN embeddings c "
+            "  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id"
+            ") WHERE rank <= 5"
+        ),
+        "knn_lsh": None,  # approximate: rows-only check
+        "embedding_pair_sims": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "      CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+            "FROM embeddings a CROSS JOIN embeddings b "
+            "WHERE a.vec_id % 10 = 0 AND a.vec_id < b.vec_id "
+            "AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "    CAST(b.embedding AS DOUBLE[])), 6) >= 0.3"
+        ),
+    }
+
+
+def _lang_id_sql() -> str:
+    """DuckDB replication of functions.textstats.language_id."""
+    from projet_5spar_sparkstreaming_spark.functions.textstats import _LANG_MARKERS
+
+    tok = f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')"
+    scores = []
+    for lang, words in _LANG_MARKERS.items():
+        in_list = ", ".join(f"''{w}''" for w in words).replace("''", "'")
+        scores.append(
+            f"len(list_filter({tok}, x -> x IN ({in_list}))) AS s_{lang}"
+        )
+    langs = list(_LANG_MARKERS.keys())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return (
+        f"SELECT lang_pred, COUNT(*) AS cnt FROM ("
+        f"SELECT {case} AS lang_pred FROM ("
+        f"SELECT {', '.join(scores)} FROM documents)) GROUP BY lang_pred"
+    )
+
+
+def _quality_sql() -> str:
+    """DuckDB replication of functions.textstats.quality_score."""
+    tok_n = f"len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'))"
+    n_chars = "CAST(length(text) AS DOUBLE)"
+    n_alpha = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    n_toks = f"CAST({tok_n} AS DOUBLE)"
+    expr = (
+        "ROUND(least(1.0, CASE WHEN nc >= 2000 THEN 1.0 "
+        "WHEN nc >= 50 THEN nc / 2000.0 ELSE nc / 200.0 END) * 0.4 "
+        "+ (CASE WHEN nc > 0 THEN na / nc ELSE 0.0 END) * 0.4 "
+        "+ (CASE WHEN nt > 0 AND na / nt >= 3.0 AND na / nt <= 12.0 "
+        "   THEN 1.0 ELSE 0.5 END) * 0.2, 6)"
+    )
+    return (
+        f"SELECT source, COUNT(*) AS n_docs, ROUND(AVG(q), 4) AS avg_quality FROM ("
+        f"SELECT source, {expr} AS q FROM ("
+        f"SELECT source, {n_chars} AS nc, {n_alpha} AS na, {n_toks} AS nt "
+        f"FROM documents)) GROUP BY source"
+    )
+
+
+def catalog() -> list[CatalogQuery]:
+    builders = {
+        "user_activity": q_user_activity,
+        "active_users": q_active_users,
+        "avg_value_by_user": q_avg_value_by_user,
+        "hourly_counts": q_hourly_counts,
+        "daily_counts": q_daily_counts,
+        "type_daily_counts": q_type_daily_counts,
+        "top_type_per_day": q_top_type_per_day,
+        "latest_event_per_user": q_latest_event_per_user,
+        "minute_window_counts": q_minute_window_counts,
+        "json_k_stats": q_json_k_stats,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "value_rollup_by_type": q_value_rollup_by_type,
+        "setop_intersect": q_setop_intersect,
+        "setop_except": q_setop_except,
+        "union_daily": q_union_daily,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_region_revenue": q5_region_revenue,
+        "nation_region": q_nation_region,
+        "semi_join_urgent": q_semi_join_urgent,
+        "anti_join_urgent": q_anti_join_urgent,
+        "segment_order_stats": q_segment_order_stats,
+        "top3_orders_per_customer": q_top3_orders_per_customer,
+        "order_gaps": q_order_gaps,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_quality": q_doc_quality,
+        "doc_keyword_filter": q_doc_keyword_filter,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "embedding_pair_sims": q_embedding_pair_sims,
+    }
+    oracles = _oracles()
+    oracles["doc_lang_id"] = _lang_id_sql()
+    oracles["doc_quality"] = _quality_sql()
+    return [
+        CatalogQuery(name=n, build=fn, oracle=oracles.get(n)) for n, fn in builders.items()
+    ]

@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-aware defaults.
+
+Replaces the reference's hardcoded ``spark.sql.shuffle.partitions=4``
+(reference: src/batch_clean_historical.py:10, src/batch_analytics.py:12)
+with AQE-driven sizing, and centralizes the config every job shares so
+batch, streaming, tests and bench all run the same engine profile.
+
+On a real cluster the same factory applies: AQE coalesces shuffle
+partitions at runtime, skew-join handling splits hot partitions, and
+broadcast thresholds let small dimension tables avoid shuffles entirely.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _local_cores() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "projet_5spar_sparkstreaming_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the shared SparkSession.
+
+    Local mode by default (``local[$SPARK_GRAFT_CPUS]``); on a cluster,
+    pass ``master=None`` with an external cluster manager config and the
+    same SQL conf applies unchanged.
+    """
+    cores = _local_cores()
+    if master is None:
+        master = f"local[{cores}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- determinism / correctness ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution: runtime re-plan beats hardcoded knobs ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Start shuffles near core count locally; AQE coalesces down.
+        # On a 1000-executor cluster this would be ~2-3x total cores.
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        # --- Arrow for any pandas-UDF path ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- scan sizing: keep parquet splits memory-friendly ---
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- quiet UI for non-interactive runs ---
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

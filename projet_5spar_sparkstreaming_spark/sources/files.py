@@ -1,0 +1,85 @@
+"""File sources: parquet tables and JSON-lines event streams.
+
+Replaces the reference's Kafka-or-JDBC-only ingest (reference:
+src/spark_stream.py:65-72, src/batch_load_raw_fix.py:35-43) with
+columnar-first file sources. Parquet is the 100 TB path: predicate
+pushdown, column pruning and partition pruning are free, unlike the
+reference's full-table JDBC scans (SURVEY.md section 4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_5spar_sparkstreaming_spark.schema import TESTDATA_TABLES, TOOT_SCHEMA
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS) — Spark has no ns timestamp type."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:  # noqa: BLE001 — directory datasets etc.: no special handling
+        return []
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Schema comes from the parquet footer.
+
+    TIMESTAMP(NANOS) columns (which Spark rejects: PARQUET_TYPE_ILLEGAL)
+    are read as raw nanos via ``spark.sql.legacy.parquet.nanosAsLong``
+    and truncated to microsecond timestamps — same truncation DuckDB
+    applies, so oracle comparisons agree.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # integer div (not double /): int64 nanos exceed double's 2^53 mantissa
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load the star schema as a dict of DataFrames (lazy; no scan yet)."""
+    return {n: read_parquet_table(spark, sf_dir, n) for n in names}
+
+
+def read_jsonl_events(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a JSON-lines toot capture into the canonical schema.
+
+    Mirrors the Kafka-value parse path (reference: src/spark_stream.py:74-78):
+    ``from_json`` with explicit schema, PERMISSIVE — malformed lines (the
+    reference's sample.jsonl contains plain-text junk lines) become
+    all-null structs which the cleaning layer drops via the id null-guard.
+    Reading as ``text`` + ``from_json`` rather than ``spark.read.json``
+    keeps one shared parse path for files and Kafka values.
+    """
+    raw = spark.read.text(path)
+    return (
+        raw.select(F.from_json(F.col("value"), TOOT_SCHEMA).alias("data"))
+        .select("data.*")
+    )
+
+
+def parse_toot_values(values: DataFrame, col: str = "value") -> DataFrame:
+    """Shared JSON-value parse used by the Kafka batch + stream paths."""
+    return (
+        values.select(F.from_json(F.col(col).cast("string"), TOOT_SCHEMA).alias("data"))
+        .select("data.*")
+    )
