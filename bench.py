@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the scale-sensitive plans: full-scan aggregation,
+fact-fact-dim joins, window analytics, time rollups, set/dedup ops,
+and vector search. Each timed query runs the full plan to completion
+via a count-style action (results are not collected to the driver —
+we measure engine throughput, not py4j transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # scale-sensitive core
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "segment_order_stats",
+    "top3_orders_per_customer",
+    "order_gaps",
+    "semi_join_urgent",
+    # event analytics (reference-parity surface)
+    "user_activity",
+    "minute_window_counts",
+    "latest_event_per_user",
+    "top_type_per_day",
+    "json_k_stats",
+    # north-star ops (documents/embeddings are fixed-size: these gauge
+    # expression/codegen cost, not data scaling)
+    "ngram_jaccard_pairs",
+    "knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from projet_5spar_sparkstreaming_spark.session import get_spark
+    from projet_5spar_sparkstreaming_spark.plans.catalog import catalog
+
+    spark = get_spark("bench")
+    cat = {q.name: q for q in catalog()}
+
+    # Warm the JVM/codegen once with a trivial action so query 1 isn't
+    # charged session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q = cat[name]
+        t0 = time.time()
+        df = q.build(spark, sf_dir)
+        # full execution without driver-side row transfer
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

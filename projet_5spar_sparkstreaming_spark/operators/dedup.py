@@ -79,16 +79,30 @@ def fingerprint_dedup(
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string>."""
+    """Distinct word n-gram shingles as array<string>.
+
+    Built as a zip_with chain over n shifted slices — O(L) per document.
+    (A transform over per-index slice() calls is O(L*n) array allocations
+    in Spark's interpreted higher-order-function evaluator — measurably
+    slower on long documents.)
+    """
     toks = tokens(col)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    grams = F.slice(toks, 1, m)
+    for i in range(1, n):
+        shifted = F.slice(toks, i + 1, m)
+        grams = F.zip_with(
+            grams, shifted, lambda g, t: F.concat_ws(" ", g, t)
+        )
+    # Short docs (< n tokens): one truncated shingle (concat of all
+    # tokens) — zip_with pads the short side with null, which concat_ws
+    # skips, so the chain degrades to exactly that. Empty docs keep a
+    # single '' shingle (parity with the SQL-oracle shingle expression).
+    return F.array_distinct(
+        F.when(F.size(toks) == 0, F.array(F.lit(""))).otherwise(grams)
     )
-    # Short docs (< n tokens) produce one truncated shingle; keep it.
-    return F.array_distinct(grams)
 
 
 def _shingle_hashes(col: Column | str, n: int) -> Column:
@@ -105,52 +119,64 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (id_a, id_b, jaccard).
 
-    Inverted-index self-join: explode distinct shingles, equi-join on
-    shingle, count common, |A|+|B|-common in the denominator. Exact but
-    quadratic in posting-list length — the verifier for LSH candidates
-    and the small/medium-scale direct path.
+    Prefix-filtered similarity self-join (the PPJoin family, public
+    literature): under a global shingle order, two sets with Jaccard >=
+    t must collide within their first ``floor((1-t)*|A|)+1`` shingles —
+    so only that prefix is indexed/exploded. Candidates from the prefix
+    equi-join are verified exactly with array_intersect on the full
+    shingle arrays. Versus a full inverted-index join this cuts the
+    posting lists ~1/(1-t)x and the candidate pairs quadratically —
+    the property that keeps the join feasible at 100 TB; the naive
+    exploded self-join melts down on skewed (boilerplate) shingles.
     """
     sh = df.select(
-        F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__sh")
+        F.col(id_col).alias("__id"),
+        F.sort_array(word_shingles(text_col, n)).alias("__sh"),
+    ).cache()  # reused by the prefix index and both sides of verification
+    prefix_len = F.floor(F.size("__sh") * (1.0 - threshold)).cast("int") + 1
+    prefix = sh.select(
+        "__id", F.explode(F.slice("__sh", 1, prefix_len)).alias("__s")
     )
-    sizes = sh.select("__id", F.size("__sh").alias("__sz"))
-    exploded = sh.select("__id", F.explode("__sh").alias("__s"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    common = (
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
         a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count("*").alias("__common"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"))
-    return (
-        common.join(sa, "id_a")
+    sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    sb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    verified = (
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("__common", F.size(F.array_intersect("__sha", "__shb")))
         .withColumn(
             "jaccard",
             F.col("__common")
-            / (F.col("__sza") + F.col("__szb") - F.col("__common")).cast("double"),
+            / (F.size("__sha") + F.size("__shb") - F.col("__common")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def minhash_signature(col: Column | str, n: int = 3, num_hashes: int = 64) -> Column:
     """MinHash signature (array<bigint>, length num_hashes) of a text's
     n-gram shingle set: min over shingles of xxhash64(h XOR salt_i) per
-    hash function i. XOR + re-hash never overflows (ANSI-safe)."""
+    hash function i. XOR + re-hash never overflows (ANSI-safe).
+
+    One nested transform over a salt literal array — a single compact
+    expression instead of num_hashes separate aggregate branches (which
+    bloat analysis/codegen time).
+    """
     hashes = _shingle_hashes(col, n)
-
-    def _min_hash(salt: int):
-        # Factory closure (not default-arg lambda: that changes arity and
-        # breaks PySpark's higher-order-function binding).
-        return F.array_min(
-            F.transform(hashes, lambda h: F.xxhash64(h.bitwiseXOR(F.lit(salt))))
-        )
-
-    return F.array(*[_min_hash(s) for s in _HASH_SALTS[:num_hashes]])
+    salts = F.array(*[F.lit(s) for s in _HASH_SALTS[:num_hashes]])
+    return F.transform(
+        salts,
+        lambda salt: F.array_min(
+            F.transform(hashes, lambda h: F.xxhash64(h.bitwiseXOR(salt)))
+        ),
+    )
 
 
 def minhash_near_dup_pairs(
@@ -246,24 +272,31 @@ def simhash64(col: Column | str, n: int = 1) -> Column:
     Built from native bitwise expressions; no UDF.
     """
     hashes = F.transform(word_shingles(col, n), lambda s: F.xxhash64(s))
-
-    def _bit_sum(i: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_sums = [_bit_sum(i) for i in range(64)]
-    out = F.lit(0).cast("long")
-    for i, s in enumerate(bit_sums):
-        # bit 63 is the sign bit of int64: its place value is -2^63
-        bit_value = (1 << i) if i < 63 else -(1 << 63)
-        out = out + F.when(s > 0, F.lit(bit_value).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+    # One pass over the shingle hashes accumulating all 64 bit counters
+    # (bit tested via mask, not variable shift), then fold the counter
+    # signs back into a single long with bitwiseOR. Bit 63's mask is
+    # Long.MIN_VALUE — its two's-complement place value.
+    bit_masks = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+    counters = F.aggregate(
+        hashes,
+        F.expr("array_repeat(0, 64)"),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_masks,
+            lambda a, bv: a + F.when(h.bitwiseAND(bv) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            bit_masks,
+            lambda s, bv: F.when(s > 0, bv).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
 
 
 def simhash_near_dup_pairs(
