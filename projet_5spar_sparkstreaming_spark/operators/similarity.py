@@ -95,8 +95,8 @@ def lsh_bucketed_top_k(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     k: int = 10,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 12,
     dim: int = 64,
     exclude_self: bool = True,
 ) -> DataFrame:

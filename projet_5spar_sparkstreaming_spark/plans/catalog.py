@@ -424,7 +424,7 @@ def q_knn_lsh(spark, sf_dir):
     # Approximate LSH top-5 (no SQL oracle; tests check recall vs brute force).
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return lsh_bucketed_top_k(queries, emb, "vec_id", "vec_id", k=5, n_planes=6, n_tables=8)
+    return lsh_bucketed_top_k(queries, emb, "vec_id", "vec_id", k=5, n_planes=4, n_tables=12)
 
 
 def q_embedding_pair_sims(spark, sf_dir):

@@ -72,10 +72,13 @@ def active_users(clean: DataFrame, min_count: int = 5) -> DataFrame:
 def hashtags_per_day(clean: DataFrame, ts_col: str = "created_at") -> DataFrame:
     """(day, hashtag, cnt): explode + trim/lower + non-empty filter —
     reference: src/batch_analytics.py:40-45."""
-    exploded = clean.select(
-        F.to_date(ts_col).alias("day"),
-        F.lower(F.trim(F.explode("hashtags"))).alias("hashtag"),
-    ).filter(F.col("hashtag") != "")
+    exploded = (
+        clean.select(
+            F.to_date(ts_col).alias("day"), F.explode("hashtags").alias("__raw")
+        )
+        .select("day", F.lower(F.trim("__raw")).alias("hashtag"))
+        .filter(F.col("hashtag") != "")
+    )
     return exploded.groupBy("day", "hashtag").agg(F.count("*").alias("cnt"))
 
 

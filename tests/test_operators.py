@@ -1,0 +1,176 @@
+"""Unit tests: operators layer (dedup, topk, rollup, similarity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projet_5spar_sparkstreaming_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    latest_per_key,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+from projet_5spar_sparkstreaming_spark.operators.rollup import (
+    time_bucket_counts,
+    tumbling_window_counts,
+)
+from projet_5spar_sparkstreaming_spark.operators.similarity import (
+    brute_force_top_k,
+    lsh_bucketed_top_k,
+)
+from projet_5spar_sparkstreaming_spark.operators.topk import top_k_per_group
+
+
+NEAR_DUP_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog in the morning light"),
+    (2, "the quick brown fox jumps over the lazy dog in the evening light"),  # ~dup of 1
+    (3, "completely different content about spark structured streaming engines"),
+    (4, "the quick brown fox jumps over the lazy dog in the morning light"),  # exact dup of 1
+    (5, "unrelated short text"),
+]
+
+
+class TestLatestPerKey:
+    def test_picks_newest_nulls_lose(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("a", "2024-01-01 10:00:00", "old"),
+                ("a", "2024-01-02 10:00:00", "new"),
+                ("a", None, "nullts"),
+                ("b", None, "only-null"),
+            ],
+            ["id", "ts", "tag"],
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {r["id"]: r["tag"] for r in latest_per_key(df, ["id"], "ts").collect()}
+        assert out == {"a": "new", "b": "only-null"}
+
+    def test_tie_break_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, "x"), ("a", 1, "y")], ["id", "v", "tag"]
+        )
+        out = latest_per_key(df, ["id"], "v", tie_break=("tag",)).collect()
+        assert len(out) == 1 and out[0]["tag"] == "x"
+
+
+class TestExactAndFingerprintDedup:
+    def test_exact_dedup_subset(self, spark):
+        df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], ["k", "v"])
+        assert exact_dedup(df, ["k"]).count() == 2
+
+    def test_fingerprint_dedup_collapses_formatting(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello, World!"), (2, "hello   world"), (3, "other")], ["id", "t"]
+        )
+        out = fingerprint_dedup(df, "t", keep_by="id")
+        assert out.count() == 2
+
+
+class TestNearDup:
+    def test_ngram_jaccard_finds_planted_pair(self, spark):
+        df = spark.createDataFrame(NEAR_DUP_DOCS, ["id", "text"])
+        pairs = ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.5).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in got and (1, 4) in got and (2, 4) in got
+        exact = [r for r in pairs if (r["id_a"], r["id_b"]) == (1, 4)]
+        assert exact[0]["jaccard"] == 1.0
+
+    def test_minhash_recall_vs_exact(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+        }
+        approx = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_near_dup_pairs(
+                docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.5
+            ).collect()
+        }
+        assert exact, "corpus should contain planted near-dups"
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"minhash recall {recall:.2f} too low"
+
+    def test_simhash_flags_exact_dup(self, spark):
+        df = spark.createDataFrame(NEAR_DUP_DOCS, ["id", "text"])
+        pairs = simhash_near_dup_pairs(df, "id", "text", max_hamming=10, n=3)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 4) in got  # identical text -> hamming 0
+
+    def test_word_shingles_short_docs(self, spark):
+        df = spark.createDataFrame([("one two",), ("one",), ("",)], ["t"])
+        out = [r["s"] for r in df.select(word_shingles("t", 3).alias("s")).collect()]
+        assert out == [["one two"], ["one"], [""]]
+
+
+class TestTopK:
+    def test_top_k_tie_break(self, spark):
+        df = spark.createDataFrame(
+            [("d1", "b", 5), ("d1", "a", 5), ("d1", "c", 3), ("d2", "z", 1)],
+            ["day", "tag", "cnt"],
+        )
+        out = top_k_per_group(
+            df, ["day"], [F.col("cnt").desc(), F.col("tag").asc()], k=1
+        ).collect()
+        got = {r["day"]: r["tag"] for r in out}
+        assert got == {"d1": "a", "d2": "z"}  # tie on cnt=5 -> lexicographic
+
+
+class TestRollup:
+    def test_buckets_and_windows(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("2024-01-01 10:00:30",),
+                ("2024-01-01 10:00:45",),
+                ("2024-01-01 10:02:10",),
+                ("2024-01-02 00:00:00",),
+            ],
+            ["ts"],
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        days = {str(r["day"]): r["cnt"] for r in time_bucket_counts(df, "ts", "day", bucket_name="day").collect()}
+        assert days == {"2024-01-01": 3, "2024-01-02": 1}
+        wins = tumbling_window_counts(df, "ts", "1 minute").collect()
+        by_start = {str(r["window_start"]): r["cnt"] for r in wins}
+        assert by_start["2024-01-01 10:00:00"] == 2
+        assert by_start["2024-01-01 10:02:00"] == 1
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 3)
+        got = brute_force_top_k(queries, emb, "vec_id", "vec_id", k=3).collect()
+
+        rows = emb.collect()
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        ids = np.array([r["vec_id"] for r in rows])
+        mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        for qid in range(3):
+            qi = np.where(ids == qid)[0][0]
+            sims = mat_n @ mat_n[qi]
+            sims[qi] = -2  # exclude self
+            order = np.lexsort((ids, -np.round(sims, 6)))
+            expect = [int(ids[i]) for i in order[:3]]
+            mine = [
+                r["neighbor_id"]
+                for r in sorted(
+                    (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+                )
+            ]
+            assert mine == expect, f"query {qid}: {mine} != {expect}"
+
+    def test_lsh_recall(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 20)
+        exact = brute_force_top_k(queries, emb, "vec_id", "vec_id", k=5).collect()
+        approx = lsh_bucketed_top_k(
+            queries, emb, "vec_id", "vec_id", k=5, n_planes=4, n_tables=12
+        ).collect()
+        exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+        assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
