@@ -1,0 +1,15 @@
+from projet_5spar_sparkstreaming_spark.multimodal.binary import (
+    MEDIA_SCHEMA,
+    decode_image_batch,
+    extract_image_features,
+    media_metadata,
+    sample_video_frames,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "decode_image_batch",
+    "extract_image_features",
+    "media_metadata",
+    "sample_video_frames",
+]

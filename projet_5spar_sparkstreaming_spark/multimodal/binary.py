@@ -1,0 +1,146 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+North-star extension (BASELINE.json): treat image/audio/video as
+``binary`` columns with a metadata struct, processed by Arrow-batched
+pandas functions over ``mapInPandas``. The Spark-side plumbing —
+schema, partitioning, UDF signatures, batch shapes — is real and
+tested; the codec calls themselves are STUBBED (this container has no
+image/audio libraries) behind ``_decode_bytes``, which provides a
+deterministic fake so the pipeline shape is exercisable end-to-end.
+
+Scale notes:
+- binary payloads ride the scan; metadata-only queries never touch
+  them (parquet column pruning), so keep metadata in separate columns.
+- mapInPandas streams Arrow batches: bound batch bytes with
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` when payloads are
+  large, and repartition by size bucket before heavy decode so task
+  skew stays bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# media metadata struct carried next to the binary payload
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image/audio/video
+        T.StructField("format", T.StringType(), True),       # png/jpeg/wav/mp4...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("size_bytes", T.LongType(), False),
+    ]
+)
+
+_STUB = True  # no codec libraries in this container
+
+
+def _decode_bytes(payload: bytes) -> list[float]:
+    """STUB decode: deterministic fake 'pixels' from payload bytes.
+
+    Real implementation would be e.g. PIL.Image.open(BytesIO(payload));
+    gated so the Spark plumbing stays testable without codecs.
+    """
+    if not _STUB:
+        raise NotImplementedError("wire a real codec (PIL/soundfile/av) here")
+    # deterministic, shape-stable fake: first 16 bytes scaled to [0,1]
+    head = payload[:16].ljust(16, b"\0")
+    return [b / 255.0 for b in head]
+
+
+def media_metadata(payload_col: str, media_type: str, fmt: str | None = None):
+    """Metadata struct expression for a binary column (native, no UDF)."""
+    return F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit(fmt).cast("string").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.length(F.col(payload_col)).cast("long").alias("size_bytes"),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def decode_image_batch(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """Binary payloads -> fixed-width feature vectors via mapInPandas.
+
+    Arrow-batched: each iterator element is a pandas DataFrame chunk;
+    the decode loop is per-row Python but amortized over Arrow transfer
+    (the only viable shape for opaque codecs)."""
+    id_name, payload_name = id_col, payload_col
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_name].astype("int64"),
+                    "features": [ _decode_bytes(p) for p in pdf[payload_name] ],
+                    "n_bytes": [len(p) for p in pdf[payload_name]],
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=_FEATURE_SCHEMA)
+
+
+def extract_image_features(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """Alias of the decode path with feature post-processing hook."""
+    decoded = decode_image_batch(df, id_col, payload_col)
+    return decoded.withColumn(
+        "feature_norm",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "features", F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")
+                )
+            ),
+            6,
+        ),
+    )
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """STUB frame sampler: emits every_n 'frames' per payload (fake
+    slices of the byte stream; a real impl would call an av demuxer).
+    Demonstrates the 1-row -> N-rows mapInPandas expansion shape."""
+    id_name, payload_name = id_col, payload_col
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf[id_name], pdf[payload_name]):
+                step = max(1, len(payload) // every_n)
+                for i in range(0, min(every_n, len(payload))):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * step : i * step + step]))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(_sample, schema=_FRAME_SCHEMA)

@@ -1,0 +1,19 @@
+from projet_5spar_sparkstreaming_spark.streaming.windows import (
+    session_window_counts,
+    sliding_window_counts,
+    windowed_counts,
+)
+from projet_5spar_sparkstreaming_spark.streaming.dedup import stream_dedup
+from projet_5spar_sparkstreaming_spark.streaming.sinks import (
+    foreach_batch_sink,
+    idempotent_parquet_sink,
+)
+
+__all__ = [
+    "session_window_counts",
+    "sliding_window_counts",
+    "windowed_counts",
+    "stream_dedup",
+    "foreach_batch_sink",
+    "idempotent_parquet_sink",
+]

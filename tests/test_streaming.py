@@ -1,0 +1,182 @@
+"""Structured Streaming tests: file-source micro-batches, watermarked
+windows, streaming dedup, idempotent sinks, stream/batch parity (T8)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_5spar_sparkstreaming_spark.streaming.dedup import stream_dedup
+from projet_5spar_sparkstreaming_spark.streaming.jobs import (
+    avg_length_by_user,
+    clean_toot_stream,
+    minute_counts,
+    posts_projection,
+    read_toot_file_stream,
+)
+from projet_5spar_sparkstreaming_spark.streaming.sinks import idempotent_parquet_sink
+from projet_5spar_sparkstreaming_spark.streaming.windows import (
+    session_window_counts,
+    sliding_window_counts,
+)
+
+
+def _toot(i, ts, user="alice", text="hello world"):
+    return json.dumps(
+        {
+            "id": str(i),
+            "created_at": ts,
+            "language": "en",
+            "text": text,
+            "hashtags": [],
+            "user_id": "1",
+            "username": user,
+            "display_name": "",
+            "favourites": 0,
+            "reblogs": 0,
+            "replies": 0,
+            "url": "",
+        }
+    )
+
+
+@pytest.fixture()
+def toot_dir(tmp_path):
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    (d / "part0.jsonl").write_text(
+        "\n".join(
+            [
+                _toot(1, "2025-10-03T10:00:10Z", "alice", "first toot"),
+                _toot(2, "2025-10-03T10:00:40Z", "bob", "second toot"),
+                _toot(3, "2025-10-03T10:01:20Z", "alice", "third toot"),
+                _toot(3, "2025-10-03T10:01:20Z", "alice", "third toot"),  # dup id
+                "junk line",
+            ]
+        )
+    )
+    return str(d)
+
+
+def _run_to_memory(spark, df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_stream_clean_and_posts(spark, toot_dir):
+    clean = clean_toot_stream(read_toot_file_stream(spark, toot_dir))
+    out = _run_to_memory(spark, posts_projection(clean), "posts_tbl")
+    rows = out.collect()
+    assert len(rows) == 4  # junk dropped, dup id kept (dedup is explicit)
+    assert {r["username"] for r in rows} == {"alice", "bob"}
+    assert all(r["ts"] is not None for r in rows)
+
+
+def test_stream_dedup_within_watermark(spark, toot_dir):
+    clean = clean_toot_stream(read_toot_file_stream(spark, toot_dir))
+    deduped = stream_dedup(clean, ["id"], "created_at", "10 minutes")
+    out = _run_to_memory(spark, deduped.select("id"), "dedup_tbl")
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == ["1", "2", "3"]
+
+
+def test_stream_minute_counts_parity_with_batch(spark, toot_dir):
+    """T8: streaming windowed counts == batch tumbling counts on same data."""
+    from projet_5spar_sparkstreaming_spark.operators.rollup import (
+        tumbling_window_counts,
+    )
+
+    stream_clean = clean_toot_stream(read_toot_file_stream(spark, toot_dir))
+    got = _run_to_memory(
+        spark, minute_counts(stream_clean), "win_tbl", mode="append"
+    ).collect()
+    # append mode emits only watermark-closed windows; rerun in update for all
+    spark.catalog.dropTempView("win_tbl")
+
+    batch_raw = clean_toot_stream(
+        spark.read.json(
+            f"{toot_dir}",
+            schema=stream_clean.schema.simpleString().replace("struct<", "").rstrip(">"),
+        )
+        if False
+        else spark.read.format("json").schema(stream_clean.schema).load(toot_dir)
+    )
+    expect = {
+        (str(r["window_start"]), r["cnt"])
+        for r in tumbling_window_counts(batch_raw, "created_at", "1 minute").collect()
+    }
+    # update-mode stream sees every window
+    stream_clean2 = clean_toot_stream(read_toot_file_stream(spark, toot_dir))
+    got_update = _run_to_memory(
+        spark, minute_counts(stream_clean2), "win_tbl_u", mode="update"
+    ).collect()
+    got_set = {(str(r["window_start"]), r["cnt"]) for r in got_update}
+    assert expect == got_set
+    assert len(expect) == 2  # 10:00 window (2 toots), 10:01 window (2 incl dup)
+
+
+def test_stream_avg_length_complete_mode(spark, toot_dir):
+    clean = clean_toot_stream(read_toot_file_stream(spark, toot_dir))
+    out = _run_to_memory(
+        spark, avg_length_by_user(clean), "avg_tbl", mode="complete"
+    ).collect()
+    by_user = {r["username"]: r["avg_length"] for r in out}
+    assert by_user["bob"] == float(len("second toot"))
+
+
+def test_sliding_and_session_windows(spark, toot_dir):
+    clean = clean_toot_stream(read_toot_file_stream(spark, toot_dir))
+    sliding = _run_to_memory(
+        spark,
+        sliding_window_counts(clean, "created_at", "2 minutes", "1 minute"),
+        "slide_tbl",
+        mode="update",
+    ).collect()
+    assert sum(r["cnt"] for r in sliding) == 8  # each of 4 rows in 2 windows
+
+    clean2 = clean_toot_stream(read_toot_file_stream(spark, toot_dir))
+    # session windows don't support update mode -> complete
+    sessions = _run_to_memory(
+        spark,
+        session_window_counts(clean2, "created_at", "30 seconds", ["username"]),
+        "sess_tbl",
+        mode="complete",
+    ).collect()
+    # alice: 10:00:10 and 10:01:20 (gap>30s -> 2 sessions incl dup), bob: 1
+    by_user = sorted((r["username"], r["cnt"]) for r in sessions)
+    assert by_user == [("alice", 1), ("alice", 2), ("bob", 1)]
+
+
+def test_idempotent_sink_no_duplicates_on_rerun(spark, toot_dir, tmp_path):
+    out_dir = str(tmp_path / "sink_out")
+    chk = str(tmp_path / "chk")
+    clean = clean_toot_stream(read_toot_file_stream(spark, toot_dir))
+    q = idempotent_parquet_sink(
+        posts_projection(clean), out_dir, chk, trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(out_dir)
+    n1 = first.count()
+    assert n1 == 4
+    assert "batch_id" in first.columns
+
+    # replay batch 0 by hand (simulating a retried micro-batch)
+    batch0 = spark.read.parquet(out_dir).filter(F.col("batch_id") == 0).drop("batch_id")
+    (
+        batch0.withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+    assert spark.read.parquet(out_dir).count() == n1  # overwrite, not append
