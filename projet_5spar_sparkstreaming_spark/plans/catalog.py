@@ -179,6 +179,106 @@ def q_union_daily(spark, sf_dir):
     )
 
 
+def q_word_counts(spark, sf_dir):
+    # C14 explode + C7 regexp extraction + O1/O5 order/limit (reference:
+    # src/batch_analytics.py:40-45, PART3.ipynb:691-698)
+    from projet_5spar_sparkstreaming_spark.functions.textstats import tokens as tok_fn
+
+    docs = _t(spark, sf_dir, "documents")
+    exploded = docs.select(F.explode(tok_fn("text")).alias("token"))
+    return (
+        exploded.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+def q_value_bands(spark, sf_dir):
+    # C13 when/otherwise conditional projection (reference: Test.ipynb:354)
+    ev = _t(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") >= 150, F.lit("high"))
+        .when(F.col("value") >= 50, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    return ev.groupBy(band.alias("band")).agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+def q_sliding_window_counts(spark, sf_dir):
+    # T6 sliding windows, batch form: 10-minute windows sliding by 5.
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window("ts", "10 minutes", "5 minutes")).agg(
+        F.count("*").alias("cnt")
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "cnt",
+    )
+
+
+def q_cube_type_day(spark, sf_dir):
+    # CUBE grouping sets (M3 relational completeness)
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return ev.cube("event_type", "day").agg(F.count("*").alias("cnt"))
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    # approx_count_distinct (HLL++) — algorithm-specific estimates have no
+    # portable SQL oracle; rows-only check + test vs exact in tests/.
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+
+def q_embedding_norm_stats(spark, sf_dir):
+    # Vector aggregate over array<float> (north-star plumbing check).
+    from projet_5spar_sparkstreaming_spark.functions.vectors import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("norm", l2_norm("embedding"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("norm"), 4).alias("avg_norm"))
+    )
+
+
+def q_stream_minute_counts(spark, sf_dir):
+    # T3/T8: a REAL Structured Streaming run — events parquet replayed as
+    # a stream, stateful groupBy(window) aggregation, availableNow
+    # trigger, complete-mode memory sink. Oracle-checkable because the
+    # final state equals the batch tumbling aggregation (stream/batch
+    # parity, the invariant the reference lacked).
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
+
+    stream = read_parquet_stream(spark, sf_dir, "events")
+    agg = stream.groupBy(F.window("ts", "1 minute")).agg(F.count("*").alias("cnt"))
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "cnt",
+    )
+    name = "q_stream_minute_counts_sink"
+    chk = tempfile.mkdtemp(prefix="chk_stream_minute_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Relational / TPC-H-ish (M3; exercised for join/shuffle plan quality)
 # ---------------------------------------------------------------------------
@@ -633,6 +733,42 @@ def _oracles() -> dict[str, str | None]:
         ),
         "minhash_pairs": None,  # approximate: rows-only check
         "simhash_pairs": None,  # approximate: rows-only check
+        "word_counts": (
+            f"SELECT token, COUNT(*) AS cnt FROM ("
+            f"SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS token "
+            f"FROM documents) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20"
+        ),
+        "value_bands": (
+            "SELECT CASE WHEN value >= 150 THEN 'high' "
+            "WHEN value >= 50 THEN 'mid' ELSE 'low' END AS band, "
+            "COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value "
+            "FROM events GROUP BY 1"
+        ),
+        "sliding_window_counts": (
+            # each event falls in exactly two 10-min windows sliding by 5
+            "SELECT window_start, window_start + INTERVAL 10 MINUTE AS window_end, "
+            "COUNT(*) AS cnt FROM ("
+            "  SELECT unnest([time_bucket(INTERVAL 5 MINUTES, ts), "
+            "                 time_bucket(INTERVAL 5 MINUTES, ts) - INTERVAL 5 MINUTE]) "
+            "         AS window_start FROM events"
+            ") GROUP BY window_start"
+        ),
+        "cube_type_day": (
+            "SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt "
+            "FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))"
+        ),
+        "approx_distinct_users": None,  # HLL estimate: rows-only check
+        "embedding_norm_stats": (
+            "SELECT label, COUNT(*) AS n, ROUND(AVG(norm), 4) AS avg_norm FROM ("
+            "SELECT label, sqrt(list_sum(list_transform("
+            "CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm FROM embeddings"
+            ") GROUP BY label"
+        ),
+        "stream_minute_counts": (
+            "SELECT date_trunc('minute', ts) AS window_start, "
+            "date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end, "
+            "COUNT(*) AS cnt FROM events GROUP BY 1, 2"
+        ),
         "knn_bruteforce": (
             "SELECT query_id, neighbor_id, cosine, rank FROM ("
             "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
@@ -720,6 +856,13 @@ def catalog() -> list[CatalogQuery]:
         "setop_intersect": q_setop_intersect,
         "setop_except": q_setop_except,
         "union_daily": q_union_daily,
+        "word_counts": q_word_counts,
+        "value_bands": q_value_bands,
+        "sliding_window_counts": q_sliding_window_counts,
+        "cube_type_day": q_cube_type_day,
+        "approx_distinct_users": q_approx_distinct_users,
+        "embedding_norm_stats": q_embedding_norm_stats,
+        "stream_minute_counts": q_stream_minute_counts,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_region_revenue": q5_region_revenue,

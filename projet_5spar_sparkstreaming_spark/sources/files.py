@@ -60,6 +60,32 @@ def load_tables(
     return {n: read_parquet_table(spark, sf_dir, n) for n in names}
 
 
+def read_parquet_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The same table as an unbounded stream (file source).
+
+    Applies the identical TIMESTAMP(NANOS) handling as the batch reader
+    so stream and batch plans see one schema (stream/batch parity T8).
+    """
+    import pyspark.sql.types as T
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    batch_schema = read_parquet_table(spark, sf_dir, name).schema
+    # file-stream sources take a directory; select our table via glob
+    reader = spark.readStream.option("pathGlobFilter", f"{name}.parquet")
+    if not ns_cols:
+        return reader.schema(batch_schema).parquet(sf_dir)
+    raw_fields = [
+        T.StructField(f.name, T.LongType() if f.name in ns_cols else f.dataType, f.nullable)
+        for f in batch_schema.fields
+    ]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = reader.schema(T.StructType(raw_fields)).parquet(sf_dir)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
 def read_jsonl_events(spark: SparkSession, path: str) -> DataFrame:
     """Parse a JSON-lines toot capture into the canonical schema.
 
