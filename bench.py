@@ -50,18 +50,18 @@ def main() -> None:
     spark = get_spark("bench")
     cat = {q.name: q for q in catalog()}
 
-    # Warm the JVM/codegen once with a trivial action so query 1 isn't
-    # charged session startup.
-    spark.range(1000).selectExpr("sum(id)").collect()
-
+    # Warm run (unrecorded): JIT/codegen/parquet-footer caches, then a
+    # steady-state timed run. Engine throughput, not JVM warmup noise.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        q = cat[name]
-        t0 = time.time()
-        df = q.build(spark, sf_dir)
-        # full execution without driver-side row transfer
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for record in (False, True):
+        for name in BENCH_QUERIES:
+            q = cat[name]
+            t0 = time.time()
+            df = q.build(spark, sf_dir)
+            # full execution without driver-side row transfer
+            df.write.format("noop").mode("overwrite").save()
+            if record:
+                timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

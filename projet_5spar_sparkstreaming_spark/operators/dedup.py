@@ -129,9 +129,18 @@ def ngram_jaccard_pairs(
     the property that keeps the join feasible at 100 TB; the naive
     exploded self-join melts down on skewed (boilerplate) shingles.
     """
+    # Shingles are hashed to int64 up front: the prefix index, join keys
+    # and verification intersect then work on fixed-width ints instead of
+    # ~20-byte strings (smaller shuffle, faster sort/intersect). A 64-bit
+    # collision within one near-dup candidate pair is ~2^-64 — the
+    # Jaccard value is exact for all practical purposes.
     sh = df.select(
         F.col(id_col).alias("__id"),
-        F.sort_array(word_shingles(text_col, n)).alias("__sh"),
+        F.sort_array(
+            F.array_distinct(
+                F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
+            )
+        ).alias("__sh"),
     ).cache()  # reused by the prefix index and both sides of verification
     prefix_len = F.floor(F.size("__sh") * (1.0 - threshold)).cast("int") + 1
     prefix = sh.select(

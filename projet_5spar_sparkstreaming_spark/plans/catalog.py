@@ -164,9 +164,11 @@ def q_setop_intersect(spark, sf_dir):
 
 
 def q_setop_except(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    signups = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
-    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    # (user, day) granularity: days a user signed up minus days they
+    # purchased — a non-degenerate EXCEPT on this corpus.
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "day").distinct()
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id", "day").distinct()
     return signups.exceptAll(purchasers).distinct()
 
 
@@ -616,8 +618,10 @@ def _oracles() -> dict[str, str | None]:
             "INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'"
         ),
         "setop_except": (
-            "SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' "
-            "EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'"
+            "SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events "
+            "WHERE event_type = 'signup' "
+            "EXCEPT SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events "
+            "WHERE event_type = 'purchase'"
         ),
         "union_daily": (
             "SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt FROM ("
