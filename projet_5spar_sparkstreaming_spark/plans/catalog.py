@@ -250,6 +250,73 @@ def q_embedding_norm_stats(spark, sf_dir):
     )
 
 
+def q_asof_last_signup(spark, sf_dir):
+    # As-of join: for each purchase, the user's most recent signup at or
+    # before it (operators/asof.py — union + forward-fill, one shuffle).
+    from projet_5spar_sparkstreaming_spark.operators.asof import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = as_of_join(
+        purchases, signups, ["user_id"], "ts", "ts", ["event_id", "value"], prefix="signup_"
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.col("signup_event_id"),
+        F.round("signup_value", 2).alias("signup_value"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_type_day(spark, sf_dir):
+    # groupBy().pivot(): one row per day, one count column per event type.
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    pivoted = ev.groupBy("day").pivot("event_type", _EVENT_TYPES).count()
+    return pivoted.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+def q_user_sessions(spark, sf_dir):
+    # Batch sessionization with session_window (30-minute gap).
+    ev = _t(spark, sf_dir, "events")
+    sessions = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n").alias("n_events")
+    )
+
+
+def q_value_percentiles(spark, sf_dir):
+    # Exact percentiles with linear interpolation (matches quantile_cont).
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_value"),
+    )
+
+
+def q_knn_arrow(spark, sf_dir):
+    # Arrow/numpy matmul top-k — same contract (and oracle) as
+    # knn_bruteforce; the wide-fan-out scale path.
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        brute_force_top_k_arrow,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return brute_force_top_k_arrow(queries, emb, "vec_id", "vec_id", k=5)
+
+
 def q_stream_minute_counts(spark, sf_dir):
     # T3/T8: a REAL Structured Streaming run — events parquet replayed as
     # a stream, stateful groupBy(window) aggregation, availableNow
@@ -762,6 +829,38 @@ def _oracles() -> dict[str, str | None]:
             "FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))"
         ),
         "approx_distinct_users": None,  # HLL estimate: rows-only check
+        "asof_last_signup": (
+            "SELECT p.user_id, p.event_id, s.event_id AS signup_event_id, "
+            "ROUND(s.value, 2) AS signup_value "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
+            "ON p.user_id = s.user_id AND p.ts >= s.ts"
+        ),
+        "pivot_type_day": (
+            "SELECT CAST(ts AS DATE) AS day, "
+            "COUNT(*) FILTER (WHERE event_type = 'click') AS click, "
+            "COUNT(*) FILTER (WHERE event_type = 'error') AS error, "
+            "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, "
+            "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, "
+            "COUNT(*) FILTER (WHERE event_type = 'view') AS view "
+            "FROM events GROUP BY 1"
+        ),
+        "user_sessions": (
+            # session starts when gap >= 30 min (session_window end-exclusive)
+            "SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events FROM ("
+            "  SELECT user_id, CASE WHEN prev_ts IS NULL "
+            "    OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+            "  FROM (SELECT user_id, ts, LAG(ts) OVER ("
+            "        PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events)"
+            ") GROUP BY user_id"
+        ),
+        "value_percentiles": (
+            "SELECT event_type, "
+            "ROUND(quantile_cont(value, 0.5), 4) AS median_value, "
+            "ROUND(quantile_cont(value, 0.95), 4) AS p95_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "knn_arrow": None,  # set below: same oracle as knn_bruteforce
         "embedding_norm_stats": (
             "SELECT label, COUNT(*) AS n, ROUND(AVG(norm), 4) AS avg_norm FROM ("
             "SELECT label, sqrt(list_sum(list_transform("
@@ -867,6 +966,11 @@ def catalog() -> list[CatalogQuery]:
         "approx_distinct_users": q_approx_distinct_users,
         "embedding_norm_stats": q_embedding_norm_stats,
         "stream_minute_counts": q_stream_minute_counts,
+        "asof_last_signup": q_asof_last_signup,
+        "pivot_type_day": q_pivot_type_day,
+        "user_sessions": q_user_sessions,
+        "value_percentiles": q_value_percentiles,
+        "knn_arrow": q_knn_arrow,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_region_revenue": q5_region_revenue,
@@ -891,6 +995,7 @@ def catalog() -> list[CatalogQuery]:
     oracles = _oracles()
     oracles["doc_lang_id"] = _lang_id_sql()
     oracles["doc_quality"] = _quality_sql()
+    oracles["knn_arrow"] = oracles["knn_bruteforce"]
     return [
         CatalogQuery(name=n, build=fn, oracle=oracles.get(n)) for n, fn in builders.items()
     ]

@@ -1,0 +1,62 @@
+"""Tests: as-of join semantics and Arrow knn parity with native knn."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projet_5spar_sparkstreaming_spark.operators.asof import as_of_join
+from projet_5spar_sparkstreaming_spark.operators.similarity import (
+    brute_force_top_k,
+    brute_force_top_k_arrow,
+)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 10:00:00", "p1"),
+            ("u1", "2024-01-01 12:00:00", "p2"),
+            ("u2", "2024-01-01 09:00:00", "p3"),  # before any right row
+        ],
+        ["user", "ts", "pid"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 09:30:00", 1.0),
+            ("u1", "2024-01-01 11:00:00", 2.0),
+            ("u1", "2024-01-01 13:00:00", 3.0),  # after all left rows
+            ("u2", "2024-01-01 09:30:00", 4.0),
+        ],
+        ["user", "ts", "score"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {
+        r["pid"]: r["right_score"]
+        for r in as_of_join(left, right, ["user"], "ts", "ts", ["score"]).collect()
+    }
+    assert out == {"p1": 1.0, "p2": 2.0, "p3": None}
+
+
+def test_asof_join_inclusive_tie(spark):
+    left = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00", "p1")], ["user", "ts", "pid"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00", 9.0)], ["user", "ts", "score"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = as_of_join(left, right, ["user"], "ts", "ts", ["score"]).collect()
+    assert out[0]["right_score"] == 9.0  # equal ts counts (<=)
+
+
+def test_arrow_knn_matches_native(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    native = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_top_k(queries, emb, "vec_id", "vec_id", k=5).collect()
+    }
+    arrow = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_top_k_arrow(queries, emb, "vec_id", "vec_id", k=5).collect()
+    }
+    assert native == arrow
