@@ -35,10 +35,15 @@ BENCH_QUERIES = [
     "latest_event_per_user",
     "top_type_per_day",
     "json_k_stats",
+    "asof_last_signup",
+    "user_sessions",
+    "pivot_type_day",
     # north-star ops (documents/embeddings are fixed-size: these gauge
     # expression/codegen cost, not data scaling)
     "ngram_jaccard_pairs",
+    "minhash_pairs",
     "knn_bruteforce",
+    "knn_arrow",
 ]
 
 

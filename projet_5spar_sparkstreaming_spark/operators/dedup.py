@@ -188,6 +188,49 @@ def minhash_signature(col: Column | str, n: int = 3, num_hashes: int = 64) -> Co
     )
 
 
+def minhash_signature_arrow(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """(id, sig array<bigint>) via Arrow-batched numpy multiply-shift.
+
+    Shingle hashing stays JVM-side (tokens -> n-grams -> xxhash64, native
+    expressions); only the num_hashes-way min reduction crosses to numpy:
+    sig_i = min over shingles of uint64-wrapped (a_i * h) — the
+    multiply-shift universal family (public literature), fully
+    vectorized. At 5k docs this replaces ~100M interpreted lambda evals
+    with a handful of numpy outer products per Arrow batch.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    salts = np.array(_HASH_SALTS[:num_hashes], dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    hashed = df.select(
+        F.col(id_col).alias("__id"), _shingle_hashes(text_col, n).alias("__h")
+    )
+
+    def _sig(batches):
+        for pdf in batches:
+            sigs = []
+            for h in pdf["__h"]:
+                if len(h) == 0:
+                    sigs.append([0] * num_hashes)
+                    continue
+                hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+                with np.errstate(over="ignore"):
+                    prod = salts[:, None] * hv[None, :]  # wrapped uint64 mul
+                sigs.append(prod.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({"__id": pdf["__id"], "__sig": sigs})
+
+    schema = T.StructType(
+        [
+            T.StructField("__id", hashed.schema["__id"].dataType, False),
+            T.StructField("__sig", T.ArrayType(T.LongType()), False),
+        ]
+    )
+    return hashed.mapInPandas(_sig, schema=schema)
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -197,6 +240,7 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     verify: bool = True,
+    signature_impl: str = "arrow",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup detection — the 100 TB dedup path.
 
@@ -211,10 +255,13 @@ def minhash_near_dup_pairs(
     skew-join handled.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(text_col, n, num_hashes).alias("__sig"),
-    )
+    if signature_impl == "arrow":
+        sig = minhash_signature_arrow(df, id_col, text_col, n, num_hashes)
+    else:
+        sig = df.select(
+            F.col(id_col).alias("__id"),
+            minhash_signature(text_col, n, num_hashes).alias("__sig"),
+        )
     banded = sig.select(
         "__id",
         "__sig",
