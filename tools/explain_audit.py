@@ -1,0 +1,67 @@
+"""Plan audit: verify the SCALE.md claims against actual physical plans.
+
+For each headline query, checks the formatted plan for the properties
+the engine promises: parquet filter pushdown, column pruning, broadcast
+joins on dims, TakeOrderedAndProject for top-k, partial aggregation.
+Prints PASS/WARN per property. Usage: python tools/explain_audit.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+CHECKS = {
+    "q1_pricing_summary": [
+        ("filter pushdown", "PushedFilters: [IsNotNull(l_shipdate)"),
+        ("column pruning (7 cols)", "ReadSchema: struct<l_quantity"),
+        ("partial agg", "HashAggregate"),
+    ],
+    "q3_top_orders": [
+        ("customer broadcast", "BroadcastHashJoin"),
+        ("no global sort for top-10", "TakeOrderedAndProject"),
+        ("segment filter pushed", "EqualTo(c_mktsegment,BUILDING)"),
+    ],
+    "q5_region_revenue": [
+        ("dims broadcast", "BroadcastHashJoin"),
+        ("date filter pushed", "PushedFilters: [IsNotNull(o_orderdate)"),
+    ],
+    "latest_event_per_user": [
+        ("single shuffle window", "Exchange"),
+        # Spark pushes the rank limit below the shuffle: top-1 per key is
+        # pre-filtered per partition before the exchange
+        ("pre-shuffle rank limit", "WindowGroupLimit"),
+    ],
+    "user_activity": [
+        ("partial agg before exchange", "HashAggregate"),
+    ],
+}
+
+
+def main() -> None:
+    from projet_5spar_sparkstreaming_spark.session import get_spark
+    from projet_5spar_sparkstreaming_spark.plans.catalog import catalog
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain_audit")
+    cat = {q.name: q for q in catalog()}
+    failures = 0
+    for name, checks in CHECKS.items():
+        df = cat[name].build(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        for label, needle in checks:
+            ok = needle in plan
+            print(f"{'PASS' if ok else 'WARN'}  {name}: {label}")
+            failures += 0 if ok else 1
+    print(f"\n{failures} warnings")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
