@@ -140,6 +140,98 @@ def brute_force_top_k_arrow(
     )
 
 
+def ivf_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 5,
+    sample_limit: int = 100_000,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
+    corpus bucketed by nearest centroid, queries probe the ``n_probe``
+    nearest cells, exact cosine re-scoring within probed cells.
+
+    The quantizer trains on a driver-side sample (deterministic seed) —
+    at 100 TB that sample is still tiny; the expensive parts (assignment
+    and scoring) stay distributed: one Arrow pass to assign cells, one
+    equi-join on cell id. Cost scales with n_probe/n_centroids of the
+    corpus per query instead of all of it.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sample = corpus.select(F.col(corpus_vec).alias("v")).limit(sample_limit).collect()
+    mat = np.array([r["v"] for r in sample], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    rng = np.random.RandomState(42)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(kmeans_iters):  # spherical k-means on the sample
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-300)
+
+    cell_schema = T.StructType(
+        [
+            T.StructField("__cid", T.LongType(), False),
+            T.StructField("__cell", T.IntegerType(), False),
+            T.StructField("__cv", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    cidc, cvecc = corpus_id, corpus_vec
+
+    def _assign_corpus(batches):
+        for pdf in batches:
+            m = np.array(list(pdf[cvecc]), dtype=np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            cells = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"__cid": pdf[cidc], "__cell": cells, "__cv": pdf[cvecc]}
+            )
+
+    bucketed = corpus.select(cidc, cvecc).mapInPandas(_assign_corpus, cell_schema)
+
+    q_rows = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
+    ).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-300)
+        cells = np.argsort(-(cent @ qv))[:n_probe]
+        for c in cells:
+            probe_rows.append((r["qid"], int(c), list(map(float, r["qv"]))))
+    q_probes = queries.sparkSession.createDataFrame(
+        probe_rows, "query_id long, __cell int, __qv array<float>"
+    )
+
+    cand = F.broadcast(q_probes).join(bucketed, "__cell")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("__cid"))
+    scored = cand.select(
+        "query_id",
+        F.col("__cid").alias("neighbor_id"),
+        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, table: int) -> list[list[float]]:
     """Deterministic random hyperplanes (fixed seed per table)."""
     rng = np.random.RandomState(42 + table)

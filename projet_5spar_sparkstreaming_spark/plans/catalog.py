@@ -305,6 +305,16 @@ def q_value_percentiles(spark, sf_dir):
     )
 
 
+def q_knn_ivf(spark, sf_dir):
+    # IVF coarse-quantizer ANN (no SQL oracle — approximate; recall
+    # floor enforced in tests/test_asof_arrow.py).
+    from projet_5spar_sparkstreaming_spark.operators.similarity import ivf_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_top_k(queries, emb, "vec_id", "vec_id", k=5, n_centroids=16, n_probe=6)
+
+
 def q_knn_arrow(spark, sf_dir):
     # Arrow/numpy matmul top-k — same contract (and oracle) as
     # knn_bruteforce; the wide-fan-out scale path.
@@ -861,6 +871,7 @@ def _oracles() -> dict[str, str | None]:
             "FROM events GROUP BY event_type"
         ),
         "knn_arrow": None,  # set below: same oracle as knn_bruteforce
+        "knn_ivf": None,  # approximate: rows-only + recall test
         "embedding_norm_stats": (
             "SELECT label, COUNT(*) AS n, ROUND(AVG(norm), 4) AS avg_norm FROM ("
             "SELECT label, sqrt(list_sum(list_transform("
@@ -971,6 +982,7 @@ def catalog() -> list[CatalogQuery]:
         "user_sessions": q_user_sessions,
         "value_percentiles": q_value_percentiles,
         "knn_arrow": q_knn_arrow,
+        "knn_ivf": q_knn_ivf,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_region_revenue": q5_region_revenue,

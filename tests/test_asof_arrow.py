@@ -60,3 +60,22 @@ def test_arrow_knn_matches_native(spark, sf_dir):
         for r in brute_force_top_k_arrow(queries, emb, "vec_id", "vec_id", k=5).collect()
     }
     assert native == arrow
+
+
+def test_ivf_recall(spark, sf_dir):
+    from projet_5spar_sparkstreaming_spark.operators.similarity import ivf_top_k
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_top_k(queries, emb, "vec_id", "vec_id", k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_top_k(
+            queries, emb, "vec_id", "vec_id", k=5, n_centroids=16, n_probe=6
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
