@@ -1,0 +1,47 @@
+"""Materialize derived tables to a partitioned parquet warehouse.
+
+The reference overwrote whole Postgres tables per run (reference:
+src/batch_analytics.py:26-52). Here derived tables land as parquet,
+day-partitioned where a day key exists — the layout that makes
+partition pruning work at 100 TB (SCALE.md storage layer). The
+"materialize once, derive many" caching of the reference
+(repartition+cache+count, src/batch_analytics.py:21-22) becomes: cache
+the cleaned input, fan out the suite, write each result once.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+# derived tables that carry a day column -> partition by it
+_DAY_PARTITIONED = {"daily_toot_counts": "day", "hashtags_per_day_counts": "day", "top_hashtag_per_day": "day"}
+
+
+def write_table(df: DataFrame, warehouse: str, name: str, partition_col: str | None = None) -> str:
+    path = os.path.join(warehouse, name)
+    writer = df.write.mode("overwrite")
+    if partition_col and partition_col in df.columns:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(path)
+    return path
+
+
+def materialize_suite(clean: DataFrame, warehouse: str) -> dict[str, str]:
+    """Cache the cleaned input once, write all derived tables.
+
+    Returns {table_name: path}. The cache is released afterwards.
+    """
+    from projet_5spar_sparkstreaming_spark.plans.toots import analytics_suite
+
+    clean = clean.cache()
+    try:
+        clean.count()  # materialize before the fan-out (reference pattern)
+        suite = analytics_suite(clean)
+        return {
+            name: write_table(df, warehouse, name, _DAY_PARTITIONED.get(name))
+            for name, df in suite.items()
+        }
+    finally:
+        clean.unpersist()

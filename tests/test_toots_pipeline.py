@@ -114,3 +114,31 @@ def test_stream_batch_parity_definition(raw_toots):
     a = {r["username"]: r["avg_len"] for r in avg_toot_length_by_user(clean).collect()}
     b = {r["username"]: r["avg_len"] for r in avg_toot_length_by_user(clean).collect()}
     assert a == b
+
+
+def test_materialize_suite_partitioned(raw_toots, tmp_path):
+    from projet_5spar_sparkstreaming_spark.plans.materialize import materialize_suite
+
+    clean = clean_toots(raw_toots)
+    paths = materialize_suite(clean, str(tmp_path / "wh"))
+    assert set(paths) == {
+        "hourly_toot_counts",
+        "daily_toot_counts",
+        "user_activity_counts",
+        "active_users",
+        "hashtags_per_day_counts",
+        "top_hashtag_per_day",
+        "avg_toot_length_by_user_batch",
+    }
+    spark = raw_toots.sparkSession
+    daily = spark.read.parquet(paths["daily_toot_counts"])
+    assert {str(r["day"]): r["toots"] for r in daily.collect()} == {
+        "2025-10-03": 3,
+        "2025-10-04": 1,
+    }
+    # day-partitioned layout on disk (partition pruning works)
+    import os
+
+    assert any(
+        d.startswith("day=") for d in os.listdir(paths["daily_toot_counts"])
+    )
