@@ -514,6 +514,74 @@ def q_order_gaps(spark, sf_dir):
     )
 
 
+def q_cheapest_part_per_brand(spark, sf_dir):
+    # TPC-H Q2 shape: correlated "price equals the group minimum" —
+    # expressed as a broadcast join against the per-brand minimum
+    # (Catalyst decorrelates the subquery into exactly this plan).
+    part = _t(spark, sf_dir, "part")
+    mins = part.groupBy(F.col("p_brand").alias("__b")).agg(
+        F.min("p_retailprice").alias("__min_price")
+    )
+    return (
+        part.join(
+            F.broadcast(mins),
+            (part.p_brand == F.col("__b"))
+            & (part.p_retailprice == F.col("__min_price")),
+        )
+        .select("p_brand", "p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+def q_nation_share(spark, sf_dir):
+    # TPC-H Q8 shape: conditional aggregation — NATION_0's share of
+    # regional revenue per order year.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_0", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("nation0_share")
+        )
+    )
+
+
+def q_orders_by_month(spark, sf_dir):
+    # Calendar extraction (year/month) aggregation.
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def q_doc_preview(spark, sf_dir):
+    # String functions: substring/upper/concat (C20 family) per source.
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.min(
+                F.concat(F.upper(F.col("lang")), F.lit(":"), F.substring(F.trim("text"), 1, 40))
+            ).alias("first_preview")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis / dedup (north-star, BASELINE.json)
 # ---------------------------------------------------------------------------
@@ -780,6 +848,31 @@ def _oracles() -> dict[str, str | None]:
             "    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_date"
             "  FROM orders) WHERE prev_date IS NOT NULL"
         ),
+        "cheapest_part_per_brand": (
+            "SELECT p_brand, p_partkey, p_name, ROUND(p_retailprice, 2) AS price "
+            "FROM part p WHERE p_retailprice = ("
+            "SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)"
+        ),
+        "nation_share": (
+            "SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year, "
+            "ROUND(SUM(CASE WHEN n_name = 'NATION_0' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+            "/ SUM(l_extendedprice * (1 - l_discount)), 6) AS nation0_share "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY 1"
+        ),
+        "orders_by_month": (
+            "SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year, "
+            "EXTRACT(MONTH FROM o_orderdate) AS order_month, "
+            "COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total "
+            "FROM orders GROUP BY 1, 2"
+        ),
+        "doc_preview": (
+            "SELECT source, MIN(upper(lang) || ':' || substring(trim(text), 1, 40)) "
+            "AS first_preview FROM documents GROUP BY source"
+        ),
         "doc_token_stats": (
             f"SELECT lang, COUNT(*) AS n_docs, "
             f"ROUND(AVG(len({tok})), 4) AS avg_tokens, "
@@ -992,6 +1085,10 @@ def catalog() -> list[CatalogQuery]:
         "segment_order_stats": q_segment_order_stats,
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "order_gaps": q_order_gaps,
+        "cheapest_part_per_brand": q_cheapest_part_per_brand,
+        "nation_share": q_nation_share,
+        "orders_by_month": q_orders_by_month,
+        "doc_preview": q_doc_preview,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
