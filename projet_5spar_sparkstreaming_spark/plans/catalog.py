@@ -181,6 +181,17 @@ def q_union_daily(spark, sf_dir):
     )
 
 
+def q_user_activity_salted(spark, sf_dir):
+    # Skew-resistant two-phase aggregation — identical result contract
+    # to user_activity (same oracle), balanced shuffle under hot keys.
+    from projet_5spar_sparkstreaming_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg(ev, ["user_id"], n_salts=16).select(
+        "user_id", F.col("cnt").alias("toot_count")
+    )
+
+
 def q_word_counts(spark, sf_dir):
     # C14 explode + C7 regexp extraction + O1/O5 order/limit (reference:
     # src/batch_analytics.py:40-45, PART3.ipynb:691-698)
@@ -1063,6 +1074,7 @@ def catalog() -> list[CatalogQuery]:
         "setop_intersect": q_setop_intersect,
         "setop_except": q_setop_except,
         "union_daily": q_union_daily,
+        "user_activity_salted": q_user_activity_salted,
         "word_counts": q_word_counts,
         "value_bands": q_value_bands,
         "sliding_window_counts": q_sliding_window_counts,
@@ -1105,6 +1117,7 @@ def catalog() -> list[CatalogQuery]:
     oracles["doc_lang_id"] = _lang_id_sql()
     oracles["doc_quality"] = _quality_sql()
     oracles["knn_arrow"] = oracles["knn_bruteforce"]
+    oracles["user_activity_salted"] = oracles["user_activity"]
     return [
         CatalogQuery(name=n, build=fn, oracle=oracles.get(n)) for n, fn in builders.items()
     ]

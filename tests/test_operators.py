@@ -174,3 +174,22 @@ class TestSimilarity:
         approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
         recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
         assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
+
+
+class TestSkew:
+    def test_salted_agg_equals_plain(self, spark, sf_dir):
+        from projet_5spar_sparkstreaming_spark.operators.skew import salted_agg
+        from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_table
+
+        ev = read_parquet_table(spark, sf_dir, "events")
+        plain = {
+            (r["user_id"],): (r["cnt"], round(r["sum_value"], 6))
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 6).alias("sum_value"))
+            .collect()
+        }
+        salted = {
+            (r["user_id"],): (r["cnt"], round(r["sum_value"], 6))
+            for r in salted_agg(ev, ["user_id"], n_salts=8, sums=["value"]).collect()
+        }
+        assert plain == salted
