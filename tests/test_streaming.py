@@ -180,3 +180,62 @@ def test_idempotent_sink_no_duplicates_on_rerun(spark, toot_dir, tmp_path):
         .parquet(out_dir)
     )
     assert spark.read.parquet(out_dir).count() == n1  # overwrite, not append
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T5: an event older than the watermark arriving in a later batch is
+    dropped; the reference had no watermark so late rows landed wherever.
+    """
+    import os
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+    f1 = d / "a_first.jsonl"
+    f1.write_text(
+        "\n".join(
+            [
+                _toot(1, "2025-10-03T10:00:10Z"),
+                _toot(2, "2025-10-03T10:00:40Z"),
+                _toot(3, "2025-10-03T10:30:00Z"),  # pushes watermark to 10:25
+            ]
+        )
+    )
+    chk = str(tmp_path / "late_chk")
+    out_dir = str(tmp_path / "late_out")
+
+    def _run_once():
+        # parquet sink + shared checkpoint: the watermark is persisted in
+        # the checkpoint, so run 2 restarts with wm=10:25 already set
+        clean = clean_toot_stream(read_toot_file_stream(spark, str(d)))
+        counts = minute_counts(clean, watermark="5 minutes")
+        q = (
+            counts.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run_once()  # batch 1: only file1 exists; watermark -> 10:25
+
+    (d / "b_second.jsonl").write_text(
+        "\n".join(
+            [
+                _toot(4, "2025-10-03T10:02:00Z"),  # LATE: before 10:25 watermark
+                _toot(5, "2025-10-03T10:31:00Z"),  # on time
+            ]
+        )
+    )
+    _run_once()  # batch 2: late row must be dropped by the restored watermark
+
+    rows = {
+        str(r["window_start"]): r["cnt"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the finalized 10:00 window appears; the late 10:02 event was dropped
+    # (had it been accepted, its already-expired window would have been
+    # emitted in run 2, since 10:03 < watermark)
+    assert "2025-10-03 10:02:00" not in rows
+    assert rows["2025-10-03 10:00:00"] == 2
