@@ -8,11 +8,19 @@ named query with (where SQL-expressible) a DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from projet_5spar_sparkstreaming_spark.plans.catalog import catalog
+# the engine package lives beside this file; make that work even when
+# this module is loaded by file path rather than from the repo cwd
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from projet_5spar_sparkstreaming_spark.plans.catalog import catalog  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
