@@ -1,0 +1,98 @@
+"""Stream-stream interval join + keyed parquet upsert tests."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from projet_5spar_sparkstreaming_spark.sinks import upsert_parquet
+from projet_5spar_sparkstreaming_spark.streaming.joins import interval_join
+
+
+def _write_events(d, name, rows):
+    (d / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    ldir = tmp_path / "purchases"
+    rdir = tmp_path / "signups"
+    ldir.mkdir()
+    rdir.mkdir()
+    _write_events(
+        ldir,
+        "p.json",
+        [
+            {"user": "a", "p_ts": "2024-01-01 10:05:00", "amount": 5.0},
+            {"user": "a", "p_ts": "2024-01-01 11:00:00", "amount": 7.0},  # too late
+            {"user": "b", "p_ts": "2024-01-01 10:06:00", "amount": 9.0},  # no signup
+        ],
+    )
+    _write_events(
+        rdir,
+        "s.json",
+        [
+            {"user": "a", "s_ts": "2024-01-01 10:00:00", "plan": "pro"},
+        ],
+    )
+    left = (
+        spark.readStream.schema("user string, p_ts string, amount double")
+        .json(str(ldir))
+        .withColumn("p_ts", F.col("p_ts").cast("timestamp"))
+    )
+    right = (
+        spark.readStream.schema("user string, s_ts string, plan string")
+        .json(str(rdir))
+        .withColumn("s_ts", F.col("s_ts").cast("timestamp"))
+    )
+    joined = interval_join(
+        left,
+        right,
+        ["user"],
+        "p_ts",
+        "s_ts",
+        lower_bound="10 minutes",  # signup at most 10 min before purchase
+        upper_bound="0 seconds",
+        watermark="30 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ssj_tbl").collect()
+    # only (a, 10:05) purchase joins the 10:00 signup within 10 minutes
+    assert len(rows) == 1
+    assert rows[0]["user"] == "a" and rows[0]["amount"] == 5.0 and rows[0]["plan"] == "pro"
+
+
+def test_upsert_parquet_keyed(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("k1", "v1", 1), ("k2", "v2", 1)], ["k", "v", "ver"]
+    )
+    upsert_parquet(spark, path, base, ["k"])
+    updates = spark.createDataFrame(
+        [("k2", "v2-new", 2), ("k3", "v3", 1)], ["k", "v", "ver"]
+    )
+    upsert_parquet(spark, path, updates, ["k"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"k1": "v1", "k2": "v2-new", "k3": "v3"}
+
+    # idempotent: re-applying the same updates changes nothing
+    upsert_parquet(spark, path, updates, ["k"])
+    again = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert again == got
+
+
+def test_upsert_parquet_versioned_stale_update_loses(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([("k1", "fresh", 5)], ["k", "v", "ver"])
+    upsert_parquet(spark, path, base, ["k"], version_col="ver")
+    stale = spark.createDataFrame([("k1", "stale", 3)], ["k", "v", "ver"])
+    upsert_parquet(spark, path, stale, ["k"], version_col="ver")
+    got = spark.read.parquet(path).collect()
+    assert len(got) == 1 and got[0]["v"] == "fresh"  # higher version kept
