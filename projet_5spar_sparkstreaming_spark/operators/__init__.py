@@ -10,10 +10,18 @@ from projet_5spar_sparkstreaming_spark.operators.topk import top_k_per_group
 from projet_5spar_sparkstreaming_spark.operators.rollup import time_bucket_counts
 from projet_5spar_sparkstreaming_spark.operators.similarity import (
     brute_force_top_k,
+    brute_force_top_k_arrow,
+    ivf_top_k,
     lsh_bucketed_top_k,
 )
+from projet_5spar_sparkstreaming_spark.operators.asof import as_of_join
+from projet_5spar_sparkstreaming_spark.operators.skew import salted_agg
 
 __all__ = [
+    "as_of_join",
+    "salted_agg",
+    "brute_force_top_k_arrow",
+    "ivf_top_k",
     "exact_dedup",
     "fingerprint_dedup",
     "latest_per_key",

@@ -477,6 +477,22 @@ def q_anti_join_urgent(spark, sf_dir):
     ).select("c_custkey", "c_name")
 
 
+def q_customer_urgent_counts(spark, sf_dir):
+    # LEFT OUTER join: every customer, with 0 for no urgent orders.
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("__n"))
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left"
+    ).select(
+        "c_custkey", F.coalesce(F.col("__n"), F.lit(0)).alias("urgent_orders")
+    )
+
+
 def q_segment_order_stats(spark, sf_dir):
     # Fact-dim join + multi-agg incl. distinct.
     cust = _t(spark, sf_dir, "customer")
@@ -838,6 +854,12 @@ def _oracles() -> dict[str, str | None]:
             "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT')"
         ),
+        "customer_urgent_counts": (
+            "SELECT c_custkey, COALESCE(n, 0) AS urgent_orders FROM customer "
+            "LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders "
+            "WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u "
+            "ON c_custkey = u.o_custkey"
+        ),
         "segment_order_stats": (
             "SELECT c_mktsegment, COUNT(*) AS n_orders, "
             "COUNT(DISTINCT o_custkey) AS n_customers, "
@@ -1094,6 +1116,7 @@ def catalog() -> list[CatalogQuery]:
         "nation_region": q_nation_region,
         "semi_join_urgent": q_semi_join_urgent,
         "anti_join_urgent": q_anti_join_urgent,
+        "customer_urgent_counts": q_customer_urgent_counts,
         "segment_order_stats": q_segment_order_stats,
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "order_gaps": q_order_gaps,
