@@ -321,6 +321,57 @@ def minhash_near_dup_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc id, cluster id).
+
+    Iterative label propagation: every node starts as its own label;
+    each round a node takes the minimum label in its neighborhood;
+    converged when no label changes. Cluster id = the smallest doc id
+    in the component (the canonical "keep" representative for dedup).
+
+    Input: (id_a, id_b) pair columns. Each iteration is one join +
+    aggregate — at 100 TB-scale graphs this is the standard large-CC
+    pattern (iterations ~ graph diameter; near-dup components are
+    near-cliques, so 2-3 rounds in practice).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash64(col: Column | str, n: int = 1) -> Column:
     """64-bit SimHash of a text's token (or shingle) multiset.
 

@@ -672,6 +672,17 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    # Iterative connected-components over the exact near-dup pairs:
+    # (doc_id, cluster_id=min id in component). The iterative label
+    # propagation is oracle-checked against a DuckDB recursive CTE.
+    from projet_5spar_sparkstreaming_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return dedup_clusters(pairs)
+
+
 def q_minhash_pairs(spark, sf_dir):
     # MinHash-LSH near-dup candidates (approximate — no SQL oracle;
     # tests/test_dedup.py checks recall against exact Jaccard).
@@ -685,6 +696,52 @@ def q_simhash_pairs(spark, sf_dir):
     # SimHash near-dup candidates (approximate — no SQL oracle).
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8, n=3)
+
+
+_SENTIMENT_POS = [
+    "love this great wonderful product",
+    "amazing excellent happy experience today",
+    "fantastic great joy love it",
+    "wonderful amazing best day ever",
+    "happy joy best fantastic time",
+    "excellent love great superb quality",
+]
+_SENTIMENT_NEG = [
+    "hate this terrible awful product",
+    "horrible bad sad experience today",
+    "awful terrible worst day ever",
+    "sad worst horrible awful time",
+    "bad terrible hate worst quality",
+    "dreadful hate horrible bad mess",
+]
+
+
+_SENTIMENT_MODEL_CACHE: dict[str, object] = {}
+
+
+def q_sentiment_scores(spark, sf_dir):
+    # M5 ML surface in the contract: train the TF-IDF + LR pipeline on a
+    # fixed synthetic labeled set, score the documents table, count
+    # positives per lang. Deterministic (fixed data + solver params);
+    # no SQL oracle (model output) -> rows-only check + tests.
+    from projet_5spar_sparkstreaming_spark.ml.sentiment import train_sentiment
+
+    cache_key = spark.sparkContext.applicationId
+    model = _SENTIMENT_MODEL_CACHE.get(cache_key)
+    if model is None:
+        train = spark.createDataFrame(
+            [(t, 1) for t in _SENTIMENT_POS] + [(t, 0) for t in _SENTIMENT_NEG],
+            ["text", "label"],
+        )
+        model = train_sentiment(train)
+        _SENTIMENT_MODEL_CACHE.clear()
+        _SENTIMENT_MODEL_CACHE[cache_key] = model
+    docs = _t(spark, sf_dir, "documents")
+    scored = model.classify(docs.select("doc_id", "lang", "text"))
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("sentiment").cast("long")).alias("n_positive"),
+    )
 
 
 def q_knn_bruteforce(spark, sf_dir):
@@ -940,6 +997,35 @@ def _oracles() -> dict[str, str | None]:
         ),
         "minhash_pairs": None,  # approximate: rows-only check
         "simhash_pairs": None,  # approximate: rows-only check
+        "dedup_clusters": (
+            # transitive closure of the near-dup graph; cluster = min
+            # reachable id (DuckDB recursive CTE; graph is tiny: only
+            # docs that appear in some near-dup pair)
+            "WITH RECURSIVE pairs AS ("
+            "  WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'[a-z0-9_'']+') AS t FROM documents), "
+            "  sh AS (SELECT doc_id, list_distinct(list_transform("
+            "    range(0, greatest(len(t) - 3, 0) + 1), "
+            "    i -> array_to_string(t[i + 1 : i + 3], ' '))) AS s FROM toks), "
+            "  ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh), "
+            "  common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c "
+            "    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "    GROUP BY 1, 2), "
+            "  sz AS (SELECT doc_id, len(s) AS z FROM sh) "
+            "  SELECT id_a, id_b FROM common "
+            "  JOIN sz za ON id_a = za.doc_id JOIN sz zb ON id_b = zb.doc_id "
+            "  WHERE c / (za.z + zb.z - c) >= 0.8"
+            "), edges AS ("
+            "  SELECT id_a AS src, id_b AS dst FROM pairs "
+            "  UNION SELECT id_b, id_a FROM pairs"
+            "), reach(src, dst) AS ("
+            "  SELECT src, dst FROM edges "
+            "  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src"
+            ") "
+            "SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id "
+            "FROM reach GROUP BY src"
+        ),
+        "sentiment_scores": None,  # trained model output: rows-only check
         "word_counts": (
             f"SELECT token, COUNT(*) AS cnt FROM ("
             f"SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS token "
@@ -1130,6 +1216,8 @@ def catalog() -> list[CatalogQuery]:
         "doc_keyword_filter": q_doc_keyword_filter,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "sentiment_scores": q_sentiment_scores,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,

@@ -193,3 +193,15 @@ class TestSkew:
             for r in salted_agg(ev, ["user_id"], n_salts=8, sums=["value"]).collect()
         }
         assert plain == salted
+
+
+class TestDedupClusters:
+    def test_connected_components(self, spark):
+        from projet_5spar_sparkstreaming_spark.operators.dedup import dedup_clusters
+
+        # components: {1,2,3} (chain), {7,9}
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9)], ["id_a", "id_b"]
+        )
+        got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
