@@ -53,7 +53,10 @@ class SentimentModel:
 
 
 def train_sentiment(
-    train_df: DataFrame, text_col: str = "text", label_col: str = "label"
+    train_df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    num_features: int = 1 << 16,
 ) -> SentimentModel:
-    pipeline = build_sentiment_pipeline(text_col, label_col)
+    pipeline = build_sentiment_pipeline(text_col, label_col, num_features)
     return SentimentModel(model=pipeline.fit(train_df), text_col=text_col)

@@ -733,7 +733,9 @@ def q_sentiment_scores(spark, sf_dir):
             [(t, 1) for t in _SENTIMENT_POS] + [(t, 0) for t in _SENTIMENT_NEG],
             ["text", "label"],
         )
-        model = train_sentiment(train)
+        # small feature space: 12 training docs, tiny vocab — keeps the
+        # LR problem dense and the query fast without changing results
+        model = train_sentiment(train, num_features=1 << 12)
         _SENTIMENT_MODEL_CACHE.clear()
         _SENTIMENT_MODEL_CACHE[cache_key] = model
     docs = _t(spark, sf_dir, "documents")
