@@ -104,12 +104,7 @@ def test_stream_minute_counts_parity_with_batch(spark, toot_dir):
     spark.catalog.dropTempView("win_tbl")
 
     batch_raw = clean_toot_stream(
-        spark.read.json(
-            f"{toot_dir}",
-            schema=stream_clean.schema.simpleString().replace("struct<", "").rstrip(">"),
-        )
-        if False
-        else spark.read.format("json").schema(stream_clean.schema).load(toot_dir)
+        spark.read.format("json").schema(stream_clean.schema).load(toot_dir)
     )
     expect = {
         (str(r["window_start"]), r["cnt"])
@@ -239,3 +234,55 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # emitted in run 2, since 10:03 < watermark)
     assert "2025-10-03 10:02:00" not in rows
     assert rows["2025-10-03 10:00:00"] == 2
+
+
+def test_stream_language_and_keyword_filters(spark, tmp_path):
+    """F8: producer-side filters now live in the engine (language
+    equality + keyword match over text OR hashtags)."""
+    d = tmp_path / "filter_in"
+    d.mkdir()
+    rows = [
+        _toot(1, "2025-10-03T10:00:00Z", "alice", "all about spark today"),
+        _toot(2, "2025-10-03T10:01:00Z", "bob", "cooking pasta"),  # no keyword
+        json.dumps(
+            {
+                "id": "3",
+                "created_at": "2025-10-03T10:02:00Z",
+                "language": "en",
+                "text": "no keyword in text",
+                "hashtags": ["Spark"],  # but hashtag matches
+                "user_id": "1",
+                "username": "carol",
+                "display_name": "",
+                "favourites": 0,
+                "reblogs": 0,
+                "replies": 0,
+                "url": "",
+            }
+        ),
+        json.dumps(
+            {
+                "id": "4",
+                "created_at": "2025-10-03T10:03:00Z",
+                "language": "fr",
+                "text": "spark en francais",
+                "hashtags": [],
+                "user_id": "1",
+                "username": "dave",
+                "display_name": "",
+                "favourites": 0,
+                "reblogs": 0,
+                "replies": 0,
+                "url": "",
+            }
+        ),
+    ]
+    (d / "in.jsonl").write_text("\n".join(rows))
+    clean = clean_toot_stream(
+        read_toot_file_stream(spark, str(d)), language="en", keywords=["spark", "data"]
+    )
+    out = _run_to_memory(spark, clean.select("id"), "filter_tbl")
+    ids = sorted(r["id"] for r in out.collect())
+    # 1: text keyword; 3: hashtag keyword; 2 dropped (no keyword);
+    # 4 dropped (language fr)
+    assert ids == ["1", "3"]
