@@ -398,8 +398,10 @@ def q1_pricing_summary(spark, sf_dir):
 
 def q3_top_orders(spark, sf_dir):
     # TPC-H Q3 shape: dim filter -> join -> agg -> deterministic top-10.
-    # customer is small: broadcast to keep orders/lineitem shuffle-free
-    # on the build side.
+    # No broadcast hint on customer: it scales with the dataset, so the
+    # build-side choice belongs to AQE (it still broadcasts at test
+    # scale, and switches to a shuffle join when customer outgrows the
+    # threshold on a real cluster).
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
@@ -409,7 +411,7 @@ def q3_top_orders(spark, sf_dir):
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
     )
     revenue = F.round(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
@@ -433,11 +435,14 @@ def q5_region_revenue(spark, sf_dir):
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem")
+    # broadcast hints only on the bounded dims (region: 5 rows, nation:
+    # 25 — fixed regardless of scale factor); customer/supplier scale
+    # with the data, so AQE picks their join strategy at runtime
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -498,7 +503,7 @@ def q_segment_order_stats(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
@@ -569,7 +574,7 @@ def q_nation_share(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     return (
