@@ -43,6 +43,10 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_cols(path)
+    # Engine invariant: UTC session time. The driver may hand us its own
+    # session; event-time semantics (and DuckDB-oracle agreement) depend
+    # on LTZ timestamps rendering as UTC wall-clock.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if not ns_cols:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
