@@ -284,6 +284,23 @@ def q_asof_last_signup(spark, sf_dir):
     )
 
 
+def q_purchase_then_error(spark, sf_dir):
+    # Binned time-range join: errors within 1h after a purchase by the
+    # same user (operators/rangejoin.py — equi-join on (user, bin), no
+    # per-key cross product).
+    from projet_5spar_sparkstreaming_spark.operators.rangejoin import time_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    joined = time_range_join(purchases, errors, ["user_id"], "p_ts", "e_ts", 3600)
+    return joined.select("user_id", "purchase_id", "error_id")
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1058,6 +1075,13 @@ def _oracles() -> dict[str, str | None]:
             "FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))"
         ),
         "approx_distinct_users": None,  # HLL estimate: rows-only check
+        "purchase_then_error": (
+            "SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "JOIN (SELECT * FROM events WHERE event_type = 'error') e "
+            "ON p.user_id = e.user_id AND e.ts >= p.ts "
+            "AND e.ts <= p.ts + INTERVAL 3600 SECOND"
+        ),
         "asof_last_signup": (
             "SELECT p.user_id, p.event_id, s.event_id AS signup_event_id, "
             "ROUND(s.value, 2) AS signup_value "
@@ -1198,6 +1222,7 @@ def catalog() -> list[CatalogQuery]:
         "embedding_norm_stats": q_embedding_norm_stats,
         "stream_minute_counts": q_stream_minute_counts,
         "asof_last_signup": q_asof_last_signup,
+        "purchase_then_error": q_purchase_then_error,
         "pivot_type_day": q_pivot_type_day,
         "user_sessions": q_user_sessions,
         "value_percentiles": q_value_percentiles,

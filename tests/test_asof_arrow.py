@@ -79,3 +79,26 @@ def test_ivf_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
+def test_time_range_join_bin_boundaries(spark):
+    from projet_5spar_sparkstreaming_spark.operators.rangejoin import time_range_join
+
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:59", "l1")], ["k", "lts", "lid"]
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            ("u", "2024-01-01 10:00:58", "before"),      # before left -> no
+            ("u", "2024-01-01 10:01:30", "in-next-bin"), # 31s after -> yes
+            ("u", "2024-01-01 10:01:59", "at-bound"),    # exactly 60s -> yes
+            ("u", "2024-01-01 10:02:00", "past-bound"),  # 61s -> no
+            ("v", "2024-01-01 10:01:00", "wrong-key"),   # other key -> no
+        ],
+        ["k", "rts", "rid"],
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    got = sorted(
+        r["rid"]
+        for r in time_range_join(left, right, ["k"], "lts", "rts", 60).collect()
+    )
+    assert got == ["at-bound", "in-next-bin"]
