@@ -70,7 +70,12 @@ def fingerprint_dedup(
     with_fp = df.withColumn("__fp", doc_fingerprint(text_col))
     if keep_by is None:
         return with_fp.dropDuplicates(["__fp"]).drop("__fp")
-    return latest_per_key(with_fp, ["__fp"], keep_by, tie_break=()).drop("__fp")
+    w = Window.partitionBy("__fp").orderBy(F.col(keep_by).asc_nulls_last())
+    return (
+        with_fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
 
 
 # ---------------------------------------------------------------------------

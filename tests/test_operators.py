@@ -205,3 +205,13 @@ class TestDedupClusters:
         )
         got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_fingerprint_dedup_keeps_min_id(spark):
+    from projet_5spar_sparkstreaming_spark.operators.dedup import fingerprint_dedup
+
+    df = spark.createDataFrame(
+        [(5, "Same Text!"), (2, "same   text"), (9, "other")], ["id", "t"]
+    )
+    kept = sorted(r["id"] for r in fingerprint_dedup(df, "t", keep_by="id").collect())
+    assert kept == [2, 9]  # min id is the canonical representative
