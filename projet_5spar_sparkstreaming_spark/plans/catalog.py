@@ -687,6 +687,16 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_curate_corpus(spark, sf_dir):
+    # The end-to-end training-data pipeline: quality filter -> token
+    # bounds -> fingerprint dedup (plans/corpus.py). Fully SQL-oracled.
+    from projet_5spar_sparkstreaming_spark.plans.corpus import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = curate_corpus(docs, min_quality=0.59, min_tokens=10, max_tokens=100_000)
+    return kept.select("doc_id", "lang", "quality", "n_tokens")
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     # Exact trigram-Jaccard near-dup pairs (threshold tuned to the
     # planted near-dups in the synthetic corpus).
@@ -1175,6 +1185,40 @@ def _lang_id_sql() -> str:
     )
 
 
+def _quality_expr_sql() -> str:
+    """Per-doc quality expression over pre-computed nc/na/nt columns."""
+    return (
+        "ROUND(least(1.0, CASE WHEN nc >= 2000 THEN 1.0 "
+        "WHEN nc >= 50 THEN nc / 2000.0 ELSE nc / 200.0 END) * 0.4 "
+        "+ (CASE WHEN nc > 0 THEN na / nc ELSE 0.0 END) * 0.4 "
+        "+ (CASE WHEN nt > 0 AND na / nt >= 3.0 AND na / nt <= 12.0 "
+        "   THEN 1.0 ELSE 0.5 END) * 0.2, 6)"
+    )
+
+
+def _curate_sql() -> str:
+    """DuckDB replication of plans.corpus.curate_corpus."""
+    tok_n = f"len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'))"
+    fp = (
+        "sha256(trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))"
+    )
+    return (
+        f"WITH scored AS ("
+        f"  SELECT doc_id, lang, {_quality_expr_sql()} AS quality, nt AS n_tokens, fp"
+        f"  FROM (SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS nc, "
+        f"    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS na, "
+        f"    CAST({tok_n} AS DOUBLE) AS nt, {fp} AS fp FROM documents)"
+        f"), filtered AS ("
+        f"  SELECT * FROM scored WHERE quality >= 0.59 "
+        f"  AND n_tokens >= 10 AND n_tokens <= 100000"
+        f") "
+        f"SELECT doc_id, lang, quality, CAST(n_tokens AS BIGINT) AS n_tokens "
+        f"FROM filtered WHERE doc_id IN ("
+        f"SELECT MIN(doc_id) FROM filtered GROUP BY fp)"
+    )
+
+
 def _quality_sql() -> str:
     """DuckDB replication of functions.textstats.quality_score."""
     tok_n = f"len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'))"
@@ -1247,6 +1291,7 @@ def catalog() -> list[CatalogQuery]:
         "doc_quality": q_doc_quality,
         "doc_keyword_filter": q_doc_keyword_filter,
         "doc_fingerprint": q_doc_fingerprint,
+        "curate_corpus": q_curate_corpus,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "sentiment_scores": q_sentiment_scores,
@@ -1261,6 +1306,7 @@ def catalog() -> list[CatalogQuery]:
     oracles["doc_quality"] = _quality_sql()
     oracles["knn_arrow"] = oracles["knn_bruteforce"]
     oracles["user_activity_salted"] = oracles["user_activity"]
+    oracles["curate_corpus"] = _curate_sql()
     return [
         CatalogQuery(name=n, build=fn, oracle=oracles.get(n)) for n, fn in builders.items()
     ]
