@@ -36,19 +36,26 @@ def as_of_join(
     """
     on = list(on)
     lcols = [c for c in left.columns if c not in on and c != left_ts]
+    # The right payload travels as ONE struct so the forward-fill is
+    # atomic per right row — filling columns independently would stitch
+    # together values from different right rows when payloads hold nulls.
+    payload = F.struct(*[F.col(c) for c in right_value_cols])
+    payload_type = (
+        right.select(payload.alias("__p")).schema["__p"].dataType
+    )
     tagged_left = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+        F.lit(None).cast(payload_type).alias("__payload"),
     )
     tagged_right = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        payload.alias("__payload"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     w = (
@@ -56,16 +63,15 @@ def as_of_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in right_value_cols
-        ],
+    filled = unioned.withColumn(
+        "__filled", F.last("__payload", ignorenulls=True).over(w)
     )
     return filled.filter(F.col("__side") == 1).select(
         *on,
         F.col("__ts").alias(left_ts),
         *lcols,
-        *[f"{prefix}{c}" for c in right_value_cols],
+        *[
+            F.col("__filled").getField(c).alias(f"{prefix}{c}")
+            for c in right_value_cols
+        ],
     )

@@ -102,3 +102,21 @@ def test_time_range_join_bin_boundaries(spark):
         for r in time_range_join(left, right, ["k"], "lts", "rts", 60).collect()
     )
     assert got == ["at-bound", "in-next-bin"]
+
+
+def test_asof_join_null_payload_not_stitched(spark):
+    """A null in one payload column must not be filled from an OLDER
+    right row — the as-of payload is atomic per matched row."""
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 12:00:00", "p1")], ["user", "ts", "pid"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            ("u", "2024-01-01 10:00:00", 1.0, "old-full"),
+            ("u", "2024-01-01 11:00:00", None, "new-partial"),  # latest match
+        ],
+        ["user", "ts", "score", "tag"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = as_of_join(left, right, ["user"], "ts", "ts", ["score", "tag"]).collect()[0]
+    assert row["right_tag"] == "new-partial"
+    assert row["right_score"] is None  # NOT 1.0 from the older row
