@@ -96,3 +96,26 @@ def test_upsert_parquet_versioned_stale_update_loses(spark, tmp_path):
     upsert_parquet(spark, path, stale, ["k"], version_col="ver")
     got = spark.read.parquet(path).collect()
     assert len(got) == 1 and got[0]["v"] == "fresh"  # higher version kept
+
+
+def test_format_registry_roundtrip(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from projet_5spar_sparkstreaming_spark.sources.registry import (
+        read_table,
+        write_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    expect = sorted((r["doc_id"], r["n_chars"]) for r in docs.collect())
+    for fmt in ["parquet", "orc", "json", "csv"]:
+        p = str(tmp_path / f"t_{fmt}")
+        write_table(docs, p, fmt=fmt)
+        back = read_table(spark, p, fmt=fmt, schema=docs.schema)
+        got = sorted((r["doc_id"], r["n_chars"]) for r in back.collect())
+        assert got == expect, fmt
+
+    with _pytest.raises(ValueError):
+        write_table(docs, str(tmp_path / "x"), fmt="xml")
+    with _pytest.raises(ValueError):
+        read_table(spark, str(tmp_path / "t_csv"), fmt="csv", schema=None)
