@@ -618,6 +618,141 @@ def q_orders_by_month(spark, sf_dir):
     )
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    # TPC-H Q6 shape: single-pass scan with tight range predicates that
+    # all push into the parquet reader; one global agg, no shuffle of
+    # note. The scan reads only the 4 referenced columns.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q10_returned_items(spark, sf_dir):
+    # TPC-H Q10 shape: returned-item revenue per customer over a
+    # 3-month window; facts shuffle on the join keys, nation broadcasts,
+    # deterministic top-20.
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    revenue = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    ).alias("revenue")
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q13_order_distribution(spark, sf_dir):
+    # TPC-H Q13 shape: left-outer join so zero-order customers survive,
+    # per-customer count, then a second aggregation over the counts.
+    cust = _t(spark, sf_dir, "customer")
+    non_urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(non_urgent, cust.c_custkey == non_urgent.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q18_large_volume(spark, sf_dir):
+    # TPC-H Q18 shape: group-having on the fact table, then join the
+    # qualifying keys back to orders + customer. The having output is
+    # tiny, so AQE broadcasts it against orders.
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+def q22_idle_balance(spark, sf_dir):
+    # TPC-H Q22 shape: scalar subquery (global average of positive
+    # balances) + anti join (customers with no urgent orders), then a
+    # per-nation aggregate. The scalar side is a one-row broadcast.
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("__avg_bal"))
+    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+def q_parts_above_type_avg(spark, sf_dir):
+    # Correlated scalar subquery per group ("price above the average of
+    # its type"), decorrelated with an analytic window so the part table
+    # is scanned once — no self-join.
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        part.withColumn("type_avg", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") > F.col("type_avg"))
+        .select(
+            "p_partkey",
+            "p_type",
+            F.round("p_retailprice", 2).alias("price"),
+            F.round("type_avg", 4).alias("type_avg"),
+        )
+    )
+
+
 def q_doc_preview(spark, sf_dir):
     # String functions: substring/upper/concat (C20 family) per source.
     docs = _t(spark, sf_dir, "documents")
@@ -993,6 +1128,57 @@ def _oracles() -> dict[str, str | None]:
             "COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total "
             "FROM orders GROUP BY 1, 2"
         ),
+        "q6_forecast_revenue": (
+            "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue, "
+            "COUNT(*) AS n_items FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1998-01-01' "
+            "AND l_shipdate < TIMESTAMP '1999-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 25"
+        ),
+        "q10_returned_items": (
+            "SELECT c_custkey, c_name, n_name, ROUND(c_acctbal, 2) AS acctbal, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-04-01' "
+            "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+            "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+        ),
+        "q13_order_distribution": (
+            "SELECT c_count, COUNT(*) AS custdist FROM ("
+            "  SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+            "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "  AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey"
+            ") GROUP BY c_count"
+        ),
+        "q18_large_volume": (
+            "SELECT c_custkey, c_name, o_orderkey, o_orderdate, "
+            "ROUND(o_totalprice, 2) AS total_price, sum_qty "
+            "FROM orders "
+            "JOIN (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty "
+            "      FROM lineitem GROUP BY l_orderkey "
+            "      HAVING ROUND(SUM(l_quantity), 2) > 300) big "
+            "ON o_orderkey = big.l_orderkey "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "q22_idle_balance": (
+            "SELECT c_nationkey, COUNT(*) AS numcust, "
+            "ROUND(SUM(c_acctbal), 2) AS totacctbal FROM customer "
+            "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0) "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "                AND o_orderpriority = '1-URGENT') "
+            "GROUP BY c_nationkey"
+        ),
+        "parts_above_type_avg": (
+            "SELECT p_partkey, p_type, ROUND(p_retailprice, 2) AS price, "
+            "ROUND(type_avg, 4) AS type_avg FROM ("
+            "  SELECT p_partkey, p_type, p_retailprice, "
+            "  AVG(p_retailprice) OVER (PARTITION BY p_type) AS type_avg FROM part"
+            ") WHERE p_retailprice > type_avg"
+        ),
         "doc_preview": (
             "SELECT source, MIN(upper(lang) || ':' || substring(trim(text), 1, 40)) "
             "AS first_preview FROM documents GROUP BY source"
@@ -1285,6 +1471,12 @@ def catalog() -> list[CatalogQuery]:
         "cheapest_part_per_brand": q_cheapest_part_per_brand,
         "nation_share": q_nation_share,
         "orders_by_month": q_orders_by_month,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q13_order_distribution": q13_order_distribution,
+        "q18_large_volume": q18_large_volume,
+        "q22_idle_balance": q22_idle_balance,
+        "parts_above_type_avg": q_parts_above_type_avg,
         "doc_preview": q_doc_preview,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,

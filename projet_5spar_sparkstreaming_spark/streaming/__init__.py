@@ -4,6 +4,7 @@ from projet_5spar_sparkstreaming_spark.streaming.windows import (
     windowed_counts,
 )
 from projet_5spar_sparkstreaming_spark.streaming.dedup import stream_dedup
+from projet_5spar_sparkstreaming_spark.streaming.transform_state import stream_first_seen
 from projet_5spar_sparkstreaming_spark.streaming.sinks import (
     foreach_batch_sink,
     idempotent_parquet_sink,
@@ -14,6 +15,7 @@ __all__ = [
     "sliding_window_counts",
     "windowed_counts",
     "stream_dedup",
+    "stream_first_seen",
     "foreach_batch_sink",
     "idempotent_parquet_sink",
 ]

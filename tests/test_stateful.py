@@ -35,3 +35,80 @@ def test_running_key_stats(spark, tmp_path):
     assert got["a"]["max_value"] == 3.0
     assert got["b"]["n_events"] == 1
     assert got["b"]["total_value"] == 10.0
+
+
+def test_stream_first_seen_dedup_across_batches(spark, tmp_path):
+    """transformWithStateInPandas: first-seen rows emitted exactly once,
+    duplicates in later micro-batches suppressed by keyed ValueState."""
+    import json
+
+    import pytest
+
+    # The TWS state-server protocol needs protobuf, absent in this
+    # container (no pip install). The operator is exercised on real
+    # clusters; here we verify it builds and skip the run.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        from projet_5spar_sparkstreaming_spark.streaming.transform_state import (
+            stream_first_seen,
+        )
+
+        stream = spark.readStream.schema("doc string, seq long, payload string").json(
+            str(tmp_path)
+        )
+        out = stream_first_seen(stream, ["doc"], order_col="seq")
+        assert out.isStreaming and set(out.columns) == {"doc", "seq", "payload"}
+        pytest.skip("protobuf unavailable: transformWithStateInPandas cannot execute here")
+
+    from projet_5spar_sparkstreaming_spark.streaming.transform_state import (
+        stream_first_seen,
+    )
+
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    # Two files -> two micro-batches (maxFilesPerTrigger=1). Key "a"
+    # repeats within batch 0 (order_col picks seq=1) and again in batch 1
+    # (state suppresses it). "c" is new in batch 1.
+    (d / "p0.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc": "a", "seq": 2, "payload": "a-second"},
+                {"doc": "a", "seq": 1, "payload": "a-first"},
+                {"doc": "b", "seq": 1, "payload": "b-first"},
+            ]
+        )
+    )
+    (d / "p1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc": "a", "seq": 3, "payload": "a-late-dup"},
+                {"doc": "c", "seq": 1, "payload": "c-first"},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema("doc string, seq long, payload string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+    )
+    out = stream_first_seen(stream, ["doc"], order_col="seq")
+    chk = str(tmp_path / "chk_first_seen")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen_tbl")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["doc"]: r for r in spark.sql("select * from first_seen_tbl").collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"]["payload"] == "a-first"  # in-batch order_col tie-break
+    assert rows["b"]["payload"] == "b-first"
+    assert rows["c"]["payload"] == "c-first"
+    n = spark.sql("select count(*) as n from first_seen_tbl").collect()[0]["n"]
+    assert n == 3  # the batch-1 duplicate of "a" was suppressed by state
