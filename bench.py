@@ -25,6 +25,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume",
     "segment_order_stats",
     "top3_orders_per_customer",
     "order_gaps",

@@ -753,6 +753,25 @@ def q_parts_above_type_avg(spark, sf_dir):
     )
 
 
+def q_running_value_by_user(spark, sf_dir):
+    # Cumulative window frame (ROWS UNBOUNDED PRECEDING): per-user
+    # running sum over event time. One shuffle on user_id; the frame is
+    # computed in a single ordered pass per partition.
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
 def q_doc_preview(spark, sf_dir):
     # String functions: substring/upper/concat (C20 family) per source.
     docs = _t(spark, sf_dir, "documents")
@@ -1179,6 +1198,12 @@ def _oracles() -> dict[str, str | None]:
             "  AVG(p_retailprice) OVER (PARTITION BY p_type) AS type_avg FROM part"
             ") WHERE p_retailprice > type_avg"
         ),
+        "running_value_by_user": (
+            "SELECT user_id, event_id, ROUND(SUM(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value "
+            "FROM events"
+        ),
         "doc_preview": (
             "SELECT source, MIN(upper(lang) || ':' || substring(trim(text), 1, 40)) "
             "AS first_preview FROM documents GROUP BY source"
@@ -1477,6 +1502,7 @@ def catalog() -> list[CatalogQuery]:
         "q18_large_volume": q18_large_volume,
         "q22_idle_balance": q22_idle_balance,
         "parts_above_type_avg": q_parts_above_type_avg,
+        "running_value_by_user": q_running_value_by_user,
         "doc_preview": q_doc_preview,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,

@@ -28,6 +28,30 @@ def write_table(df: DataFrame, warehouse: str, name: str, partition_col: str | N
     return path
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Save ``df`` as a bucketed managed table (``saveAsTable``).
+
+    Bucketing is the 100 TB co-location tool: two tables bucketed the
+    same way on the same key join with ZERO exchange — the shuffle is
+    paid once at write time and amortized over every subsequent join or
+    aggregation on that key. Sorting within buckets additionally removes
+    the join's sort step. ``n_buckets`` should be sized so one bucket of
+    the big table fits an executor core (e.g. 100 TB / 200 MB ~ 500k is
+    too many files — bucket the *join key space*, not bytes: 4-16k
+    buckets is the practical cluster range; tests use small counts).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(name)
+
+
 def materialize_suite(clean: DataFrame, warehouse: str) -> dict[str, str]:
     """Cache the cleaned input once, write all derived tables.
 

@@ -1,0 +1,76 @@
+"""Bucketed managed tables: the co-located-join path (write_bucketed).
+
+At 100 TB the shuffle on a repeated fact-fact join key is the dominant
+cost; bucketing both sides identically pays it once at write time.
+These tests pin the property the layout promises: the bucketed join
+plans WITHOUT an Exchange, and returns the same result as the plain
+join.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_5spar_sparkstreaming_spark.plans.materialize import write_bucketed
+from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    import shutil
+
+    # The in-memory catalog forgets managed tables across sessions but
+    # their warehouse dirs persist; clear orphans so overwrite works.
+    for name in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"/root/repo/spark-warehouse/{name}", ignore_errors=True)
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def _joined(spark):
+    # merge hint: at test scale Catalyst would broadcast tiny orders
+    # (bypassing bucketing); at 100 TB both sides are fact-sized and
+    # sort-merge is what the planner picks on its own.
+    orders = spark.table("b_orders").hint("merge")
+    li = spark.table("b_lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    df = _joined(spark)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # Join itself must not shuffle either side: the only allowed
+    # Exchange is the one feeding the final small aggregation.
+    join_section = plan.split("HashAggregate")[0]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Exchange" not in join_section
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
+    got = {r["o_orderpriority"]: (r["n"], r["total"]) for r in _joined(spark).collect()}
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+    )
+    want = {r["o_orderpriority"]: (r["n"], r["total"]) for r in plain.collect()}
+    assert got == want

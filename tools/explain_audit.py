@@ -38,6 +38,22 @@ CHECKS = {
     "user_activity": [
         ("partial agg before exchange", "HashAggregate"),
     ],
+    "q6_forecast_revenue": [
+        ("range predicates pushed", "GreaterThanOrEqual(l_shipdate"),
+        ("4-column scan", "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+    ],
+    "q10_returned_items": [
+        ("returnflag pushed", "EqualTo(l_returnflag,R)"),
+        ("nation broadcast", "BroadcastHashJoin"),
+        ("no global sort for top-20", "TakeOrderedAndProject"),
+    ],
+    "q22_idle_balance": [
+        ("scalar avg broadcast", "BroadcastNestedLoopJoin"),
+        ("anti join", "LeftAnti"),
+    ],
+    "parts_above_type_avg": [
+        ("single scan, no self-join", "Window"),
+    ],
 }
 
 
