@@ -772,6 +772,97 @@ def q_running_value_by_user(spark, sf_dir):
     )
 
 
+def q7_nation_volume(spark, sf_dir):
+    # TPC-H Q7 shape: one fact joined to the SAME dimension in two
+    # roles (supplier's nation vs customer's nation) — alias-heavy
+    # diamond topology; both nation lookups broadcast.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    # Sum in decimal so the group total is order-independent: with
+    # thousands of groups at ~1e6 magnitude, a double sum rounded to
+    # 2dp WILL disagree with any other summation order by a cent.
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("volume"))
+    )
+
+
+def q_customer_quartiles(spark, sf_dir):
+    # ntile ranking: account-balance quartile stats per market segment.
+    # Deterministic because the ntile ordering is total (tie-break on
+    # c_custkey).
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    # Deterministic stratified sampling — a training-data-pipeline
+    # primitive: keep the first ceil(10%) of rows per event_type in a
+    # stable systematic order (event_id). Unlike .sample(), this is
+    # reproducible across runs/engines, so it oracles exactly. One
+    # shuffle on the stratum key; the per-stratum scan is a single
+    # ordered window pass.
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("event_id").asc())
+    cnt_w = Window.partitionBy("event_type")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("stratum_n", F.count("*").over(cnt_w))
+        .filter(F.col("rn") <= F.ceil(F.col("stratum_n") * 0.1))
+        .select("event_id", "event_type", "user_id")
+    )
+
+
+def q_grouping_sets_type_day(spark, sf_dir):
+    # Explicit GROUPING SETS (not rollup/cube): totals by type, by day,
+    # and grand total in one pass, disambiguated by grouping ids.
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    ev.createOrReplaceTempView("__ev_gs")
+    return ev.sparkSession.sql(
+        """
+        SELECT event_type, day,
+               GROUPING(event_type) AS g_type, GROUPING(day) AS g_day,
+               COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+        FROM __ev_gs
+        GROUP BY GROUPING SETS ((event_type), (day), ())
+        """
+    )
+
+
 def q_doc_preview(spark, sf_dir):
     # String functions: substring/upper/concat (C20 family) per source.
     docs = _t(spark, sf_dir, "documents")
@@ -1198,6 +1289,41 @@ def _oracles() -> dict[str, str | None]:
             "  AVG(p_retailprice) OVER (PARTITION BY p_type) AS type_avg FROM part"
             ") WHERE p_retailprice > type_avg"
         ),
+        "q7_nation_volume": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "EXTRACT(YEAR FROM l_shipdate) AS ship_year, "
+            "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "(1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS volume "
+            "FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE n1.n_name <> n2.n_name "
+            "GROUP BY 1, 2, 3"
+        ),
+        "customer_quartiles": (
+            "SELECT c_mktsegment, quartile, COUNT(*) AS n, "
+            "ROUND(MIN(c_acctbal), 2) AS min_bal, ROUND(MAX(c_acctbal), 2) AS max_bal "
+            "FROM (SELECT c_mktsegment, c_acctbal, NTILE(4) OVER ("
+            "  PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile "
+            "  FROM customer) GROUP BY 1, 2"
+        ),
+        "stratified_sample": (
+            "SELECT event_id, event_type, user_id FROM ("
+            "  SELECT event_id, event_type, user_id, "
+            "  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id ASC) AS rn, "
+            "  COUNT(*) OVER (PARTITION BY event_type) AS stratum_n FROM events"
+            ") WHERE rn <= CEIL(stratum_n * 0.1)"
+        ),
+        "grouping_sets_type_day": (
+            "SELECT event_type, day, "
+            "GROUPING(event_type) AS g_type, GROUPING(day) AS g_day, "
+            "COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value "
+            "FROM (SELECT *, CAST(ts AS DATE) AS day FROM events) "
+            "GROUP BY GROUPING SETS ((event_type), (day), ())"
+        ),
         "running_value_by_user": (
             "SELECT user_id, event_id, ROUND(SUM(value) OVER ("
             "PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
@@ -1503,6 +1629,10 @@ def catalog() -> list[CatalogQuery]:
         "q22_idle_balance": q22_idle_balance,
         "parts_above_type_avg": q_parts_above_type_avg,
         "running_value_by_user": q_running_value_by_user,
+        "q7_nation_volume": q7_nation_volume,
+        "customer_quartiles": q_customer_quartiles,
+        "stratified_sample": q_stratified_sample,
+        "grouping_sets_type_day": q_grouping_sets_type_day,
         "doc_preview": q_doc_preview,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
