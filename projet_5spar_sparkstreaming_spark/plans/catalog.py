@@ -863,6 +863,288 @@ def q_grouping_sets_type_day(spark, sf_dir):
     )
 
 
+def _dec(col: str):
+    # Exact decimal arithmetic for order-independent sums (see q7).
+    return F.col(col).cast("decimal(18,4)")
+
+
+def _rev():
+    # l_extendedprice * (1 - l_discount) in exact decimal.
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+
+
+def q4_order_priority(spark, sf_dir):
+    # TPC-H Q4 shape: EXISTS semi-join — count orders per priority that
+    # have at least one lineitem shipped >30 days after the order date
+    # (testdata has no l_commitdate/l_receiptdate; late shipment is the
+    # proxy). The semi-join carries a non-equi residual alongside the
+    # equi key, so it still shuffles only on l_orderkey.
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q9_nation_profit(spark, sf_dir):
+    # TPC-H Q9 shape: profit by supplier nation and order year over a
+    # part-name pattern. No partsupp table here, so the cost side is
+    # l_quantity * p_retailprice (documented proxy for ps_supplycost).
+    # Decimal-exact sums keep the per-group total order-independent.
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%ol%"))
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    amount = _rev() - _dec("l_quantity") * _dec("p_retailprice")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+def q11_top_part_revenue(spark, sf_dir):
+    # TPC-H Q11 shape: per-key sum filtered against a scalar fraction of
+    # the global sum. The global total is re-aggregated from the per-part
+    # aggregate (one fact scan; Catalyst reuses the exchange) and
+    # broadcast as a one-row literal.
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("__rev"))
+    total = per_part.agg(F.sum("__rev").alias("__tot"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("__rev").cast("double") > F.col("__tot").cast("double") * 0.00055)
+        .select(
+            "l_partkey",
+            F.round("__rev", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+def q12_priority_by_flag(spark, sf_dir):
+    # TPC-H Q12 shape: fact-to-fact join + conditional CASE counting of
+    # priority classes (l_shipmode doesn't exist in the testdata;
+    # l_returnflag is the grouping proxy).
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_revenue(spark, sf_dir):
+    # TPC-H Q14 shape: ratio of a CASE-guarded sum to the total sum in
+    # one pass. Both sums are exact decimals; the division happens once
+    # on the two exact totals, so the 4dp rounding is deterministic.
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero))
+    total = F.sum(_rev())
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(F.lit(100.0) * promo.cast("double") / total.cast("double"), 4).alias(
+            "promo_pct"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    # TPC-H Q15 shape: revenue-per-supplier view over a 3-month window,
+    # then keep the supplier(s) whose revenue equals the scalar max.
+    # Equality is on the identically-rounded double, so ties survive on
+    # both sides.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(_rev()), 2).cast("double").alias("total_revenue")
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        per_supp.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q16_supplier_counts(spark, sf_dir):
+    # TPC-H Q16 shape: distinct-supplier count per part attribute combo,
+    # excluding a NOT-IN supplier set. The part-supplier relation is
+    # derived from distinct lineitem pairs (no partsupp table);
+    # negative-balance suppliers stand in for the complaints filter.
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q17_small_qty_revenue(spark, sf_dir):
+    # TPC-H Q17 shape: correlated per-part average quantity,
+    # decorrelated with an analytic window so lineitem is scanned once
+    # (no self-join against a re-aggregated copy).
+    from pyspark.sql import Window
+
+    b23 = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(b23), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    small = li.withColumn("__avg_qty", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < 0.2 * F.col("__avg_qty")
+    )
+    return small.agg(
+        F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2).alias(
+            "avg_yearly"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    # TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    # predicates across the join — Catalyst extracts the common
+    # join key and pushes the per-branch part filters into the scan.
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(_rev()), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q20_small_part_suppliers(spark, sf_dir):
+    # TPC-H Q20 shape: nested semi-join chain — suppliers who shipped
+    # more than 50 units of any 'small%' part during 1998. The inner
+    # aggregate qualifies (supplier, part) pairs; the outer semi-join
+    # keeps matching suppliers only.
+    smallp = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    qual = (
+        li.join(F.broadcast(smallp), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 50)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(
+        qual, supp.s_suppkey == qual.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    # TPC-H Q21 shape: multi-supplier orders where exactly one supplier
+    # shipped late (>60 days after order date; no receipt/commit dates
+    # in the testdata). EXISTS -> left-semi on (order, other supplier);
+    # NOT EXISTS (another late supplier) -> left-anti against the same
+    # late set. Top-20 with a total tie-break.
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    late = (
+        _t(spark, sf_dir, "lineitem")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2"))
+    late_others = late.select(
+        F.col("l_orderkey").alias("__ok3"), F.col("l_suppkey").alias("__sk3")
+    )
+    l1 = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("__ok2")) & (F.col("l_suppkey") != F.col("__sk2")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("__ok3")) & (F.col("l_suppkey") != F.col("__sk3")),
+        "left_anti",
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        l1.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
 def q_doc_preview(spark, sf_dir):
     # String functions: substring/upper/concat (C20 family) per source.
     docs = _t(spark, sf_dir, "documents")
@@ -1317,6 +1599,132 @@ def _oracles() -> dict[str, str | None]:
             "  COUNT(*) OVER (PARTITION BY event_type) AS stratum_n FROM events"
             ") WHERE rn <= CEIL(stratum_n * 0.1)"
         ),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-04-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "  WHERE l_orderkey = o_orderkey "
+            "  AND l_shipdate > o_orderdate + INTERVAL 30 DAY) "
+            "GROUP BY 1"
+        ),
+        "q9_nation_profit": (
+            "SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year, "
+            "CAST(ROUND(SUM("
+            "  CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "  (1 - CAST(l_discount AS DECIMAL(18,4))) - "
+            "  CAST(l_quantity AS DECIMAL(18,4)) * CAST(p_retailprice AS DECIMAL(18,4))"
+            "), 2) AS DOUBLE) AS sum_profit "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_name LIKE '%ol%' "
+            "GROUP BY 1, 2"
+        ),
+        "q11_top_part_revenue": (
+            "WITH per_part AS (SELECT l_partkey, "
+            "  SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "      (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev "
+            "  FROM lineitem GROUP BY 1) "
+            "SELECT l_partkey, CAST(ROUND(rev, 2) AS DOUBLE) AS part_value "
+            "FROM per_part "
+            "WHERE CAST(rev AS DOUBLE) > "
+            "  (SELECT CAST(SUM(rev) AS DOUBLE) FROM per_part) * 0.00055"
+        ),
+        "q12_priority_by_flag": (
+            "SELECT l_returnflag, "
+            "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "  THEN 1 ELSE 0 END) AS high_line_count, "
+            "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "  THEN 0 ELSE 1 END) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1998-01-01' "
+            "AND l_shipdate < TIMESTAMP '1999-01-01' "
+            "GROUP BY 1"
+        ),
+        "q14_promo_revenue": (
+            "SELECT ROUND(100.0 * "
+            "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
+            "  CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "  (1 - CAST(l_discount AS DECIMAL(18,4))) "
+            "  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) / "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "  (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS promo_pct, "
+            "COUNT(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1998-06-01' "
+            "AND l_shipdate < TIMESTAMP '1998-07-01'"
+        ),
+        "q15_top_supplier": (
+            "WITH per_supp AS (SELECT l_suppkey, "
+            "  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "    (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) "
+            "    AS total_revenue "
+            "  FROM lineitem "
+            "  WHERE l_shipdate >= TIMESTAMP '1998-01-01' "
+            "  AND l_shipdate < TIMESTAMP '1998-04-01' GROUP BY 1) "
+            "SELECT s_suppkey, s_name, total_revenue "
+            "FROM per_supp JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE total_revenue = (SELECT MAX(total_revenue) FROM per_supp)"
+        ),
+        "q16_supplier_counts": (
+            "SELECT p_brand, p_type, p_size, "
+            "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' "
+            "AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22) "
+            "AND l_suppkey NOT IN "
+            "  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "q17_small_qty_revenue": (
+            "SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) "
+            "  AS DOUBLE) / 7.0, 2) AS avg_yearly, COUNT(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand = 'Brand#23' "
+            "AND l_quantity < 0.2 * (SELECT AVG(l2.l_quantity) "
+            "  FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)"
+        ),
+        "q19_disjunctive_revenue": (
+            "SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "  (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue, "
+            "COUNT(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+            "       AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+            "    AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 "
+            "    AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        "q20_small_part_suppliers": (
+            "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN ("
+            "  SELECT l_suppkey FROM lineitem "
+            "  JOIN part ON l_partkey = p_partkey "
+            "  WHERE p_name LIKE 'small%' "
+            "  AND l_shipdate >= TIMESTAMP '1998-01-01' "
+            "  AND l_shipdate < TIMESTAMP '1999-01-01' "
+            "  GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 50)"
+        ),
+        "q21_waiting_suppliers": (
+            "SELECT s_name, COUNT(*) AS numwait "
+            "FROM lineitem l1 "
+            "JOIN orders o ON l1.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON l1.l_suppkey = s.s_suppkey "
+            "WHERE o.o_orderstatus = 'F' "
+            "AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY "
+            "AND EXISTS (SELECT 1 FROM lineitem l2 "
+            "  WHERE l2.l_orderkey = l1.l_orderkey "
+            "  AND l2.l_suppkey <> l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+            "  WHERE l3.l_orderkey = l1.l_orderkey "
+            "  AND l3.l_suppkey <> l1.l_suppkey "
+            "  AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 20"
+        ),
         "grouping_sets_type_day": (
             "SELECT event_type, day, "
             "GROUPING(event_type) AS g_type, GROUPING(day) AS g_day, "
@@ -1633,6 +2041,17 @@ def catalog() -> list[CatalogQuery]:
         "customer_quartiles": q_customer_quartiles,
         "stratified_sample": q_stratified_sample,
         "grouping_sets_type_day": q_grouping_sets_type_day,
+        "q4_order_priority": q4_order_priority,
+        "q9_nation_profit": q9_nation_profit,
+        "q11_top_part_revenue": q11_top_part_revenue,
+        "q12_priority_by_flag": q12_priority_by_flag,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_counts": q16_supplier_counts,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_small_part_suppliers": q20_small_part_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "doc_preview": q_doc_preview,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
