@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "top3_orders_per_customer",
     "order_gaps",
     "semi_join_urgent",
+    "q7_nation_volume",
+    "q9_nation_profit",
+    "q21_waiting_suppliers",
     # event analytics (reference-parity surface)
     "user_activity",
     "minute_window_counts",

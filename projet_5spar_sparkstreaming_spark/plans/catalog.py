@@ -1145,6 +1145,102 @@ def q21_waiting_suppliers(spark, sf_dir):
     )
 
 
+def q_gap_fill_hourly(spark, sf_dir):
+    # Time-series gap-fill (resample): zero-fill the full hour x type
+    # grid so downstream models see a dense series. The grid derives
+    # from a one-row bounds aggregate + sequence/explode (never a
+    # driver-side loop) and is tiny relative to the fact table, so the
+    # cross join broadcasts; counts are pre-aggregated before the join.
+    ev = _t(spark, sf_dir, "events")
+    hours = (
+        ev.agg(
+            F.min(F.date_trunc("hour", "ts")).alias("h0"),
+            F.max(F.date_trunc("hour", "ts")).alias("h1"),
+        )
+        .select(
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    return (
+        hours.crossJoin(F.broadcast(types))
+        .join(counts, ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+
+
+def q_rolling_hour_value(spark, sf_dir):
+    # Rolling time-RANGE window (not row frame): per-user sum of value
+    # over the trailing hour. Ordering key is integer epoch seconds on
+    # both engines so the frame bounds agree exactly; one shuffle on
+    # user_id, single ordered pass per partition.
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_1h"),
+    )
+
+
+def q_value_histogram(spark, sf_dir):
+    # Fixed-bound histogram (width_bucket equivalent): 20 bins over
+    # [0, 500), top bin clamped. Pure arithmetic binning stays inside
+    # whole-stage codegen; one shuffle on the bin id.
+    ev = _t(spark, sf_dir, "events")
+    bin_id = F.least(F.floor(F.col("value") / 25.0).cast("int"), F.lit(19))
+    return (
+        ev.groupBy(bin_id.alias("bin"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .withColumn("bin_lo", (F.col("bin") * 25.0).cast("double"))
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    # TF-IDF keyword extraction: top-3 terms per document. Term
+    # frequency and document frequency come from two aggregations that
+    # share the token shuffle; N is a one-row broadcast. The rank is
+    # fully deterministic (tf desc, df asc, term asc) — the float tfidf
+    # is reported but never used as an ordering key, so ulp-level log()
+    # differences between engines cannot reorder rows.
+    from pyspark.sql import Window
+    from projet_5spar_sparkstreaming_spark.functions.textstats import tokens as tok_fn
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tok_fn("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    nd = docs.agg(F.count("*").alias("__n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n").cast("double") / F.col("doc_freq")), 4
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "doc_freq", "tfidf")
+    )
+
+
 def q_doc_preview(spark, sf_dir):
     # String functions: substring/upper/concat (C20 family) per source.
     docs = _t(spark, sf_dir, "documents")
@@ -1599,6 +1695,45 @@ def _oracles() -> dict[str, str | None]:
             "  COUNT(*) OVER (PARTITION BY event_type) AS stratum_n FROM events"
             ") WHERE rn <= CEIL(stratum_n * 0.1)"
         ),
+        "gap_fill_hourly": (
+            "WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS h0, "
+            "  date_trunc('hour', MAX(ts)) AS h1 FROM events), "
+            "hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) "
+            "  AS hour FROM bounds), "
+            "types AS (SELECT DISTINCT event_type FROM events), "
+            "counts AS (SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "  COUNT(*) AS c FROM events GROUP BY 1, 2) "
+            "SELECT hours.hour, types.event_type, COALESCE(c, 0) AS cnt "
+            "FROM hours CROSS JOIN types "
+            "LEFT JOIN counts ON counts.hour = hours.hour "
+            "AND counts.event_type = types.event_type"
+        ),
+        "rolling_hour_value": (
+            "SELECT user_id, event_id, ROUND(SUM(value) OVER ("
+            "PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT) "
+            "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS rolling_1h "
+            "FROM events"
+        ),
+        "value_histogram": (
+            "SELECT bin, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value, "
+            "CAST(bin * 25.0 AS DOUBLE) AS bin_lo "
+            "FROM (SELECT LEAST(CAST(FLOOR(value / 25.0) AS INT), 19) AS bin, "
+            "  value FROM events) GROUP BY bin"
+        ),
+        "tfidf_top_terms": (
+            f"WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ("
+            f"  SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            f"  '{_TOKEN_RE_SQL}')) AS term FROM documents) GROUP BY 1, 2), "
+            "dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1), "
+            "nd AS (SELECT COUNT(*) AS n FROM documents) "
+            "SELECT doc_id, term, tf, doc_freq, "
+            "ROUND(tf * LN(CAST(n AS DOUBLE) / doc_freq), 4) AS tfidf "
+            "FROM (SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq, nd.n, "
+            "  ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY "
+            "  tf.tf DESC, dfreq.doc_freq ASC, tf.term ASC) AS rn "
+            "  FROM tf JOIN dfreq USING (term) CROSS JOIN nd) "
+            "WHERE rn <= 3"
+        ),
         "q4_order_priority": (
             "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
             "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
@@ -2052,6 +2187,10 @@ def catalog() -> list[CatalogQuery]:
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q20_small_part_suppliers": q20_small_part_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
+        "gap_fill_hourly": q_gap_fill_hourly,
+        "rolling_hour_value": q_rolling_hour_value,
+        "value_histogram": q_value_histogram,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "doc_preview": q_doc_preview,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,

@@ -54,6 +54,40 @@ CHECKS = {
     "parts_above_type_avg": [
         ("single scan, no self-join", "Window"),
     ],
+    "q4_order_priority": [
+        # size-based: broadcast at test SF, flips to shuffled SMJ at scale
+        ("EXISTS lowered to left-semi", "LeftSemi"),
+        ("order-date window pushed", "GreaterThanOrEqual(o_orderdate"),
+    ],
+    "q9_nation_profit": [
+        ("part-name LIKE pushed to scan", "StringContains(p_name,ol)"),
+        ("nation broadcast", "BroadcastHashJoin"),
+    ],
+    "q12_priority_by_flag": [
+        ("shipdate range pushed", "GreaterThanOrEqual(l_shipdate"),
+        ("partial agg", "HashAggregate"),
+    ],
+    "q16_supplier_counts": [
+        ("NOT IN lowered to left-anti", "LeftAnti"),
+        ("size filter pushed", "In(p_size"),
+    ],
+    "q17_small_qty_revenue": [
+        ("correlated avg decorrelated to window", "Window"),
+        ("brand filter pushed", "EqualTo(p_brand,Brand#23)"),
+    ],
+    "q19_disjunctive_revenue": [
+        ("disjunctive predicate pushed", "Or(And("),
+        ("part broadcast", "BroadcastHashJoin"),
+    ],
+    "q20_small_part_suppliers": [
+        ("IN-subquery lowered to left-semi", "LeftSemi"),
+        ("small-part prefix pushed", "StringStartsWith(p_name,small)"),
+    ],
+    "q21_waiting_suppliers": [
+        ("EXISTS lowered to left-semi", "LeftSemi"),
+        ("NOT EXISTS lowered to left-anti", "LeftAnti"),
+        ("top-20 without global sort", "TakeOrderedAndProject"),
+    ],
 }
 
 
