@@ -1241,6 +1241,53 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+def q_embedding_centroids(spark, sf_dir):
+    # Per-label centroid of the embedding vectors, kept in long form
+    # (label, dim, centroid_val). posexplode keeps the dim index JVM-side
+    # (1-based to match SQL WITH ORDINALITY); the shuffle key is
+    # (label, dim) so all 32 threads share the reduction.
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .select("label", (F.col("pos") + 1).alias("dim"), "val")
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+    )
+
+
+def q_doc_length_percentiles_by_lang(spark, sf_dir):
+    # Grouped exact percentiles: interpolated quartiles of document
+    # length per language (Spark percentile == DuckDB quantile_cont).
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.75)), 4).alias("p75"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_unpivot_lineitem_metrics(spark, sf_dir):
+    # Unpivot/melt (wide -> long) + re-aggregate: per-metric stats over
+    # the four lineitem measures. Decimal-exact sums keep the totals
+    # order-independent across 32 partial aggregators.
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return (
+        melted.groupBy("metric")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(_dec("val")), 2).cast("double").alias("total"),
+            F.round(F.avg("val"), 4).alias("avg_val"),
+        )
+    )
+
+
 def q_doc_preview(spark, sf_dir):
     # String functions: substring/upper/concat (C20 family) per source.
     docs = _t(spark, sf_dir, "documents")
@@ -1694,6 +1741,31 @@ def _oracles() -> dict[str, str | None]:
             "  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id ASC) AS rn, "
             "  COUNT(*) OVER (PARTITION BY event_type) AS stratum_n FROM events"
             ") WHERE rn <= CEIL(stratum_n * 0.1)"
+        ),
+        "embedding_centroids": (
+            # this DuckDB build lacks WITH ORDINALITY; index the fixed
+            # 64-dim arrays (1-based) against a generated dim series
+            "SELECT label, CAST(i AS INT) AS dim, "
+            "ROUND(AVG(embedding[i]), 6) AS centroid_val "
+            "FROM embeddings CROSS JOIN "
+            "(SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2"
+        ),
+        "doc_length_percentiles_by_lang": (
+            "SELECT lang, "
+            "ROUND(quantile_cont(n_chars, 0.25), 4) AS p25, "
+            "ROUND(quantile_cont(n_chars, 0.5), 4) AS p50, "
+            "ROUND(quantile_cont(n_chars, 0.75), 4) AS p75, "
+            "COUNT(*) AS n_docs FROM documents GROUP BY 1"
+        ),
+        "unpivot_lineitem_metrics": (
+            "SELECT metric, COUNT(*) AS cnt, "
+            "CAST(ROUND(SUM(CAST(val AS DECIMAL(18,4))), 2) AS DOUBLE) AS total, "
+            "ROUND(AVG(val), 4) AS avg_val FROM ("
+            "  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem "
+            "  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem "
+            "  UNION ALL SELECT 'l_discount', l_discount FROM lineitem "
+            "  UNION ALL SELECT 'l_tax', l_tax FROM lineitem"
+            ") GROUP BY 1"
         ),
         "gap_fill_hourly": (
             "WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS h0, "
@@ -2191,6 +2263,9 @@ def catalog() -> list[CatalogQuery]:
         "rolling_hour_value": q_rolling_hour_value,
         "value_histogram": q_value_histogram,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "embedding_centroids": q_embedding_centroids,
+        "doc_length_percentiles_by_lang": q_doc_length_percentiles_by_lang,
+        "unpivot_lineitem_metrics": q_unpivot_lineitem_metrics,
         "doc_preview": q_doc_preview,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,

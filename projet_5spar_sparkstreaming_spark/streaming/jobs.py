@@ -77,6 +77,19 @@ def minute_counts(clean: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return windowed_counts(clean, "created_at", "1 minute", watermark)
 
 
+def enrich_with_dim(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich an unbounded stream with a bounded
+    dimension table. The static side is broadcast so each micro-batch
+    joins map-side with no shuffle of the stream and no streaming state.
+    At scale the dim is re-read per micro-batch — for slowly-changing
+    dims, point it at a parquet path and overwrite the path atomically.
+    (The reference joins nothing stream-side; this is engine surface.)
+    """
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def avg_length_by_user(clean: DataFrame) -> DataFrame:
     """avg_toot_length_by_user shape (reference: src/spark_stream.py:133-144).
     Streaming aggregation without windows -> complete/update output mode."""

@@ -286,3 +286,20 @@ def test_stream_language_and_keyword_filters(spark, tmp_path):
     # 1: text keyword; 3: hashtag keyword; 2 dropped (no keyword);
     # 4 dropped (language fr)
     assert ids == ["1", "3"]
+
+
+def test_stream_static_dim_join(spark, toot_dir):
+    """Stream-static join: per-micro-batch broadcast enrichment with a
+    bounded dim, then a streaming aggregate on the dim attribute."""
+    from projet_5spar_sparkstreaming_spark.streaming.jobs import enrich_with_dim
+
+    dim = spark.createDataFrame(
+        [("alice", "gold"), ("bob", "silver")], ["username", "tier"]
+    )
+    clean = clean_toot_stream(read_toot_file_stream(spark, toot_dir))
+    enriched = enrich_with_dim(clean, dim, "username")
+    counts = enriched.groupBy("tier").agg(F.count("*").alias("n"))
+    out = _run_to_memory(spark, counts, "stream_dim_join", mode="complete")
+    got = {r["tier"]: r["n"] for r in out.collect()}
+    # alice: toots 1 + the duplicated 3 (no dedup in this path) -> 3; bob: 1
+    assert got == {"gold": 3, "silver": 1}
