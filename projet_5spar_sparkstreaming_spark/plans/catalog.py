@@ -1288,6 +1288,78 @@ def q_unpivot_lineitem_metrics(spark, sf_dir):
     )
 
 
+def q_funnel_click_purchase(spark, sf_dir):
+    # Funnel / sequence analysis: first click per user, then the first
+    # purchase strictly after it. Two pre-aggregations shrink both sides
+    # to O(users) before the join; conversion latency in whole seconds
+    # (both engines floor the epoch).
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    return (
+        clicks.join(purchases, "user_id")
+        .filter(F.col("pts") > F.col("click_ts"))
+        .groupBy("user_id", "click_ts")
+        .agg(F.min("pts").alias("purchase_ts"))
+        .withColumn(
+            "secs_to_convert",
+            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long"),
+        )
+    )
+
+
+def q_iqr_outlier_docs(spark, sf_dir):
+    # IQR outlier filter — a corpus-curation primitive: flag documents
+    # whose length falls outside [q1 - 0.5*iqr, q3 + 0.5*iqr] for their
+    # (tight fence: the synthetic lengths are near-uniform, so the
+    # textbook 1.5x fence matches nothing)
+    # language. The per-lang quartiles are a tiny aggregate broadcast
+    # back against the corpus.
+    docs = _t(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("__q1"),
+        F.percentile("n_chars", F.lit(0.75)).alias("__q3"),
+    )
+    iqr = F.col("__q3") - F.col("__q1")
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .filter(
+            (F.col("n_chars") < F.col("__q1") - 0.5 * iqr)
+            | (F.col("n_chars") > F.col("__q3") + 0.5 * iqr)
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_snapshot_diff_events(spark, sf_dir):
+    # CDC snapshot diff: two derived event snapshots (overlapping time
+    # slices; the newer one re-prices error events) classified
+    # added/removed/changed by a single full-outer join on the key.
+    from projet_5spar_sparkstreaming_spark.operators.cdc import snapshot_diff
+
+    ev = _t(spark, sf_dir, "events")
+    old = ev.filter(F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+    new = ev.filter(F.col("ts") >= F.lit("2024-01-05").cast("timestamp")).withColumn(
+        "value",
+        F.when(
+            F.col("event_type") == "error", F.col("value") + 1.0
+        ).otherwise(F.col("value")),
+    )
+    diff = snapshot_diff(old, new, "event_id", ["value"])
+    return diff.select(
+        "event_id",
+        F.round("value_old", 2).alias("value_old"),
+        F.round("value_new", 2).alias("value_new"),
+        "change_type",
+    )
+
+
 def q_doc_preview(spark, sf_dir):
     # String functions: substring/upper/concat (C20 family) per source.
     docs = _t(spark, sf_dir, "documents")
@@ -1742,6 +1814,40 @@ def _oracles() -> dict[str, str | None]:
             "  COUNT(*) OVER (PARTITION BY event_type) AS stratum_n FROM events"
             ") WHERE rn <= CEIL(stratum_n * 0.1)"
         ),
+        "funnel_click_purchase": (
+            "SELECT user_id, click_ts, MIN(pts) AS purchase_ts, "
+            "CAST(FLOOR(epoch(MIN(pts))) AS BIGINT) - "
+            "CAST(FLOOR(epoch(click_ts)) AS BIGINT) AS secs_to_convert "
+            "FROM (SELECT user_id, MIN(ts) AS click_ts FROM events "
+            "      WHERE event_type = 'click' GROUP BY 1) "
+            "JOIN (SELECT user_id, ts AS pts FROM events "
+            "      WHERE event_type = 'purchase') USING (user_id) "
+            "WHERE pts > click_ts GROUP BY 1, 2"
+        ),
+        "iqr_outlier_docs": (
+            "WITH b AS (SELECT lang, quantile_cont(n_chars, 0.25) AS q1, "
+            "  quantile_cont(n_chars, 0.75) AS q3 FROM documents GROUP BY 1) "
+            "SELECT doc_id, lang, n_chars FROM documents JOIN b USING (lang) "
+            "WHERE n_chars < q1 - 0.5 * (q3 - q1) "
+            "OR n_chars > q3 + 0.5 * (q3 - q1)"
+        ),
+        "snapshot_diff_events": (
+            "WITH old AS (SELECT event_id, value FROM events "
+            "  WHERE ts < TIMESTAMP '2024-01-20'), "
+            "new AS (SELECT event_id, "
+            "  CASE WHEN event_type = 'error' THEN value + 1.0 "
+            "  ELSE value END AS value FROM events "
+            "  WHERE ts >= TIMESTAMP '2024-01-05') "
+            "SELECT COALESCE(old.event_id, new.event_id) AS event_id, "
+            "ROUND(old.value, 2) AS value_old, ROUND(new.value, 2) AS value_new, "
+            "CASE WHEN old.event_id IS NULL THEN 'added' "
+            "WHEN new.event_id IS NULL THEN 'removed' "
+            "WHEN old.value IS DISTINCT FROM new.value THEN 'changed' "
+            "ELSE 'unchanged' END AS change_type "
+            "FROM old FULL OUTER JOIN new ON old.event_id = new.event_id "
+            "WHERE NOT (old.event_id IS NOT NULL AND new.event_id IS NOT NULL "
+            "  AND old.value IS NOT DISTINCT FROM new.value)"
+        ),
         "embedding_centroids": (
             # this DuckDB build lacks WITH ORDINALITY; index the fixed
             # 64-dim arrays (1-based) against a generated dim series
@@ -1782,7 +1888,9 @@ def _oracles() -> dict[str, str | None]:
         ),
         "rolling_hour_value": (
             "SELECT user_id, event_id, ROUND(SUM(value) OVER ("
-            "PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT) "
+            # FLOOR before the cast: DuckDB double->bigint ROUNDS, while
+            # Spark's timestamp->long cast truncates
+            "PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT) "
             "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS rolling_1h "
             "FROM events"
         ),
@@ -2266,6 +2374,9 @@ def catalog() -> list[CatalogQuery]:
         "embedding_centroids": q_embedding_centroids,
         "doc_length_percentiles_by_lang": q_doc_length_percentiles_by_lang,
         "unpivot_lineitem_metrics": q_unpivot_lineitem_metrics,
+        "funnel_click_purchase": q_funnel_click_purchase,
+        "iqr_outlier_docs": q_iqr_outlier_docs,
+        "snapshot_diff_events": q_snapshot_diff_events,
         "doc_preview": q_doc_preview,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,

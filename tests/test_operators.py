@@ -215,3 +215,23 @@ def test_fingerprint_dedup_keeps_min_id(spark):
     )
     kept = sorted(r["id"] for r in fingerprint_dedup(df, "t", keep_by="id").collect())
     assert kept == [2, 9]  # min id is the canonical representative
+
+
+def test_snapshot_diff_classification_and_nulls(spark):
+    from projet_5spar_sparkstreaming_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0), (4, 7.0)], ["id", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, None), (3, 6.0), (4, 7.0), (5, 1.0)], ["id", "v"]
+    )
+    got = {
+        r["id"]: r["change_type"]
+        for r in snapshot_diff(old, new, "id", ["v"]).collect()
+    }
+    # id=1 removed, id=2 unchanged (null==null, filtered), id=3 changed,
+    # id=4 unchanged (filtered), id=5 added
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+    kept = snapshot_diff(old, new, "id", ["v"], keep_unchanged=True)
+    assert kept.count() == 5
