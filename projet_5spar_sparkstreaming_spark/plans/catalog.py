@@ -1360,6 +1360,28 @@ def q_snapshot_diff_events(spark, sf_dir):
     )
 
 
+def q_value_stats_by_type(spark, sf_dir):
+    # Statistical aggregate family: stddev / correlation / regression
+    # slope per group, all single-pass partial-aggregable (Spark merges
+    # moment sketches map-side, so shuffle volume is O(groups)).
+    # x is days-since-epoch-start so the slope magnitude survives 4dp
+    # rounding. skewness/kurtosis are deliberately absent: Spark
+    # computes population moments, DuckDB sample-corrected ones.
+    ev = _t(spark, sf_dir, "events")
+    x = (F.col("ts").cast("long") - F.lit(1704067200)) / 86400.0
+    return (
+        ev.withColumn("__x", x)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+            F.round(F.corr("value", "__x"), 4).alias("corr_day"),
+            F.round(F.regr_slope("value", "__x"), 4).alias("slope_per_day"),
+        )
+    )
+
+
 def q_doc_preview(spark, sf_dir):
     # String functions: substring/upper/concat (C20 family) per source.
     docs = _t(spark, sf_dir, "documents")
@@ -1813,6 +1835,16 @@ def _oracles() -> dict[str, str | None]:
             "  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id ASC) AS rn, "
             "  COUNT(*) OVER (PARTITION BY event_type) AS stratum_n FROM events"
             ") WHERE rn <= CEIL(stratum_n * 0.1)"
+        ),
+        "value_stats_by_type": (
+            "SELECT event_type, COUNT(*) AS n, "
+            "ROUND(AVG(value), 4) AS avg_value, "
+            "ROUND(stddev_samp(value), 4) AS sd_value, "
+            "ROUND(corr(value, x), 4) AS corr_day, "
+            "ROUND(regr_slope(value, x), 4) AS slope_per_day "
+            "FROM (SELECT event_type, value, "
+            "  (CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200) / 86400.0 AS x "
+            "  FROM events) GROUP BY 1"
         ),
         "funnel_click_purchase": (
             "SELECT user_id, click_ts, MIN(pts) AS purchase_ts, "
@@ -2377,6 +2409,7 @@ def catalog() -> list[CatalogQuery]:
         "funnel_click_purchase": q_funnel_click_purchase,
         "iqr_outlier_docs": q_iqr_outlier_docs,
         "snapshot_diff_events": q_snapshot_diff_events,
+        "value_stats_by_type": q_value_stats_by_type,
         "doc_preview": q_doc_preview,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
