@@ -74,3 +74,25 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
     )
     want = {r["o_orderpriority"]: (r["n"], r["total"]) for r in plain.collect()}
     assert got == want
+
+
+def test_day_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Partition pruning: a day filter over a day-partitioned table must
+    reach the scan as a PartitionFilter (listing-time pruning), not a
+    data filter — the layout property SCALE.md's storage layer claims."""
+    from projet_5spar_sparkstreaming_spark.plans.materialize import write_table
+
+    ev = read_parquet_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = write_table(ev, str(tmp_path), "events_by_day", partition_col="day")
+
+    back = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "2024-01-05" in plan
+    # and the result only contains the requested day
+    days = [r["day"] for r in back.select("day").distinct().collect()]
+    assert [str(d) for d in days] == ["2024-01-05"]

@@ -119,3 +119,80 @@ def test_format_registry_roundtrip(spark, sf_dir, tmp_path):
         write_table(docs, str(tmp_path / "x"), fmt="xml")
     with _pytest.raises(ValueError):
         read_table(spark, str(tmp_path / "t_csv"), fmt="csv", schema=None)
+
+
+def test_stream_stream_left_outer_join_emits_on_expiry(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched left rows are held in
+    state and emitted with nulls only once the GLOBAL watermark (min
+    across both sources) passes their bound — verified with a restart
+    and watermark-advancing sentinels on BOTH streams."""
+    ldir = tmp_path / "purchases"
+    rdir = tmp_path / "signups"
+    ckpt = str(tmp_path / "ckpt")
+    ldir.mkdir()
+    rdir.mkdir()
+    _write_events(
+        ldir,
+        "p0.json",
+        [
+            {"user": "a", "p_ts": "2024-01-01 10:05:00", "amount": 5.0},
+            {"user": "b", "p_ts": "2024-01-01 10:06:00", "amount": 9.0},  # no signup
+        ],
+    )
+    _write_events(
+        rdir, "s0.json", [{"user": "a", "s_ts": "2024-01-01 10:00:00", "plan": "pro"}]
+    )
+
+    def build():
+        left = (
+            spark.readStream.schema("user string, p_ts string, amount double")
+            .json(str(ldir))
+            .withColumn("p_ts", F.col("p_ts").cast("timestamp"))
+        )
+        right = (
+            spark.readStream.schema("user string, s_ts string, plan string")
+            .json(str(rdir))
+            .withColumn("s_ts", F.col("s_ts").cast("timestamp"))
+        )
+        return interval_join(
+            left,
+            right,
+            ["user"],
+            "p_ts",
+            "s_ts",
+            lower_bound="10 minutes",
+            upper_bound="0 seconds",
+            watermark="30 minutes",
+            how="left_outer",
+        )
+
+    out_dir = str(tmp_path / "ssj_out")
+
+    def run():
+        # parquet sink: memory sinks cannot recover from a checkpoint
+        q = (
+            build()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    first = run()
+    # matched row emits immediately; unmatched ones are still in state
+    assert {(r["user"], r["plan"]) for r in first} == {("a", "pro")}
+
+    # sentinels push both watermarks to 12:00 - 30min = 11:30 > 10:06
+    _write_events(
+        ldir, "p1.json", [{"user": "z", "p_ts": "2024-01-01 12:00:00", "amount": 0.0}]
+    )
+    _write_events(
+        rdir, "s1.json", [{"user": "z", "s_ts": "2024-01-01 12:00:00", "plan": "none"}]
+    )
+    second = run()
+    # b's purchase expired unmatched -> emitted with null plan
+    assert ("b", None) in {(r["user"], r["plan"]) for r in second}
