@@ -52,6 +52,54 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(name)
 
 
+def compact_table(
+    spark,
+    path: str,
+    target_rows_per_file: int,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into fewer, right-sized files.
+
+    The small-files problem is the silent killer of 100 TB scans: a
+    table appended by thousands of micro-batches ends up with millions
+    of KB-sized files, and the scan pays per-file open/footer costs that
+    dwarf the I/O. Compaction = read, repartition to ceil(rows/target),
+    optionally sort within partitions (so min/max row-group stats become
+    selective and data skipping works), then atomically swap the
+    directory. Returns the new file count.
+
+    On a real cluster the swap would be a metastore partition pointer
+    flip; here it is a staged directory rename (same pattern as
+    sinks.upsert_parquet).
+    """
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / max(1, target_rows_per_file)))
+    if sort_cols:
+        # range-partition + sort: files get DISJOINT min/max ranges on
+        # the sort key, so a point/range predicate skips whole files via
+        # footer stats, not just row groups
+        compacted = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        compacted = df.repartition(n_files)
+    staged = path.rstrip("/") + ".__compact_staging__"
+    shutil.rmtree(staged, ignore_errors=True)
+    compacted.write.mode("overwrite").parquet(staged)
+    old = path.rstrip("/") + ".__compact_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+
+
 def materialize_suite(clean: DataFrame, warehouse: str) -> dict[str, str]:
     """Cache the cleaned input once, write all derived tables.
 

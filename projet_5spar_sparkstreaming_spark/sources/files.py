@@ -57,6 +57,19 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     return df
 
 
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under evolving
+    schemas (columns added over time). ``mergeSchema`` unions the file
+    footers instead of trusting a random one; rows from files that
+    predate a column read as NULL. At 100 TB, prefer pinning the merged
+    schema in a metastore and passing ``.schema(...)`` explicitly —
+    footer-merging lists every file's footer up front. This helper is
+    the schema-drift-safe default for paths without a catalog entry.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:

@@ -96,3 +96,42 @@ def test_day_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # and the result only contains the requested day
     days = [r["day"] for r in back.select("day").distinct().collect()]
     assert [str(d) for d in days] == ["2024-01-05"]
+
+
+def test_compact_table_rightsizes_and_sorts(spark, sf_dir, tmp_path):
+    """Compaction: many small files -> few right-sized ones, same rows;
+    with sort_cols the files carry DISJOINT min/max ranges on the sort
+    key (footer-stats data skipping actually possible)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from projet_5spar_sparkstreaming_spark.plans.materialize import compact_table
+
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "frag")
+    ev.repartition(40).write.parquet(path)  # simulate micro-batch fragmentation
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    total = spark.read.parquet(path).count()
+
+    n_after = compact_table(spark, path, target_rows_per_file=total // 4 + 1,
+                            sort_cols=["event_id"])
+    assert n_after < n_before and n_after <= 4
+    assert spark.read.parquet(path).count() == total
+
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # event_id
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges across files

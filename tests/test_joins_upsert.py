@@ -196,3 +196,20 @@ def test_stream_stream_left_outer_join_emits_on_expiry(spark, tmp_path):
     second = run()
     # b's purchase expired unmatched -> emitted with null plan
     assert ("b", None) in {(r["user"], r["plan"]) for r in second}
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema drift: files written before a column existed read as NULL
+    under the merged schema; no file's footer is silently trusted."""
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_evolving
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "name", "score"]
+    ).write.mode("append").parquet(path)
+
+    df = read_parquet_evolving(spark, path)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
