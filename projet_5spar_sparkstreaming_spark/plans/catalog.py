@@ -78,11 +78,19 @@ def q_active_users(spark, sf_dir):
 
 
 def q_avg_value_by_user(spark, sf_dir):
-    # A2 group-by avg (reference: src/batch_analytics.py:51-52)
+    # A2 group-by avg (reference: src/batch_analytics.py:51-52).
+    # Decimal-exact numerator: values are exact 2dp, and a double mean
+    # of 2dp values lands on the x.xxxx5 boundary often (sum/2^k), where
+    # partial-agg order decides the 4th decimal. Sum exactly, divide
+    # once, round once — identical on both engines.
     return (
         _t(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.sum(_cents("value")).alias("__cents"),
+            F.count("value").alias("__n"),
+        )
+        .select("user_id", _avg4_cents("__cents", "__n").alias("avg_value"))
     )
 
 
@@ -394,21 +402,43 @@ def q_stream_minute_counts(spark, sf_dir):
 def q1_pricing_summary(spark, sf_dir):
     # TPC-H Q1 shape: wide scan -> filter -> 8-agg groupBy. Map-side
     # combine leaves a tiny shuffle; parquet scan prunes to 7 columns.
+    # All money/qty columns are exact 2dp: compute in decimal so group
+    # totals and means are independent of partial-aggregation order.
+    # Precisions are kept tight so charge = (12,2)*(5,2)*(5,2) -> (24,6)
+    # stays exact (a wide cast chain would overflow precision 38 and
+    # silently lose the exactness).
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    dq = F.col("l_quantity").cast("decimal(12,2)")
+    de = F.col("l_extendedprice").cast("decimal(12,2)")
+    dd = F.col("l_discount").cast("decimal(4,2)")
+    dt = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = de * (one - dd)
+    charge = disc_price * (one + dt)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(dq), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(de), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.sum(_cents("l_quantity")).alias("__cq"),
+            F.sum(_cents("l_extendedprice")).alias("__cp"),
+            F.sum(_cents("l_discount")).alias("__cd"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            _avg4_cents("__cq", "count_order").alias("avg_qty"),
+            _avg4_cents("__cp", "count_order").alias("avg_price"),
+            _avg4_cents("__cd", "count_order").alias("avg_disc"),
+            "count_order",
         )
     )
 
@@ -525,8 +555,17 @@ def q_segment_order_stats(spark, sf_dir):
         .agg(
             F.count("*").alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+            F.sum(_cents("o_totalprice")).alias("__cents"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            "n_customers",
+            "total_price",
+            _avg4_cents("__cents", "n_orders").alias("avg_price"),
         )
     )
 
@@ -718,8 +757,13 @@ def q22_idle_balance(spark, sf_dir):
     # balances) + anti join (customers with no urgent orders), then a
     # per-nation aggregate. The scalar side is a one-row broadcast.
     cust = _t(spark, sf_dir, "customer")
+    # decimal-exact scalar: the threshold feeds a > filter, so both
+    # engines must agree on the exact double
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("__avg_bal")
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(14,2)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("__avg_bal")
     )
     urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("__avg_bal"))
@@ -741,14 +785,22 @@ def q_parts_above_type_avg(spark, sf_dir):
 
     part = _t(spark, sf_dir, "part")
     w = Window.partitionBy("p_type")
+    # integer-cents mean: the avg feeds a > comparison AND a 4dp-rounded
+    # output, so both the exact double and the rounding must be
+    # engine-independent (see _avg4_cents)
     return (
-        part.withColumn("type_avg", F.avg("p_retailprice").over(w))
-        .filter(F.col("p_retailprice") > F.col("type_avg"))
+        part.withColumn("__cents", F.sum(_cents("p_retailprice")).over(w))
+        .withColumn("__n", F.count("*").over(w))
+        .withColumn(
+            "__avg_exact",
+            F.col("__cents").cast("double") / (F.lit(100.0) * F.col("__n")),
+        )
+        .filter(F.col("p_retailprice") > F.col("__avg_exact"))
         .select(
             "p_partkey",
             "p_type",
             F.round("p_retailprice", 2).alias("price"),
-            F.round("type_avg", 4).alias("type_avg"),
+            _avg4_cents("__cents", "__n").alias("type_avg"),
         )
     )
 
@@ -866,6 +918,29 @@ def q_grouping_sets_type_day(spark, sf_dir):
 def _dec(col: str):
     # Exact decimal arithmetic for order-independent sums (see q7).
     return F.col(col).cast("decimal(18,4)")
+
+
+def _cents(col: str):
+    # 2dp fixed-point column -> exact integer cents (long).
+    return (F.col(col).cast("decimal(14,2)") * 100).cast("long")
+
+
+def _avg4_cents(cents_col: str, n_col: str):
+    """Half-up 4dp mean from an integer cents sum — pure integer
+    arithmetic. ROUND(sum/n, 4) is engine-dependent exactly when the
+    quotient terminates on a ...5 at the 5th decimal (common: 2dp data,
+    count with only 2/5 factors): Spark rounds the shortest decimal
+    repr up, DuckDB rounds the true binary down. floor((2*c*100+n) /
+    (2*n)) sidesteps doubles entirely. At 100 TB swap the long cents
+    for decimal to dodge int64 overflow past ~9e16 cents.
+    """
+    e4 = F.expr(f"(2 * {cents_col} * 100 + {n_col}) div (2 * {n_col})")
+    return e4.cast("double") / 10000.0
+
+
+# SQL mirror of _avg4_cents (DuckDB // is integer floor division)
+def _avg4_sql(cents: str, n: str) -> str:
+    return f"CAST((2 * {cents} * 100 + {n}) // (2 * {n}) AS DOUBLE) / 10000.0"
 
 
 def _rev():
@@ -1033,7 +1108,11 @@ def q17_small_qty_revenue(spark, sf_dir):
         F.broadcast(b23), F.col("l_partkey") == F.col("p_partkey")
     )
     w = Window.partitionBy("l_partkey")
-    small = li.withColumn("__avg_qty", F.avg("l_quantity").over(w)).filter(
+    # decimal-exact correlated mean (feeds a < comparison)
+    avg_qty = F.sum(F.col("l_quantity").cast("decimal(12,2)")).over(w).cast(
+        "double"
+    ) / F.count("*").over(w)
+    small = li.withColumn("__avg_qty", avg_qty).filter(
         F.col("l_quantity") < 0.2 * F.col("__avg_qty")
     )
     return small.agg(
@@ -1283,7 +1362,10 @@ def q_unpivot_lineitem_metrics(spark, sf_dir):
         .agg(
             F.count("*").alias("cnt"),
             F.round(F.sum(_dec("val")), 2).cast("double").alias("total"),
-            F.round(F.avg("val"), 4).alias("avg_val"),
+            F.sum(_cents("val")).alias("__cents"),
+        )
+        .select(
+            "metric", "cnt", "total", _avg4_cents("__cents", "cnt").alias("avg_val")
         )
     )
 
@@ -1374,11 +1456,39 @@ def q_value_stats_by_type(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(_cents("value")).alias("__cents"),
             F.round(F.stddev_samp("value"), 4).alias("sd_value"),
             F.round(F.corr("value", "__x"), 4).alias("corr_day"),
             F.round(F.regr_slope("value", "__x"), 4).alias("slope_per_day"),
         )
+        .select(
+            "event_type",
+            "n",
+            _avg4_cents("__cents", "n").alias("avg_value"),
+            "sd_value",
+            "corr_day",
+            "slope_per_day",
+        )
+    )
+
+
+def q_order_price_ranks(spark, sf_dir):
+    # Full rank-function family (rank / dense_rank / percent_rank /
+    # cume_dist) over a bucketed price so genuine ties exist. All four
+    # are deterministic under ties (equal inputs share outputs), so no
+    # tie-break is needed for the ordering key itself; one shuffle on
+    # the partition key.
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 1000).alias("price_kbucket")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("price_kbucket").asc())
+    return (
+        orders.select("o_orderkey", "o_orderpriority", bucket)
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .withColumn("prnk", F.round(F.percent_rank().over(w), 6))
+        .withColumn("cdist", F.round(F.cume_dist().over(w), 6))
     )
 
 
@@ -1595,7 +1705,10 @@ def _oracles() -> dict[str, str | None]:
             "GROUP BY user_id HAVING COUNT(*) >= 70"
         ),
         "avg_value_by_user": (
-            "SELECT user_id, ROUND(AVG(value), 4) AS avg_value FROM events GROUP BY user_id"
+            "SELECT user_id, " + _avg4_sql("cents", "n") + " AS avg_value "
+            "FROM (SELECT user_id, "
+            "  SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents, "
+            "  COUNT(value) AS n FROM events GROUP BY user_id)"
         ),
         "hourly_counts": (
             "SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS cnt FROM events "
@@ -1657,17 +1770,28 @@ def _oracles() -> dict[str, str | None]:
             ") GROUP BY 1, 2"
         ),
         "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, "
+            "sum_disc_price, sum_charge, "
+            + _avg4_sql("cq", "count_order") + " AS avg_qty, "
+            + _avg4_sql("cp", "count_order") + " AS avg_price, "
+            + _avg4_sql("cd", "count_order") + " AS avg_disc, "
+            "count_order FROM ("
             "SELECT l_returnflag, l_linestatus, "
-            "ROUND(SUM(l_quantity), 2) AS sum_qty, "
-            "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
-            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
-            "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
-            "ROUND(AVG(l_quantity), 4) AS avg_qty, "
-            "ROUND(AVG(l_extendedprice), 4) AS avg_price, "
-            "ROUND(AVG(l_discount), 4) AS avg_disc, "
+            "CAST(ROUND(SUM(dq), 2) AS DOUBLE) AS sum_qty, "
+            "CAST(ROUND(SUM(de), 2) AS DOUBLE) AS sum_base_price, "
+            "CAST(ROUND(SUM(de * (1 - dd)), 2) AS DOUBLE) AS sum_disc_price, "
+            "CAST(ROUND(SUM(de * (1 - dd) * (1 + dt)), 2) AS DOUBLE) AS sum_charge, "
+            "SUM(CAST(dq * 100 AS BIGINT)) AS cq, "
+            "SUM(CAST(de * 100 AS BIGINT)) AS cp, "
+            "SUM(CAST(dd * 100 AS BIGINT)) AS cd, "
             "COUNT(*) AS count_order "
-            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
-            "GROUP BY l_returnflag, l_linestatus"
+            "FROM (SELECT l_returnflag, l_linestatus, "
+            "  CAST(l_quantity AS DECIMAL(12,2)) AS dq, "
+            "  CAST(l_extendedprice AS DECIMAL(12,2)) AS de, "
+            "  CAST(l_discount AS DECIMAL(4,2)) AS dd, "
+            "  CAST(l_tax AS DECIMAL(4,2)) AS dt "
+            "  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02') "
+            "GROUP BY l_returnflag, l_linestatus)"
         ),
         "q3_top_orders": (
             "SELECT l_orderkey, o_orderdate, "
@@ -1716,12 +1840,16 @@ def _oracles() -> dict[str, str | None]:
             "ON c_custkey = u.o_custkey"
         ),
         "segment_order_stats": (
+            "SELECT c_mktsegment, n_orders, n_customers, total_price, "
+            + _avg4_sql("cents", "n_orders") + " AS avg_price FROM ("
             "SELECT c_mktsegment, COUNT(*) AS n_orders, "
             "COUNT(DISTINCT o_custkey) AS n_customers, "
-            "ROUND(SUM(o_totalprice), 2) AS total_price, "
-            "ROUND(AVG(o_totalprice), 4) AS avg_price "
+            "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) "
+            "  AS total_price, "
+            "SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) "
+            "  AS cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
-            "GROUP BY c_mktsegment"
+            "GROUP BY c_mktsegment)"
         ),
         "top3_orders_per_customer": (
             "SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total_price, rank FROM ("
@@ -1796,17 +1924,20 @@ def _oracles() -> dict[str, str | None]:
         "q22_idle_balance": (
             "SELECT c_nationkey, COUNT(*) AS numcust, "
             "ROUND(SUM(c_acctbal), 2) AS totacctbal FROM customer "
-            "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0) "
+            "WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) "
+            "  AS DOUBLE) / COUNT(c_acctbal) FROM customer WHERE c_acctbal > 0.0) "
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "                AND o_orderpriority = '1-URGENT') "
             "GROUP BY c_nationkey"
         ),
         "parts_above_type_avg": (
             "SELECT p_partkey, p_type, ROUND(p_retailprice, 2) AS price, "
-            "ROUND(type_avg, 4) AS type_avg FROM ("
+            + _avg4_sql("cents", "n") + " AS type_avg FROM ("
             "  SELECT p_partkey, p_type, p_retailprice, "
-            "  AVG(p_retailprice) OVER (PARTITION BY p_type) AS type_avg FROM part"
-            ") WHERE p_retailprice > type_avg"
+            "  SUM(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)) "
+            "    OVER (PARTITION BY p_type) AS cents, "
+            "  COUNT(*) OVER (PARTITION BY p_type) AS n FROM part"
+            ") WHERE p_retailprice > CAST(cents AS DOUBLE) / (100.0 * n)"
         ),
         "q7_nation_volume": (
             "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
@@ -1836,15 +1967,26 @@ def _oracles() -> dict[str, str | None]:
             "  COUNT(*) OVER (PARTITION BY event_type) AS stratum_n FROM events"
             ") WHERE rn <= CEIL(stratum_n * 0.1)"
         ),
+        "order_price_ranks": (
+            "SELECT o_orderkey, o_orderpriority, "
+            "CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_kbucket, "
+            "RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk, "
+            "ROUND(PERCENT_RANK() OVER w, 6) AS prnk, "
+            "ROUND(CUME_DIST() OVER w, 6) AS cdist "
+            "FROM orders WINDOW w AS (PARTITION BY o_orderpriority "
+            "ORDER BY FLOOR(o_totalprice / 1000) ASC)"
+        ),
         "value_stats_by_type": (
+            "SELECT event_type, n, " + _avg4_sql("cents", "n") + " AS avg_value, "
+            "sd_value, corr_day, slope_per_day FROM ("
             "SELECT event_type, COUNT(*) AS n, "
-            "ROUND(AVG(value), 4) AS avg_value, "
+            "SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents, "
             "ROUND(stddev_samp(value), 4) AS sd_value, "
             "ROUND(corr(value, x), 4) AS corr_day, "
             "ROUND(regr_slope(value, x), 4) AS slope_per_day "
             "FROM (SELECT event_type, value, "
             "  (CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200) / 86400.0 AS x "
-            "  FROM events) GROUP BY 1"
+            "  FROM events) GROUP BY 1)"
         ),
         "funnel_click_purchase": (
             "SELECT user_id, click_ts, MIN(pts) AS purchase_ts, "
@@ -1896,14 +2038,16 @@ def _oracles() -> dict[str, str | None]:
             "COUNT(*) AS n_docs FROM documents GROUP BY 1"
         ),
         "unpivot_lineitem_metrics": (
+            "SELECT metric, cnt, total, " + _avg4_sql("cents", "cnt")
+            + " AS avg_val FROM ("
             "SELECT metric, COUNT(*) AS cnt, "
             "CAST(ROUND(SUM(CAST(val AS DECIMAL(18,4))), 2) AS DOUBLE) AS total, "
-            "ROUND(AVG(val), 4) AS avg_val FROM ("
+            "SUM(CAST(CAST(val AS DECIMAL(14,2)) * 100 AS BIGINT)) AS cents FROM ("
             "  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem "
             "  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem "
             "  UNION ALL SELECT 'l_discount', l_discount FROM lineitem "
             "  UNION ALL SELECT 'l_tax', l_tax FROM lineitem"
-            ") GROUP BY 1"
+            ") GROUP BY 1)"
         ),
         "gap_fill_hourly": (
             "WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS h0, "
@@ -2032,7 +2176,8 @@ def _oracles() -> dict[str, str | None]:
             "  AS DOUBLE) / 7.0, 2) AS avg_yearly, COUNT(*) AS n_items "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE p_brand = 'Brand#23' "
-            "AND l_quantity < 0.2 * (SELECT AVG(l2.l_quantity) "
+            "AND l_quantity < 0.2 * (SELECT CAST(SUM(CAST(l2.l_quantity "
+            "  AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) "
             "  FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)"
         ),
         "q19_disjunctive_revenue": (
@@ -2410,6 +2555,7 @@ def catalog() -> list[CatalogQuery]:
         "iqr_outlier_docs": q_iqr_outlier_docs,
         "snapshot_diff_events": q_snapshot_diff_events,
         "value_stats_by_type": q_value_stats_by_type,
+        "order_price_ranks": q_order_price_ranks,
         "doc_preview": q_doc_preview,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
