@@ -1492,6 +1492,45 @@ def q_order_price_ranks(spark, sf_dir):
     )
 
 
+def q_customer_balance_neighbors(spark, sf_dir):
+    # Window navigation family: lead / first_value / last_value /
+    # nth_value with an explicit full-partition frame and a total order
+    # (acctbal then custkey), per market segment.
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    order = [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
+    w = Window.partitionBy("c_mktsegment").orderBy(*order)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.round(F.lead("c_acctbal", 1).over(w), 2).alias("next_bal"),
+        F.round(F.first_value("c_acctbal").over(wf), 2).alias("seg_min_bal"),
+        F.round(F.last_value("c_acctbal").over(wf), 2).alias("seg_max_bal"),
+        F.round(F.nth_value("c_acctbal", 3).over(wf), 2).alias("seg_3rd_bal"),
+    )
+
+
+def q_user_type_signature(spark, sf_dir):
+    # Sorted array aggregation: collect_list is order-nondeterministic,
+    # so sort_array + concat_ws canonicalizes it into a comparable
+    # signature (the distinct event-type set per user, as a string).
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("event_type"))
+            ).alias("type_signature"),
+            F.count("*").alias("n_types"),
+        )
+    )
+
+
 def q_doc_preview(spark, sf_dir):
     # String functions: substring/upper/concat (C20 family) per source.
     docs = _t(spark, sf_dir, "documents")
@@ -1966,6 +2005,23 @@ def _oracles() -> dict[str, str | None]:
             "  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id ASC) AS rn, "
             "  COUNT(*) OVER (PARTITION BY event_type) AS stratum_n FROM events"
             ") WHERE rn <= CEIL(stratum_n * 0.1)"
+        ),
+        "customer_balance_neighbors": (
+            "SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS bal, "
+            "ROUND(LEAD(c_acctbal, 1) OVER w, 2) AS next_bal, "
+            "ROUND(FIRST_VALUE(c_acctbal) OVER wf, 2) AS seg_min_bal, "
+            "ROUND(LAST_VALUE(c_acctbal) OVER wf, 2) AS seg_max_bal, "
+            "ROUND(NTH_VALUE(c_acctbal, 3) OVER wf, 2) AS seg_3rd_bal "
+            "FROM customer WINDOW "
+            "w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC), "
+            "wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ),
+        "user_type_signature": (
+            "SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) "
+            "  AS type_signature, COUNT(*) AS n_types "
+            "FROM (SELECT DISTINCT user_id, event_type FROM events) "
+            "GROUP BY user_id"
         ),
         "order_price_ranks": (
             "SELECT o_orderkey, o_orderpriority, "
@@ -2556,6 +2612,8 @@ def catalog() -> list[CatalogQuery]:
         "snapshot_diff_events": q_snapshot_diff_events,
         "value_stats_by_type": q_value_stats_by_type,
         "order_price_ranks": q_order_price_ranks,
+        "customer_balance_neighbors": q_customer_balance_neighbors,
+        "user_type_signature": q_user_type_signature,
         "doc_preview": q_doc_preview,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
