@@ -1531,6 +1531,34 @@ def q_user_type_signature(spark, sf_dir):
     )
 
 
+def q_shipping_delay_stats(spark, sf_dir):
+    # Date arithmetic family: calendar-day difference between ship and
+    # order date (Spark datediff == DuckDB date_diff('day') on the date
+    # parts), min/max/integer-exact mean per priority class.
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min(delay).alias("min_days"),
+            F.max(delay).alias("max_days"),
+            F.sum((delay * 100).cast("long")).alias("__cents"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_items",
+            "min_days",
+            "max_days",
+            _avg4_cents("__cents", "n_items").alias("avg_days"),
+        )
+    )
+
+
 def q_doc_preview(spark, sf_dir):
     # String functions: substring/upper/concat (C20 family) per source.
     docs = _t(spark, sf_dir, "documents")
@@ -2005,6 +2033,17 @@ def _oracles() -> dict[str, str | None]:
             "  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id ASC) AS rn, "
             "  COUNT(*) OVER (PARTITION BY event_type) AS stratum_n FROM events"
             ") WHERE rn <= CEIL(stratum_n * 0.1)"
+        ),
+        "shipping_delay_stats": (
+            "SELECT o_orderpriority, n_items, min_days, max_days, "
+            + _avg4_sql("cents", "n_items") + " AS avg_days FROM ("
+            "SELECT o_orderpriority, COUNT(*) AS n_items, "
+            "MIN(d) AS min_days, MAX(d) AS max_days, "
+            "SUM(CAST(d * 100 AS BIGINT)) AS cents FROM ("
+            "  SELECT o_orderpriority, "
+            "  date_diff('day', o_orderdate, l_shipdate) AS d "
+            "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey) "
+            "GROUP BY 1)"
         ),
         "customer_balance_neighbors": (
             "SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS bal, "
@@ -2614,6 +2653,7 @@ def catalog() -> list[CatalogQuery]:
         "order_price_ranks": q_order_price_ranks,
         "customer_balance_neighbors": q_customer_balance_neighbors,
         "user_type_signature": q_user_type_signature,
+        "shipping_delay_stats": q_shipping_delay_stats,
         "doc_preview": q_doc_preview,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
