@@ -112,6 +112,51 @@ def extract_image_features(df: DataFrame, id_col: str = "media_id", payload_col:
     )
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_image_batch(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """STUB resize: re-encodes each payload to a deterministic
+    width*height-byte fake (a real impl decodes, resamples with
+    PIL/cv2, re-encodes). Demonstrates the payload-rewriting
+    mapInPandas shape: binary in -> binary out, metadata columns
+    updated alongside so downstream metadata-only queries stay
+    prunable."""
+    id_name, payload_name = id_col, payload_col
+    target = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[payload_name]:
+                # deterministic size-normalized fake: tile/truncate bytes
+                reps = -(-target // max(1, len(p)))
+                out.append((bytes(p) * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_name].astype("int64"),
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=_RESIZE_SCHEMA)
+
+
 _FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -77,3 +77,19 @@ def test_video_frame_sampling_expansion(spark):
     assert len(frames) == 20  # 5 media x 4 frames
     assert {r["frame_idx"] for r in frames} == {0, 1, 2, 3}
     assert all(isinstance(r["frame"], (bytes, bytearray)) for r in frames)
+
+
+def test_resize_batch_normalizes_payload_size(spark):
+    from projet_5spar_sparkstreaming_spark.multimodal.binary import resize_image_batch
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"0123456789abcdef0123"))],
+        "media_id long, payload binary",
+    )
+    out = resize_image_batch(df, width=4, height=3).collect()
+    assert {r["media_id"] for r in out} == {1, 2}
+    for r in out:
+        assert len(r["payload"]) == 12 and r["width"] == 4 and r["height"] == 3
+    # deterministic: same input -> same bytes
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize_image_batch(df, 4, 3).collect()}
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == again
