@@ -1559,6 +1559,43 @@ def q_shipping_delay_stats(spark, sf_dir):
     )
 
 
+def q_neardup_edit_distance(spark, sf_dir):
+    # Candidate-verify composition: exact Jaccard near-dup candidates,
+    # then Levenshtein edit distance over text prefixes as the
+    # second-stage verifier. At 100 TB the O(len^2) DP runs only on the
+    # candidate pairs (tiny), never the corpus — the canonical
+    # cheap-filter -> expensive-verify dedup shape.
+    docs = _t(spark, sf_dir, "documents")
+    cand = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(
+                F.substring("__ta", 1, 80), F.substring("__tb", 1, 80)
+            ).alias("edit_dist"),
+        )
+    )
+
+
+def q_embedding_pos_norms(spark, sf_dir):
+    # Higher-order array functions (filter + aggregate fold): L2 norm of
+    # the positive components only, fully JVM-side — no UDF, no explode.
+    emb = _t(spark, sf_dir, "embeddings")
+    pos_sq_sum = F.aggregate(
+        F.filter("embedding", lambda x: x > 0),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id", F.round(F.sqrt(pos_sq_sum), 6).alias("pos_norm")
+    )
+
+
 def q_doc_preview(spark, sf_dir):
     # String functions: substring/upper/concat (C20 family) per source.
     docs = _t(spark, sf_dir, "documents")
@@ -2033,6 +2070,14 @@ def _oracles() -> dict[str, str | None]:
             "  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id ASC) AS rn, "
             "  COUNT(*) OVER (PARTITION BY event_type) AS stratum_n FROM events"
             ") WHERE rn <= CEIL(stratum_n * 0.1)"
+        ),
+        "embedding_pos_norms": (
+            # cast inside the lambda: the stored floats are float32, and
+            # a float32 multiply would diverge from Spark's double math
+            "SELECT vec_id, ROUND(sqrt(COALESCE(list_sum(list_transform("
+            "list_filter(embedding, x -> x > 0), "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)), 6) AS pos_norm "
+            "FROM embeddings"
         ),
         "shipping_delay_stats": (
             "SELECT o_orderpriority, n_items, min_days, max_days, "
@@ -2669,6 +2714,8 @@ def catalog() -> list[CatalogQuery]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "embedding_pair_sims": q_embedding_pair_sims,
+        "neardup_edit_distance": q_neardup_edit_distance,
+        "embedding_pos_norms": q_embedding_pos_norms,
     }
     oracles = _oracles()
     oracles["doc_lang_id"] = _lang_id_sql()
@@ -2676,6 +2723,14 @@ def catalog() -> list[CatalogQuery]:
     oracles["knn_arrow"] = oracles["knn_bruteforce"]
     oracles["user_activity_salted"] = oracles["user_activity"]
     oracles["curate_corpus"] = _curate_sql()
+    # candidate pairs (nested-WITH subquery) -> prefix edit distance
+    oracles["neardup_edit_distance"] = (
+        "SELECT id_a, id_b, "
+        "levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) AS edit_dist "
+        "FROM (" + oracles["ngram_jaccard_pairs"] + ") cand "
+        "JOIN documents da ON cand.id_a = da.doc_id "
+        "JOIN documents db ON cand.id_b = db.doc_id"
+    )
     return [
         CatalogQuery(name=n, build=fn, oracle=oracles.get(n)) for n, fn in builders.items()
     ]

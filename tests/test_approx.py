@@ -21,3 +21,23 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     for r in rows:
         rel_err = abs(r["approx"] - r["exact"]) / max(r["exact"], 1)
         assert rel_err <= 0.1, f"{r['event_type']}: {r['approx']} vs {r['exact']}"
+
+
+def test_approx_percentile_within_rank_tolerance(spark, sf_dir):
+    """approx_percentile (Greenwald-Khanna sketch): the returned value's
+    true rank must be within `accuracy`-implied error of the target
+    rank — the sketch's actual contract, checked against exact data."""
+    ev = read_parquet_table(spark, sf_dir, "events")
+    n = ev.count()
+    acc = 100  # rank error <= n / acc
+    got = ev.agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.75], acc).alias("ap")
+    ).collect()[0]["ap"]
+    values = sorted(r["value"] for r in ev.select("value").collect())
+    for target, approx_v in zip((0.25, 0.5, 0.75), got):
+        import bisect
+
+        rank = bisect.bisect_left(values, approx_v)
+        assert abs(rank - target * n) <= n / acc + 1, (
+            f"p{target}: value {approx_v} at rank {rank}, want ~{target * n}"
+        )
