@@ -1596,6 +1596,49 @@ def q_embedding_pos_norms(spark, sf_dir):
     )
 
 
+def q_doc_split_assignment(spark, sf_dir):
+    # Deterministic hash-based train/val/test split (80/10/10): bucket
+    # by md5 of the stable key, not by position or random() — stable
+    # under re-partitioning, appends, and engine changes, which is what
+    # makes a 100 TB corpus split reproducible. Pure projection: no
+    # shuffle at all.
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long") % 100
+    return docs.select(
+        "doc_id",
+        h.alias("bucket"),
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+def q_pack_documents(spark, sf_dir):
+    # Context packing: assign documents to fixed token-budget packs.
+    # Packing is inherently sequential, so it is done per shard (hash
+    # shard -> ordered cumulative token sum -> budget bin): one shuffle
+    # on the shard key, one ordered pass per shard, and shards pack in
+    # parallel — the scale shape for "fill 2048-token contexts".
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").withColumn("n_tokens", token_count("text"))
+    shard = (F.col("doc_id") % 8).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", shard, "n_tokens")
+        .withColumn(
+            "pack_id",
+            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast(
+                "long"
+            ),
+        )
+    )
+
+
 def q_doc_preview(spark, sf_dir):
     # String functions: substring/upper/concat (C20 family) per source.
     docs = _t(spark, sf_dir, "documents")
@@ -2070,6 +2113,22 @@ def _oracles() -> dict[str, str | None]:
             "  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id ASC) AS rn, "
             "  COUNT(*) OVER (PARTITION BY event_type) AS stratum_n FROM events"
             ") WHERE rn <= CEIL(stratum_n * 0.1)"
+        ),
+        "doc_split_assignment": (
+            "SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train' "
+            "WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split "
+            "FROM (SELECT doc_id, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) "
+            "% 100 AS bucket FROM documents)"
+        ),
+        "pack_documents": (
+            f"SELECT doc_id, doc_id % 8 AS shard, n_tokens, "
+            "CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY doc_id % 8 "
+            "ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) - n_tokens) / 2048) AS BIGINT) AS pack_id "
+            "FROM (SELECT doc_id, "
+            f"len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS n_tokens "
+            "FROM documents)"
         ),
         "embedding_pos_norms": (
             # cast inside the lambda: the stored floats are float32, and
@@ -2716,6 +2775,8 @@ def catalog() -> list[CatalogQuery]:
         "embedding_pair_sims": q_embedding_pair_sims,
         "neardup_edit_distance": q_neardup_edit_distance,
         "embedding_pos_norms": q_embedding_pos_norms,
+        "doc_split_assignment": q_doc_split_assignment,
+        "pack_documents": q_pack_documents,
     }
     oracles = _oracles()
     oracles["doc_lang_id"] = _lang_id_sql()
