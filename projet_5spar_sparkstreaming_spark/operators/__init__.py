@@ -16,10 +16,12 @@ from projet_5spar_sparkstreaming_spark.operators.similarity import (
 )
 from projet_5spar_sparkstreaming_spark.operators.asof import as_of_join
 from projet_5spar_sparkstreaming_spark.operators.skew import salted_agg
+from projet_5spar_sparkstreaming_spark.operators.cdc import snapshot_diff
 
 __all__ = [
     "as_of_join",
     "salted_agg",
+    "snapshot_diff",
     "brute_force_top_k_arrow",
     "ivf_top_k",
     "exact_dedup",

@@ -303,3 +303,18 @@ def test_stream_static_dim_join(spark, toot_dir):
     got = {r["tier"]: r["n"] for r in out.collect()}
     # alice: toots 1 + the duplicated 3 (no dedup in this path) -> 3; bob: 1
     assert got == {"gold": 3, "silver": 1}
+
+
+def test_stream_windowed_distinct_counts(spark, toot_dir):
+    """Streaming distinct cardinality: HLL sketch state per window (an
+    exact streaming COUNT DISTINCT is impossible with bounded state)."""
+    from projet_5spar_sparkstreaming_spark.streaming.windows import (
+        windowed_distinct_counts,
+    )
+
+    clean = clean_toot_stream(read_toot_file_stream(spark, toot_dir))
+    counts = windowed_distinct_counts(clean, "created_at", "1 minute", "username")
+    out = _run_to_memory(spark, counts, "stream_distinct", mode="complete")
+    got = {str(r["window_start"]): r["n_distinct"] for r in out.collect()}
+    # 10:00 window: alice+bob -> 2; 10:01 window: alice (dup'd toot) -> 1
+    assert got == {"2025-10-03 10:00:00": 2, "2025-10-03 10:01:00": 1}
