@@ -83,6 +83,18 @@ CHECKS = {
         ("IN-subquery lowered to left-semi", "LeftSemi"),
         ("small-part prefix pushed", "StringStartsWith(p_name,small)"),
     ],
+    "pack_documents": [
+        # one hash shuffle on the shard key, then an in-partition window
+        ("single shard shuffle + ordered pass", "Window"),
+    ],
+    "doc_split_assignment": [
+        # pure projection: md5 bucketing must not shuffle anything
+        ("no exchange (projection only)", "!Exchange"),
+    ],
+    "gap_fill_hourly": [
+        ("grid side broadcast", "BroadcastNestedLoopJoin"),
+        ("counts pre-aggregated", "HashAggregate"),
+    ],
     "q21_waiting_suppliers": [
         ("EXISTS lowered to left-semi", "LeftSemi"),
         ("NOT EXISTS lowered to left-anti", "LeftAnti"),
@@ -106,7 +118,11 @@ def main() -> None:
             df.explain("formatted")
         plan = buf.getvalue()
         for label, needle in checks:
-            ok = needle in plan
+            # "!" prefix: assert the pattern is ABSENT from the plan
+            if needle.startswith("!"):
+                ok = needle[1:] not in plan
+            else:
+                ok = needle in plan
             print(f"{'PASS' if ok else 'WARN'}  {name}: {label}")
             failures += 0 if ok else 1
     print(f"\n{failures} warnings")
