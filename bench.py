@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "pivot_type_day",
     # north-star ops (documents/embeddings are fixed-size: these gauge
     # expression/codegen cost, not data scaling)
+    "tfidf_top_terms",
+    "pack_documents",
     "ngram_jaccard_pairs",
     "minhash_pairs",
     "knn_bruteforce",
