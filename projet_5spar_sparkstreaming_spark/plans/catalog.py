@@ -2325,10 +2325,10 @@ def _oracles() -> dict[str, str | None]:
         ),
         "q12_priority_by_flag": (
             "SELECT l_returnflag, "
-            "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-            "  THEN 1 ELSE 0 END) AS high_line_count, "
-            "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-            "  THEN 0 ELSE 1 END) AS low_line_count "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE l_shipdate >= TIMESTAMP '1998-01-01' "
             "AND l_shipdate < TIMESTAMP '1999-01-01' "
@@ -2546,7 +2546,10 @@ def _oracles() -> dict[str, str | None]:
         ),
         "user_sessions": (
             # session starts when gap >= 30 min (session_window end-exclusive)
-            "SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events FROM ("
+            # CAST: DuckDB SUM(int) yields HUGEINT (int128) which a
+            # type-sensitive comparator sees as decimal/float, not int64.
+            "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, "
+            "COUNT(*) AS n_events FROM ("
             "  SELECT user_id, CASE WHEN prev_ts IS NULL "
             "    OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
             "  FROM (SELECT user_id, ts, LAG(ts) OVER ("
