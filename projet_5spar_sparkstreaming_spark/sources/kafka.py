@@ -5,9 +5,14 @@ streaming subscribe with startingOffsets=latest; src/batch_load_raw_fix.py:35-43
 bounded earliest->latest replay; Test.ipynb failOnDataLoss=false).
 
 The spark-sql-kafka connector jar is not available in this container, so
-these builders are exercised for plan construction only in tests; the
-parse path (``parse_toot_values``) is shared with the file source and is
-fully tested there.
+these exact builders are exercised for plan construction only — but the
+ENTIRE downstream surface executes for real against
+``sources/kafka_fake.py``, a file-backed emulator producing the
+connector's exact output schema with Kafka replay semantics
+(per-partition offsets, bounded ranges, failOnDataLoss). The parse path
+(``parse_toot_values``) is one shared function across the real
+builders, the emulator, and the file source, so executed-emulator
+parity covers the code the real connector would feed.
 """
 
 from __future__ import annotations
