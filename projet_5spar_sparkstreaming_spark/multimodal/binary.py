@@ -4,9 +4,12 @@ North-star extension (BASELINE.json): treat image/audio/video as
 ``binary`` columns with a metadata struct, processed by Arrow-batched
 pandas functions over ``mapInPandas``. The Spark-side plumbing —
 schema, partitioning, UDF signatures, batch shapes — is real and
-tested; the codec calls themselves are STUBBED (this container has no
-image/audio libraries) behind ``_decode_bytes``, which provides a
-deterministic fake so the pipeline shape is exercisable end-to-end.
+tested. IMAGE payloads are decoded/resized FOR REAL via the pure-stdlib
+PNG codec in ``multimodal/png.py`` (this container has no PIL/cv2;
+production swaps PIL into the same mapInPandas bodies). Non-PNG
+payloads fall back to a documented deterministic stub so the pipeline
+shape stays exercisable for formats whose codecs genuinely need
+external libraries (JPEG/audio/video).
 
 Scale notes:
 - binary payloads ride the scan; metadata-only queries never touch
@@ -38,16 +41,31 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-_STUB = True  # no codec libraries in this container
+_STUB_NON_PNG = True  # JPEG/audio/video codecs unavailable in this container
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def _decode_bytes(payload: bytes) -> list[float]:
-    """STUB decode: deterministic fake 'pixels' from payload bytes.
+    """Decode a payload to a fixed 16-float feature vector.
 
-    Real implementation would be e.g. PIL.Image.open(BytesIO(payload));
-    gated so the Spark plumbing stays testable without codecs.
+    PNG payloads are REALLY decoded (multimodal/png.py): pixels ->
+    grayscale -> 4x4 nearest-neighbor thumbnail -> 16 floats in [0,1].
+    Anything else takes the documented deterministic stub (first 16
+    bytes scaled), kept so the pipeline is exercisable for formats
+    whose codecs need external libraries.
     """
-    if not _STUB:
+    if bytes(payload[:8]) == _PNG_SIG:
+        from projet_5spar_sparkstreaming_spark.multimodal.png import (
+            decode_png,
+            resize_nearest,
+            to_grayscale,
+        )
+
+        w, h, ch, pixels = decode_png(bytes(payload))
+        gray = to_grayscale(pixels, ch)
+        thumb = resize_nearest(gray, w, h, 1, 4, 4)
+        return [b / 255.0 for b in thumb]
+    if not _STUB_NON_PNG:
         raise NotImplementedError("wire a real codec (PIL/soundfile/av) here")
     # deterministic, shape-stable fake: first 16 bytes scaled to [0,1]
     head = payload[:16].ljust(16, b"\0")
@@ -129,26 +147,38 @@ def resize_image_batch(
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """STUB resize: re-encodes each payload to a deterministic
-    width*height-byte fake (a real impl decodes, resamples with
-    PIL/cv2, re-encodes). Demonstrates the payload-rewriting
-    mapInPandas shape: binary in -> binary out, metadata columns
-    updated alongside so downstream metadata-only queries stay
-    prunable."""
+    """Resize payloads; PNGs are REALLY decoded, nearest-neighbor
+    resampled, and re-encoded as PNG (multimodal/png.py). Non-PNG
+    payloads take the deterministic tile/truncate stub. Demonstrates
+    the payload-rewriting mapInPandas shape: binary in -> binary out,
+    metadata columns updated alongside so downstream metadata-only
+    queries stay prunable."""
     id_name, payload_name = id_col, payload_col
     target = width * height
 
+    def _resize_one(p) -> bytes:
+        data = bytes(p)
+        if data[:8] == _PNG_SIG:
+            from projet_5spar_sparkstreaming_spark.multimodal.png import (
+                decode_png,
+                encode_png,
+                resize_nearest,
+            )
+
+            w, h, ch, pixels = decode_png(data)
+            return encode_png(
+                resize_nearest(pixels, w, h, ch, width, height), width, height, ch
+            )
+        # deterministic size-normalized fake: tile/truncate bytes
+        reps = -(-target // max(1, len(data)))
+        return (data * reps)[:target]
+
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for p in pdf[payload_name]:
-                # deterministic size-normalized fake: tile/truncate bytes
-                reps = -(-target // max(1, len(p)))
-                out.append((bytes(p) * reps)[:target])
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_name].astype("int64"),
-                    "payload": out,
+                    "payload": [_resize_one(p) for p in pdf[payload_name]],
                     "width": width,
                     "height": height,
                 }
