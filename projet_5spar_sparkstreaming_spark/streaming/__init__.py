@@ -4,7 +4,7 @@ from projet_5spar_sparkstreaming_spark.streaming.windows import (
     windowed_counts,
 )
 from projet_5spar_sparkstreaming_spark.streaming.dedup import stream_dedup
-from projet_5spar_sparkstreaming_spark.streaming.transform_state import stream_first_seen
+from projet_5spar_sparkstreaming_spark.streaming.stateful import stream_first_seen
 from projet_5spar_sparkstreaming_spark.streaming.sinks import (
     foreach_batch_sink,
     idempotent_parquet_sink,

@@ -38,30 +38,11 @@ def test_running_key_stats(spark, tmp_path):
 
 
 def test_stream_first_seen_dedup_across_batches(spark, tmp_path):
-    """transformWithStateInPandas: first-seen rows emitted exactly once,
-    duplicates in later micro-batches suppressed by keyed ValueState."""
+    """applyInPandasWithState first-seen dedup: rows emitted exactly
+    once, duplicates in later micro-batches suppressed by keyed state."""
     import json
 
-    import pytest
-
-    # The TWS state-server protocol needs protobuf, absent in this
-    # container (no pip install). The operator is exercised on real
-    # clusters; here we verify it builds and skip the run.
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        from projet_5spar_sparkstreaming_spark.streaming.transform_state import (
-            stream_first_seen,
-        )
-
-        stream = spark.readStream.schema("doc string, seq long, payload string").json(
-            str(tmp_path)
-        )
-        out = stream_first_seen(stream, ["doc"], order_col="seq")
-        assert out.isStreaming and set(out.columns) == {"doc", "seq", "payload"}
-        pytest.skip("protobuf unavailable: transformWithStateInPandas cannot execute here")
-
-    from projet_5spar_sparkstreaming_spark.streaming.transform_state import (
+    from projet_5spar_sparkstreaming_spark.streaming.stateful import (
         stream_first_seen,
     )
 
@@ -89,6 +70,14 @@ def test_stream_first_seen_dedup_across_batches(spark, tmp_path):
             ]
         )
     )
+    # the file source orders micro-batches by modification time; pin
+    # mtimes so p0 deterministically forms batch 0
+    import os
+    import time
+
+    now = time.time()
+    os.utime(d / "p0.json", (now - 60, now - 60))
+    os.utime(d / "p1.json", (now, now))
     stream = (
         spark.readStream.schema("doc string, seq long, payload string")
         .option("maxFilesPerTrigger", "1")
@@ -112,3 +101,44 @@ def test_stream_first_seen_dedup_across_batches(spark, tmp_path):
     assert rows["c"]["payload"] == "c-first"
     n = spark.sql("select count(*) as n from first_seen_tbl").collect()[0]["n"]
     assert n == 3  # the batch-1 duplicate of "a" was suppressed by state
+
+
+def test_stream_first_seen_with_ttl_executes(spark, tmp_path):
+    """TTL variant (ProcessingTimeTimeout) executes; with a long TTL the
+    behavior within the run is identical to no-TTL first-seen."""
+    import json
+
+    from projet_5spar_sparkstreaming_spark.streaming.stateful import (
+        stream_first_seen,
+    )
+
+    d = tmp_path / "ttl_in"
+    d.mkdir()
+    (d / "p0.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc": "x", "seq": 1, "payload": "x-first"},
+                {"doc": "x", "seq": 2, "payload": "x-dup"},
+                {"doc": "y", "seq": 1, "payload": "y-first"},
+            ]
+        )
+    )
+    stream = spark.readStream.schema("doc string, seq long, payload string").json(
+        str(d)
+    )
+    out = stream_first_seen(stream, ["doc"], order_col="seq", ttl_ms=3_600_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen_ttl_tbl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["doc"]: r["payload"]
+        for r in spark.sql("select * from first_seen_ttl_tbl").collect()
+    }
+    assert rows == {"x": "x-first", "y": "y-first"}
