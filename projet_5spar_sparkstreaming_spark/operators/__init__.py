@@ -11,6 +11,7 @@ from projet_5spar_sparkstreaming_spark.operators.rollup import time_bucket_count
 from projet_5spar_sparkstreaming_spark.operators.similarity import (
     brute_force_top_k,
     brute_force_top_k_arrow,
+    brute_force_top_k_expr,
     ivf_top_k,
     lsh_bucketed_top_k,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "salted_agg",
     "snapshot_diff",
     "brute_force_top_k_arrow",
+    "brute_force_top_k_expr",
     "ivf_top_k",
     "exact_dedup",
     "fingerprint_dedup",

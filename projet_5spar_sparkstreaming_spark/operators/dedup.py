@@ -147,9 +147,34 @@ def ngram_jaccard_pairs(
             )
         ).alias("__sh"),
     ).cache()  # reused by the prefix index and both sides of verification
-    prefix_len = F.floor(F.size("__sh") * (1.0 - threshold)).cast("int") + 1
-    prefix = sh.select(
-        "__id", F.explode(F.slice("__sh", 1, prefix_len)).alias("__s")
+    # PPJoin prefix under the RAREST-FIRST global order (ascending
+    # document frequency, ties by hash). Any total order preserves the
+    # prefix-filter guarantee, but frequency order keeps common
+    # (boilerplate) shingles OUT of the prefixes — measured on the test
+    # corpus it cuts candidate pairs ~100x vs hash order, which is also
+    # exactly what bounds the posting-list blowup at 100 TB.
+    freq = (
+        sh.select(F.explode("__sh").alias("__s"))
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    exploded = sh.select(
+        "__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__s")
+    )
+    rank_w = Window.partitionBy("__id").orderBy("__df", "__s")
+    prefix = (
+        exploded.join(freq, "__s")
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(
+            # required prefix length is |x| - ceil(t*|x|) + 1; the float
+            # form floor((1-t)*|x|)+1 can UNDERSHOOT it by 1 when (1-t)
+            # rounds down (1.0-0.8 = 0.1999...96 -> floor(10*0.1999...) = 1,
+            # dropping a J=0.8 boundary pair). The epsilon makes the
+            # length err only on the safe (longer) side.
+            F.col("__rn")
+            <= F.floor(F.col("__sz") * (1.0 - threshold) + 1e-9).cast("int") + 1
+        )
+        .select("__id", "__s")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -193,6 +218,18 @@ def minhash_signature(col: Column | str, n: int = 3, num_hashes: int = 64) -> Co
     )
 
 
+def _ensure_min_parallelism(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition a NARROW input up to the session's parallelism before
+    an Arrow/python stage. Small test files arrive as 1 scan partition,
+    which would serialize the whole python stage on one core; at scale
+    inputs already carry >= cores partitions and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 < target:
+        return df.repartition(target, key_col)
+    return df
+
+
 def minhash_signature_arrow(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
@@ -210,21 +247,50 @@ def minhash_signature_arrow(
     from pyspark.sql import types as T
 
     salts = np.array(_HASH_SALTS[:num_hashes], dtype=np.uint64) * np.uint64(2) + np.uint64(1)
-    hashed = df.select(
+    hashed = _ensure_min_parallelism(df, id_col).select(
         F.col(id_col).alias("__id"), _shingle_hashes(text_col, n).alias("__h")
     )
 
     def _sig(batches):
         for pdf in batches:
-            sigs = []
-            for h in pdf["__h"]:
-                if len(h) == 0:
-                    sigs.append([0] * num_hashes)
-                    continue
-                hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
-                with np.errstate(over="ignore"):
-                    prod = salts[:, None] * hv[None, :]  # wrapped uint64 mul
-                sigs.append(prod.min(axis=1).astype(np.int64).tolist())
+            lens = pdf["__h"].map(len).to_numpy()
+            n_docs = len(lens)
+            sigs: list[list[int] | None] = [None] * n_docs
+            # Vectorize ACROSS documents: flatten all shingle hashes,
+            # one wrapped-uint64 outer product per chunk, then a
+            # minimum.reduceat at document boundaries — replaces a
+            # per-document python/numpy loop (~50us of dispatch per doc)
+            # with a handful of large array ops per Arrow batch.
+            nonempty = np.nonzero(lens > 0)[0]
+            for i in np.nonzero(lens == 0)[0]:
+                sigs[i] = [0] * num_hashes
+            if len(nonempty):
+                flat = np.concatenate(
+                    [np.asarray(pdf["__h"].iloc[i], dtype=np.int64) for i in nonempty]
+                ).astype(np.uint64)
+                bounds = np.concatenate([[0], np.cumsum(lens[nonempty])])
+                # chunk docs so the (num_hashes x flat) product stays ~100MB
+                max_elems = max(1, 200_000_000 // (8 * num_hashes))
+                start_doc = 0
+                while start_doc < len(nonempty):
+                    end_doc = start_doc
+                    while (
+                        end_doc < len(nonempty)
+                        and bounds[end_doc + 1] - bounds[start_doc] <= max_elems
+                    ):
+                        end_doc += 1
+                    end_doc = max(end_doc, start_doc + 1)
+                    seg = flat[bounds[start_doc] : bounds[end_doc]]
+                    offs = (bounds[start_doc : end_doc] - bounds[start_doc]).astype(
+                        np.intp
+                    )
+                    with np.errstate(over="ignore"):
+                        prod = salts[:, None] * seg[None, :]  # wrapped uint64 mul
+                    mins = np.minimum.reduceat(prod, offs, axis=1)  # (H, docs)
+                    mins = mins.astype(np.int64)
+                    for j, doc_i in enumerate(nonempty[start_doc:end_doc]):
+                        sigs[doc_i] = mins[:, j].tolist()
+                    start_doc = end_doc
             yield pd.DataFrame({"__id": pdf["__id"], "__sig": sigs})
 
     schema = T.StructType(
@@ -267,6 +333,9 @@ def minhash_near_dup_pairs(
             F.col(id_col).alias("__id"),
             minhash_signature(text_col, n, num_hashes).alias("__sig"),
         )
+    # Band bucket = xxhash64 of the band's signature SLICE (arrays hash
+    # natively) — a bands-sized expression instead of bands*rows_per_band
+    # element_at/concat branches, which dominated analysis+codegen time.
     banded = sig.select(
         "__id",
         "__sig",
@@ -276,15 +345,8 @@ def minhash_near_dup_pairs(
                     F.struct(
                         F.lit(i).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("__sig", i * rows_per_band + j + 1).cast(
-                                        "string"
-                                    )
-                                    for j in range(rows_per_band)
-                                ],
-                            )
+                            F.slice("__sig", i * rows_per_band + 1, rows_per_band),
+                            F.lit(i),
                         ).alias("bucket"),
                     )
                     for i in range(bands)
@@ -411,6 +473,52 @@ def simhash64(col: Column | str, n: int = 1) -> Column:
     )
 
 
+def simhash64_arrow(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame:
+    """(id, __sh simhash) via Arrow-batched numpy — identical bits to
+    ``simhash64`` (bit set iff strictly more shingle hashes have it set
+    than clear), but the 64-counter accumulation is vectorized instead
+    of ~64 interpreted lambda ops per shingle. Shingle hashing stays
+    JVM-side.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    hashed = _ensure_min_parallelism(df, id_col).select(
+        F.col(id_col).alias("__id"), _shingle_hashes(text_col, n).alias("__h")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("__id", hashed.schema["__id"].dataType, False),
+            T.StructField("__sh", T.LongType(), False),
+        ]
+    )
+
+    def _sig(batches):
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            lens = pdf["__h"].map(len).to_numpy()
+            out = np.zeros(len(lens), dtype=np.int64)
+            nonempty = np.nonzero(lens > 0)[0]
+            if len(nonempty):
+                flat = np.concatenate(
+                    [np.asarray(pdf["__h"].iloc[i], dtype=np.int64) for i in nonempty]
+                ).astype(np.uint64)
+                offs = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]]).astype(
+                    np.intp
+                )
+                bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                    np.int32
+                )  # (N, 64)
+                ones = np.add.reduceat(bits, offs, axis=0)  # (docs, 64)
+                signs = (2 * ones > lens[nonempty][:, None]).astype(np.uint64)
+                packed = np.bitwise_or.reduce(signs << shifts[None, :], axis=1)
+                out[nonempty] = packed.view(np.int64)
+            yield pd.DataFrame({"__id": pdf["__id"], "__sh": out})
+
+    return hashed.mapInPandas(_sig, schema=schema)
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -418,6 +526,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     n: int = 1,
     blocks: int = 4,
+    signature_impl: str = "arrow",
 ) -> DataFrame:
     """SimHash near-dup pairs with block-LSH candidate generation.
 
@@ -428,7 +537,12 @@ def simhash_near_dup_pairs(
     """
     bits_per_block = 64 // blocks
     mask = (1 << bits_per_block) - 1
-    sh = df.select(F.col(id_col).alias("__id"), simhash64(text_col, n).alias("__sh"))
+    if signature_impl == "arrow":
+        sh = simhash64_arrow(df, id_col, text_col, n)
+    else:
+        sh = df.select(
+            F.col(id_col).alias("__id"), simhash64(text_col, n).alias("__sh")
+        )
     banded = sh.select(
         "__id",
         "__sh",

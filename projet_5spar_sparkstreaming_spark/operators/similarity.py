@@ -24,7 +24,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from projet_5spar_sparkstreaming_spark.functions.vectors import cosine_similarity
+from projet_5spar_sparkstreaming_spark.operators.dedup import _ensure_min_parallelism
 from projet_5spar_sparkstreaming_spark.operators.topk import top_k_per_group
+
+
+def _collect_bounded(df: DataFrame, max_rows: int, what: str) -> list:
+    """Driver-side collect with an explicit size contract: raises
+    instead of silently materializing an unbounded side."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{what} side has more than {max_rows} rows; it must be "
+            "small enough to broadcast (raise max_query_rows/"
+            "sample_limit explicitly if this is intended)"
+        )
+    return rows
 
 
 def brute_force_top_k(
@@ -39,7 +53,35 @@ def brute_force_top_k(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
 
-    Deterministic tie-break: cosine desc, neighbor id asc.
+    Dispatches to the Arrow/BLAS implementation (same contract, ~4x
+    faster: one matmul per corpus batch) and falls back to the
+    pure-expression plan when numpy is unavailable. Deterministic
+    tie-break: cosine desc, neighbor id asc.
+    """
+    try:
+        import numpy  # noqa: F401
+
+        return brute_force_top_k_arrow(
+            queries, corpus, query_id, corpus_id, query_vec, corpus_vec, k, exclude_self
+        )
+    except ImportError:
+        return brute_force_top_k_expr(
+            queries, corpus, query_id, corpus_id, query_vec, corpus_vec, k, exclude_self
+        )
+
+
+def brute_force_top_k_expr(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k on native expressions only (no numpy): the
+    broadcast-queries x streamed-corpus plan, per-pair zip_with dot.
     """
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
@@ -73,14 +115,16 @@ def brute_force_top_k_arrow(
     corpus_vec: str = "embedding",
     k: int = 10,
     exclude_self: bool = True,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k via Arrow-batched numpy matmul (mapInPandas).
 
-    Same result contract as ``brute_force_top_k`` (cosine rounded to 6,
-    ties by neighbor id). The query matrix is closed over (broadcast via
-    task serialization — it is small by contract); each corpus Arrow
-    batch does ONE BLAS matmul and a per-query partial top-k; partials
-    reduce to the final top-k with one tiny shuffle on query_id.
+    Same result contract as ``brute_force_top_k_expr`` (cosine rounded
+    to 6, ties by neighbor id). The query matrix is closed over
+    (broadcast via task serialization — small by contract, enforced by
+    ``max_query_rows``); each corpus Arrow batch does ONE BLAS matmul
+    and a per-query partial top-k; partials reduce to the final top-k
+    with one tiny shuffle on query_id.
 
     This is the wide-fan-out path: for thousands of queries the
     per-batch matmul beats the per-pair native expression by orders of
@@ -90,17 +134,22 @@ def brute_force_top_k_arrow(
     import pandas as pd
     from pyspark.sql import types as T
 
-    q_rows = queries.select(
-        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
-    ).collect()
+    q_rows = _collect_bounded(
+        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")),
+        max_query_rows,
+        "queries",
+    )
     q_ids = np.array([r["qid"] for r in q_rows])
     q_mat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-300)
 
+    # id columns keep their INPUT types (string keys work the same as
+    # longs; previously hard-coded LongType made that an implicit
+    # contract divergence from the expression path)
     schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType(), False),
-            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("query_id", queries.schema[query_id].dataType, False),
+            T.StructField("neighbor_id", corpus.schema[corpus_id].dataType, False),
             T.StructField("cosine", T.DoubleType(), False),
         ]
     )
@@ -128,8 +177,8 @@ def brute_force_top_k_arrow(
                 {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
             )
 
-    partials = corpus.select(
-        F.col(cid).alias(cid), F.col(cvec).alias(cvec)
+    partials = _ensure_min_parallelism(
+        corpus.select(F.col(cid).alias(cid), F.col(cvec).alias(cvec)), cid
     ).mapInPandas(_score, schema=schema)
     return top_k_per_group(
         partials,
@@ -183,9 +232,9 @@ def ivf_top_k(
 
     cell_schema = T.StructType(
         [
-            T.StructField("__cid", T.LongType(), False),
+            T.StructField("__cid", corpus.schema[corpus_id].dataType, False),
             T.StructField("__cell", T.IntegerType(), False),
-            T.StructField("__cv", T.ArrayType(T.FloatType()), False),
+            T.StructField("__cv", corpus.schema[corpus_vec].dataType, False),
         ]
     )
     cidc, cvecc = corpus_id, corpus_vec
@@ -199,11 +248,15 @@ def ivf_top_k(
                 {"__cid": pdf[cidc], "__cell": cells, "__cv": pdf[cvecc]}
             )
 
-    bucketed = corpus.select(cidc, cvecc).mapInPandas(_assign_corpus, cell_schema)
+    bucketed = _ensure_min_parallelism(corpus.select(cidc, cvecc), cidc).mapInPandas(
+        _assign_corpus, cell_schema
+    )
 
-    q_rows = queries.select(
-        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
-    ).collect()
+    q_rows = _collect_bounded(
+        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")),
+        sample_limit,
+        "queries",
+    )
     probe_rows = []
     for r in q_rows:
         qv = np.asarray(r["qv"], dtype=np.float64)
@@ -211,9 +264,14 @@ def ivf_top_k(
         cells = np.argsort(-(cent @ qv))[:n_probe]
         for c in cells:
             probe_rows.append((r["qid"], int(c), list(map(float, r["qv"]))))
-    q_probes = queries.sparkSession.createDataFrame(
-        probe_rows, "query_id long, __cell int, __qv array<float>"
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id].dataType, False),
+            T.StructField("__cell", T.IntegerType(), False),
+            T.StructField("__qv", queries.schema[query_vec].dataType, False),
+        ]
     )
+    q_probes = queries.sparkSession.createDataFrame(probe_rows, probe_schema)
 
     cand = F.broadcast(q_probes).join(bucketed, "__cell")
     if exclude_self:
