@@ -43,9 +43,16 @@ def extract_hashtags(col: Column | str) -> Column:
 
 def keyword_filter(col: Column | str, keywords: Sequence[str]) -> Column:
     """Case-insensitive OR-of-keywords predicate (reference:
-    src/spark_stream.py:100-104 rlike over text)."""
+    src/spark_stream.py:100-104 rlike over text).
+
+    Keywords are regex-escaped: they are literal substrings in this
+    API, so 'c++' must match "c++" rather than raise a pattern error
+    (the reference's raw-regex behavior is not reproduced).
+    """
+    import re
+
     c = F.col(col) if isinstance(col, str) else col
-    pattern = "(?i)(" + "|".join(keywords) + ")"
+    pattern = "(?i)(" + "|".join(re.escape(k) for k in keywords) + ")"
     return c.rlike(pattern)
 
 

@@ -70,7 +70,10 @@ def compact_table(
 
     On a real cluster the swap would be a metastore partition pointer
     flip; here it is a staged directory rename (same pattern as
-    sinks.upsert_parquet).
+    sinks.upsert_parquet). That two-rename swap leaves a window where
+    the path is briefly absent and is not atomic on object stores —
+    acceptable locally, but the 100 TB deployment must commit through a
+    metastore or table format (Iceberg/Delta-style) instead.
     """
     import math
     import shutil

@@ -37,6 +37,12 @@ def upsert_parquet(
     update; without it, updates always replace existing rows. The write
     is staged to a sibling temp dir and swapped in, so readers never
     see a half-written table and a failed job leaves the target intact.
+
+    Swap caveat: the two-rename swap has a window where the target path
+    is briefly absent, and directory rename is not atomic on object
+    stores. Fine for a local filesystem; at 100 TB the swap must be a
+    metastore pointer flip or a table-format (Iceberg/Delta-style)
+    commit, with the merge plan above unchanged.
     """
     tagged_updates = updates.withColumn("__gen", F.lit(1))
     if os.path.exists(table_path):

@@ -33,6 +33,32 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _nanos_as_long(spark: SparkSession):
+    """Scope ``spark.sql.legacy.parquet.nanosAsLong`` to one read.
+
+    The conf is captured when the DataFrame is created (schema
+    inference), so restoring it immediately afterwards does not affect
+    that DataFrame's later execution — but it keeps the SHARED session
+    honest: a later direct ``spark.read.parquet`` of ns-timestamp data
+    gets the standard PARQUET_TYPE_ILLEGAL error instead of silently
+    yielding raw longs.
+    """
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+
+
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Schema comes from the parquet footer.
 
@@ -49,8 +75,8 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if not ns_cols:
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    with _nanos_as_long(spark):
+        df = spark.read.parquet(path)
     for c in ns_cols:
         # integer div (not double /): int64 nanos exceed double's 2^53 mantissa
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
@@ -96,8 +122,8 @@ def read_parquet_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFram
         T.StructField(f.name, T.LongType() if f.name in ns_cols else f.dataType, f.nullable)
         for f in batch_schema.fields
     ]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = reader.schema(T.StructType(raw_fields)).parquet(sf_dir)
+    with _nanos_as_long(spark):
+        df = reader.schema(T.StructType(raw_fields)).parquet(sf_dir)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     return df

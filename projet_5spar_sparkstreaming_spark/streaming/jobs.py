@@ -55,9 +55,12 @@ def clean_toot_stream(
     if language:
         out = out.filter(F.col("language") == language)
     if keywords:
+        import re
+
+        tag_pattern = "(?i)(" + "|".join(re.escape(k) for k in keywords) + ")"
         out = out.filter(
             keyword_filter("text", keywords)
-            | F.exists("hashtags", lambda h: F.lower(h).rlike("(?i)(" + "|".join(keywords) + ")"))
+            | F.exists("hashtags", lambda h: F.lower(h).rlike(tag_pattern))
         )
     return out
 
