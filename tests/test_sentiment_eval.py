@@ -1,0 +1,52 @@
+"""Sentiment pipeline evaluation on a committed public-style corpus.
+
+The reference's PART4&5 notebook trained on Sentiment140 (README.md:81,
+blob missing from the repo). No network access here, so the fixture is
+a hand-authored Sentiment140-STYLE sample: 120 short social posts with
+the dataset's polarity convention (0 = negative, 4 = positive),
+including negation hard cases ("not bad at all" / "not great"). A
+deterministic hash split gives held-out posts the model never saw;
+the test pins an accuracy floor on that split.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from projet_5spar_sparkstreaming_spark.ml.sentiment import train_sentiment
+
+FIXTURE = Path(__file__).parent / "fixtures" / "sentiment_sample.jsonl"
+
+
+def _load(spark):
+    rows = [json.loads(line) for line in FIXTURE.read_text().strip().splitlines()]
+    # Sentiment140 polarity: 0 negative, 4 positive -> binary label.
+    data = [(r["text"], 1 if r["polarity"] == 4 else 0) for r in rows]
+    # deterministic content-hash split, ~75/25, label-independent
+    train = [d for d in data if zlib.crc32(d[0].encode()) % 4 != 0]
+    test = [d for d in data if zlib.crc32(d[0].encode()) % 4 == 0]
+    return (
+        spark.createDataFrame(train, ["text", "label"]),
+        spark.createDataFrame(test, ["text", "label"]),
+    )
+
+
+def test_sentiment_accuracy_floor_on_heldout(spark):
+    train_df, test_df = _load(spark)
+    n_train, n_test = train_df.count(), test_df.count()
+    assert n_train + n_test == 180 and n_test >= 30
+
+    model = train_sentiment(train_df)
+    scored = model.classify(test_df.select("text", "label"))
+    agg = scored.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("sentiment") == F.col("label")).cast("int")).alias("correct"),
+    ).collect()[0]
+    accuracy = agg["correct"] / agg["n"]
+    # floor, not target: hashing-TF logistic regression on 90 training
+    # posts; anything below this means the pipeline regressed
+    assert accuracy >= 0.8, f"held-out accuracy {accuracy:.3f} on {agg['n']} posts"
