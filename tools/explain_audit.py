@@ -103,26 +103,41 @@ CHECKS = {
 }
 
 
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def check_plan(plan: str, label: str, needle: str) -> bool:
+    """One plan assertion; a "!" prefix asserts the pattern is ABSENT."""
+    del label  # part of the audit report, not the predicate
+    if needle.startswith("!"):
+        return needle[1:] not in plan
+    return needle in plan
+
+
+def audit_query(spark, sf_dir: str, name: str) -> list[tuple[str, bool]]:
+    """Run all registered checks for one query; (label, ok) per check.
+    Shared by the CLI report and the pytest plan-regression tests."""
+    from projet_5spar_sparkstreaming_spark.plans.catalog import catalog
+
+    cat = {q.name: q for q in catalog()}
+    plan = formatted_plan(cat[name].build(spark, sf_dir))
+    return [
+        (label, check_plan(plan, label, needle)) for label, needle in CHECKS[name]
+    ]
+
+
 def main() -> None:
     from projet_5spar_sparkstreaming_spark.session import get_spark
-    from projet_5spar_sparkstreaming_spark.plans.catalog import catalog
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("explain_audit")
-    cat = {q.name: q for q in catalog()}
     failures = 0
-    for name, checks in CHECKS.items():
-        df = cat[name].build(spark, sf_dir)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        plan = buf.getvalue()
-        for label, needle in checks:
-            # "!" prefix: assert the pattern is ABSENT from the plan
-            if needle.startswith("!"):
-                ok = needle[1:] not in plan
-            else:
-                ok = needle in plan
+    for name in CHECKS:
+        for label, ok in audit_query(spark, sf_dir, name):
             print(f"{'PASS' if ok else 'WARN'}  {name}: {label}")
             failures += 0 if ok else 1
     print(f"\n{failures} warnings")
