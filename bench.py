@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "pack_documents",
     "ngram_jaccard_pairs",
     "minhash_pairs",
+    "simhash_pairs",
+    "containment_pairs",
     "knn_bruteforce",
     "knn_arrow",
 ]

@@ -199,6 +199,77 @@ def ngram_jaccard_pairs(
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """DIRECTIONAL near-dup pairs: C(A,B) = |A∩B| / |A| >= threshold —
+    i.e. almost all of A's shingles appear in B. Catches inclusion
+    duplicates Jaccard misses (a doc quoted inside a longer one,
+    boilerplate-wrapped copies) where the size imbalance caps Jaccard
+    at |A|/|B|.
+
+    Plan: probe side A explodes only its rarest-first PPJoin prefix
+    (C >= t means at most floor((1-t)|A|) of A's shingles are missing
+    from B, so A's first floor((1-t)|A|)+1 under any global order must
+    hit B); index side B posts all shingles, but candidates only form
+    on A's RARE prefix entries, keeping posting lists short. Exact
+    verification on candidates. Returns (id_a, id_b, containment)
+    with id_a the contained doc; excludes self-pairs.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.sort_array(
+            F.array_distinct(
+                F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
+            )
+        ).alias("__sh"),
+    ).cache()
+    freq = (
+        sh.select(F.explode("__sh").alias("__s"))
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    exploded = sh.select(
+        "__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__s")
+    )
+    rank_w = Window.partitionBy("__id").orderBy("__df", "__s")
+    prefix_a = (
+        exploded.join(freq, "__s")
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(
+            # epsilon: see ngram_jaccard_pairs — float (1-t) must not
+            # shorten the required prefix
+            F.col("__rn")
+            <= F.floor(F.col("__sz") * (1.0 - threshold) + 1e-9).cast("int") + 1
+        )
+        .select(F.col("__id").alias("id_a"), "__s")
+    )
+    posts_b = sh.select(F.col("__id").alias("id_b"), F.explode("__sh").alias("__s"))
+    cand = (
+        prefix_a.join(posts_b, "__s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    sb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("__sha", "__shb"))
+            / F.size("__sha").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+
+
 def minhash_signature(col: Column | str, n: int = 3, num_hashes: int = 64) -> Column:
     """MinHash signature (array<bigint>, length num_hashes) of a text's
     n-gram shingle set: min over shingles of xxhash64(h XOR salt_i) per

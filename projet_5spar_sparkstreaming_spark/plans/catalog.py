@@ -1751,6 +1751,103 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8, n=3)
 
 
+def q_containment_pairs(spark, sf_dir):
+    # Directional inclusion dedup: C(A,B) = |A∩B|/|A| >= 0.9 — catches a
+    # doc contained in a longer one, which symmetric Jaccard misses.
+    from projet_5spar_sparkstreaming_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+
+
+def q_bigram_counts(spark, sf_dir):
+    # Top-20 word bigrams by DOCUMENT frequency (distinct per doc) —
+    # phrase-level corpus statistics next to unigram word_counts.
+    from projet_5spar_sparkstreaming_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(word_shingles("text", 2)).alias("bigram"))
+        .filter(F.col("bigram") != "")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+def q_balance_per_lang(spark, sf_dir):
+    # Class balancing: cap each language at 50 docs, chosen by md5 hash
+    # order (reproducible across engines/runs, unlike .sample()). The
+    # per-source/per-language cap is a standard training-mix primitive;
+    # one shuffle on the stratum key.
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 50)
+        .select("lang", "doc_id")
+    )
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    # End-to-end dedup decision: near-dup pairs -> connected components
+    # -> keep the highest-quality doc per cluster (ties: lowest id).
+    # The full "which copy do we train on" pipeline in one plan.
+    from projet_5spar_sparkstreaming_spark.operators.dedup import dedup_clusters
+    from projet_5spar_sparkstreaming_spark.functions.textstats import quality_score
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    clusters = dedup_clusters(pairs)
+    quality = docs.select("doc_id", quality_score("text").alias("q"))
+    members = clusters.join(quality, clusters.doc_id == quality.doc_id).select(
+        clusters.doc_id.alias("doc_id"), "cluster_id", "q"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    best = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("keep_doc_id"), F.col("q").alias("best_quality"))
+    )
+    sizes = members.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return best.join(sizes, "cluster_id").select(
+        "cluster_id", "keep_doc_id", "n_members", "best_quality"
+    )
+
+
+def q_embedding_quantize_error(spark, sf_dir):
+    # Int8 symmetric quantization fidelity: per label, average L2
+    # reconstruction error of round(x * 127/max|x|) / scale. The cheap
+    # compression every 100 TB embedding store applies; all native
+    # array expressions, no UDF. floor(x+0.5) on both engines avoids
+    # round() tie-breaking differences.
+    emb = _t(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    scale = F.lit(127.0) / F.greatest(
+        F.array_max(F.transform(x, lambda v: F.abs(v))), F.lit(1e-30)
+    )
+    err2 = F.aggregate(
+        F.zip_with(
+            x,
+            F.transform(x, lambda v: F.floor(v * scale + F.lit(0.5)) / scale),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.select("label", F.round(F.sqrt(err2), 6).alias("err"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("err"), 4).alias("avg_l2_err"))
+    )
+
+
 _SENTIMENT_POS = [
     "love this great wonderful product",
     "amazing excellent happy experience today",
@@ -2467,6 +2564,48 @@ def _oracles() -> dict[str, str | None]:
         ),
         "minhash_pairs": None,  # approximate: rows-only check
         "simhash_pairs": None,  # approximate: rows-only check
+        "containment_pairs": (
+            # directional: c / |A| (not symmetric Jaccard); a.doc_id !=
+            # b.doc_id keeps both directions
+            f"WITH toks AS (SELECT doc_id, {tok} AS t FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(list_transform("
+            "  range(0, greatest(len(t) - 3, 0) + 1), "
+            "  i -> array_to_string(t[i + 1 : i + 3], ' '))) AS s FROM toks), "
+            "ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh), "
+            "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c "
+            "  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id != b.doc_id "
+            "  GROUP BY 1, 2), "
+            "sz AS (SELECT doc_id, len(s) AS z FROM sh) "
+            "SELECT id_a, id_b, ROUND(c / za.z, 6) AS containment "
+            "FROM common JOIN sz za ON id_a = za.doc_id "
+            "WHERE c / za.z >= 0.9"
+        ),
+        "bigram_counts": (
+            f"SELECT bigram, COUNT(*) AS cnt FROM ("
+            f"SELECT unnest(list_distinct(list_transform("
+            f"  range(0, greatest(len(t) - 2, 0) + 1), "
+            f"  i -> array_to_string(t[i + 1 : i + 2], ' ')))) AS bigram "
+            f"FROM (SELECT {tok} AS t FROM documents)) "
+            f"WHERE bigram != '' "
+            f"GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 20"
+        ),
+        "balance_per_lang": (
+            "SELECT lang, doc_id FROM ("
+            "SELECT lang, doc_id, ROW_NUMBER() OVER ("
+            "  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id"
+            ") AS rn FROM documents) WHERE rn <= 50"
+        ),
+        "dedup_keep_best": None,  # set below (shares the clusters CTE)
+        "embedding_quantize_error": (
+            "SELECT label, COUNT(*) AS n, ROUND(AVG(err), 4) AS avg_l2_err FROM ("
+            "SELECT label, ROUND(sqrt(list_sum(list_transform(x, "
+            "  v -> (v - floor(v * s + 0.5) / s) * (v - floor(v * s + 0.5) / s)"
+            "))), 6) AS err FROM ("
+            "SELECT label, x, 127.0 / greatest(list_max(list_transform(x, "
+            "  v -> abs(v))), 1e-30) AS s "
+            "FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings))"
+            ") GROUP BY label"
+        ),
         "dedup_clusters": (
             # transitive closure of the near-dup graph; cluster = min
             # reachable id (DuckDB recursive CTE; graph is tiny: only
@@ -2780,6 +2919,11 @@ def catalog() -> list[CatalogQuery]:
         "embedding_pos_norms": q_embedding_pos_norms,
         "doc_split_assignment": q_doc_split_assignment,
         "pack_documents": q_pack_documents,
+        "containment_pairs": q_containment_pairs,
+        "bigram_counts": q_bigram_counts,
+        "balance_per_lang": q_balance_per_lang,
+        "dedup_keep_best": q_dedup_keep_best,
+        "embedding_quantize_error": q_embedding_quantize_error,
     }
     oracles = _oracles()
     oracles["doc_lang_id"] = _lang_id_sql()
@@ -2794,6 +2938,24 @@ def catalog() -> list[CatalogQuery]:
         "FROM (" + oracles["ngram_jaccard_pairs"] + ") cand "
         "JOIN documents da ON cand.id_a = da.doc_id "
         "JOIN documents db ON cand.id_b = db.doc_id"
+    )
+    # clusters (recursive CTE, shared with dedup_clusters) -> per-doc
+    # quality -> argmax per cluster + member count
+    _tok_n = f"len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'))"
+    oracles["dedup_keep_best"] = (
+        "WITH clusters AS (" + oracles["dedup_clusters"] + "), "
+        "quality AS (SELECT doc_id, " + _quality_expr_sql() + " AS q FROM ("
+        "  SELECT doc_id, CAST(length(text) AS DOUBLE) AS nc, "
+        "  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS na, "
+        f"  CAST({_tok_n} AS DOUBLE) AS nt FROM documents)), "
+        "members AS (SELECT c.doc_id, c.cluster_id, q.q FROM clusters c "
+        "  JOIN quality q ON c.doc_id = q.doc_id), "
+        "ranked AS (SELECT cluster_id, doc_id, q, ROW_NUMBER() OVER ("
+        "  PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn FROM members), "
+        "sizes AS (SELECT cluster_id, COUNT(*) AS n_members FROM members GROUP BY 1) "
+        "SELECT r.cluster_id, r.doc_id AS keep_doc_id, s.n_members, "
+        "r.q AS best_quality "
+        "FROM ranked r JOIN sizes s ON r.cluster_id = s.cluster_id WHERE rn = 1"
     )
     return [
         CatalogQuery(name=n, build=fn, oracle=oracles.get(n)) for n, fn in builders.items()

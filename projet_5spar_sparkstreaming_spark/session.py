@@ -55,6 +55,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- scan sizing: keep parquet splits memory-friendly ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- heap: local mode puts driver+executors in ONE JVM; the 1g
+        # default dies under long multi-query sessions (sweeps, bench).
+        # Applied at JVM launch, so only effective for sessions this
+        # factory creates first — which is every engine entry point.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
+        .config("spark.driver.maxResultSize", "2g")
         # --- quiet UI for non-interactive runs ---
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")

@@ -99,6 +99,37 @@ class TestNearDup:
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         assert (1, 4) in got  # identical text -> hamming 0
 
+    def test_containment_catches_inclusion_jaccard_misses(self, spark):
+        from projet_5spar_sparkstreaming_spark.operators.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog near the old river bank"
+        long_doc = (
+            base
+            + " meanwhile entirely unrelated content continues for a while "
+            + "with many additional sentences about weather patterns and "
+            + "shipping forecasts and harvest schedules across the region"
+        )
+        df = spark.createDataFrame(
+            [(1, base), (2, long_doc), (3, "completely different text here")],
+            ["id", "text"],
+        )
+        cont = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(df, "id", "text", n=3, threshold=0.9).collect()
+        }
+        # doc 1's shingles are a subset of doc 2's -> directional hit
+        assert cont[(1, 2)] == 1.0
+        assert (2, 1) not in cont  # reverse direction is below threshold
+        # symmetric Jaccard misses the same pair (size imbalance)
+        jac = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.9).collect()
+        }
+        assert (1, 2) not in jac
+
     def test_word_shingles_short_docs(self, spark):
         df = spark.createDataFrame([("one two",), ("one",), ("",)], ["t"])
         out = [r["s"] for r in df.select(word_shingles("t", 3).alias("s")).collect()]
