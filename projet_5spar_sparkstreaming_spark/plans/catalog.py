@@ -394,6 +394,95 @@ def q_stream_minute_counts(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_user_activity(spark, sf_dir):
+    # Second executed streaming oracle: per-user counts via a REAL
+    # stream replay (stream/batch parity with user_activity's oracle —
+    # keyed state instead of windowed state, complementing
+    # stream_minute_counts).
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
+
+    stream = read_parquet_stream(spark, sf_dir, "events")
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("toot_count"))
+    name = "q_stream_user_activity_sink"
+    chk = tempfile.mkdtemp(prefix="chk_stream_user_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+_VALUE_BANDS = [
+    (0.0, 50.0, "low"),
+    (50.0, 150.0, "mid"),
+    (150.0, 1e9, "high"),
+]
+
+
+def q_range_join_bands(spark, sf_dir):
+    # RANGE JOIN: non-equi join of a fact stream against interval
+    # boundaries [lo, hi). The tiny band dim is broadcast, so the
+    # non-equi predicate is evaluated map-side with no shuffle of the
+    # facts — the only scalable plan for interval lookups (an equi-join
+    # can't express it; a shuffled theta-join would be quadratic).
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_VALUE_BANDS, "lo double, hi double, band string")
+    joined = ev.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_multimodal_decode_stats(spark, sf_dir):
+    # Multimodal as a first-class query: deterministically render each
+    # small embedding into a REAL 8x8 grayscale PNG payload (binary
+    # column), run the Arrow decode operator (PNG codec -> 4x4 thumbnail
+    # features), and aggregate. Rows-only check (no SQL oracle for PNG),
+    # but fully deterministic.
+    from projet_5spar_sparkstreaming_spark.multimodal.binary import (
+        decode_image_batch,
+    )
+    from projet_5spar_sparkstreaming_spark.multimodal.png import encode_png
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+
+    def _render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                # 64 floats -> 64 clamped bytes -> 8x8 gray PNG
+                px = bytes(
+                    max(0, min(255, int(abs(float(v)) * 512.0))) for v in vec
+                )
+                payloads.append(encode_png(px, 8, 8, 1))
+            yield pd.DataFrame({"media_id": pdf["vec_id"], "payload": payloads})
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        _render, "media_id long, payload binary"
+    )
+    decoded = decode_image_batch(media)
+    return decoded.select(
+        "media_id",
+        "n_bytes",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, v: a + v.cast("double")), 6
+        ).alias("feature_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational / TPC-H-ish (M3; exercised for join/shuffle plan quality)
 # ---------------------------------------------------------------------------
@@ -2924,12 +3013,25 @@ def catalog() -> list[CatalogQuery]:
         "balance_per_lang": q_balance_per_lang,
         "dedup_keep_best": q_dedup_keep_best,
         "embedding_quantize_error": q_embedding_quantize_error,
+        "stream_user_activity": q_stream_user_activity,
+        "range_join_bands": q_range_join_bands,
+        "multimodal_decode_stats": q_multimodal_decode_stats,
     }
     oracles = _oracles()
     oracles["doc_lang_id"] = _lang_id_sql()
     oracles["doc_quality"] = _quality_sql()
     oracles["knn_arrow"] = oracles["knn_bruteforce"]
     oracles["user_activity_salted"] = oracles["user_activity"]
+    # real-stream replay converges to the batch aggregation (T8 parity)
+    oracles["stream_user_activity"] = oracles["user_activity"]
+    oracles["range_join_bands"] = (
+        "WITH bands(lo, hi, band) AS (VALUES "
+        "(0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), (150.0, 1000000000.0, 'high')) "
+        "SELECT band, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value "
+        "FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi "
+        "GROUP BY band"
+    )
+    oracles["multimodal_decode_stats"] = None  # PNG payloads: rows-only
     oracles["curate_corpus"] = _curate_sql()
     # candidate pairs (nested-WITH subquery) -> prefix edit distance
     oracles["neardup_edit_distance"] = (

@@ -100,6 +100,12 @@ CHECKS = {
         ("NOT EXISTS lowered to left-anti", "LeftAnti"),
         ("top-20 without global sort", "TakeOrderedAndProject"),
     ],
+    "range_join_bands": [
+        # the non-equi interval join must broadcast the band dim — a
+        # shuffled theta-join would be quadratic in facts at scale
+        ("band dim broadcast (non-equi)", "BroadcastNestedLoopJoin"),
+        ("no fact shuffle before the join", "HashAggregate"),
+    ],
 }
 
 
