@@ -1389,13 +1389,16 @@ def q_tfidf_top_terms(spark, sf_dir):
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    # document frequency as a count-over-window on the SAME aggregated
+    # rows — one token scan and three shuffles total (doc_id+term agg,
+    # term window, doc_id rank window) instead of recomputing the token
+    # aggregation for a separate df table and joining it back.
     nd = docs.agg(F.count("*").alias("__n"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc()
     )
     return (
-        tf.join(dfreq, "term")
+        tf.withColumn("doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .join(F.broadcast(nd))
         .withColumn(
             "tfidf",
