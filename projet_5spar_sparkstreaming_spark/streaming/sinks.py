@@ -65,3 +65,47 @@ def idempotent_parquet_sink(
 
     os.makedirs(out_dir, exist_ok=True)
     return foreach_batch_sink(stream_df, _write, checkpoint_dir, trigger)
+
+
+def idempotent_jdbc_sink(
+    stream_df: DataFrame,
+    url: str,
+    table: str,
+    checkpoint_dir: str,
+    properties: dict[str, str] | None = None,
+    driver: str | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Exactly-once-per-batch JDBC sink — the reference's stream->
+    Postgres loop (reference: src/spark_stream.py:107-144) made
+    replay-safe: each micro-batch DELETEs its own batch_id rows before
+    inserting, so a batch retried after a crash replaces itself instead
+    of duplicating. delete+insert per batch_id is the portable JDBC
+    idempotency pattern (a MERGE would need engine-specific SQL).
+
+    Executed in tests against embedded DuckDB over its JDBC driver
+    (tools/jdbc_stream_roundtrip.py); the table must pre-exist with a
+    ``batch_id BIGINT`` column (see ``jdbc_execute``) for engines whose
+    DDL is not visible across concurrently open connections.
+    """
+    from projet_5spar_sparkstreaming_spark.sources.jdbc import (
+        jdbc_execute,
+        write_jdbc,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        jdbc_execute(
+            batch_df.sparkSession,
+            url,
+            f'DELETE FROM {table} WHERE "batch_id" = {int(batch_id)}',
+            driver=driver,
+        )
+        write_jdbc(
+            batch_df.withColumn("batch_id", F.lit(batch_id)),
+            url,
+            table,
+            mode="append",
+            properties=properties,
+        )
+
+    return foreach_batch_sink(stream_df, _write, checkpoint_dir, trigger)

@@ -45,3 +45,23 @@ def test_jdbc_roundtrip_s4_s7(tmp_path):
     # S4 analytics on the JDBC scan: 200 rows over 7 users, id%7 -> user_0
     # appears ceil(200/7) = 29 times and wins the tie-break.
     assert out["top_user"] == ["user_0", 29]
+
+
+def test_streaming_jdbc_sink_idempotent_replay(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, "tools/jdbc_stream_roundtrip.py", str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert "skip" not in out
+    # two micro-batches landed once each
+    assert out["rows_after_first"] == 20
+    assert out["batch_ids"] == [0, 1]
+    # reprocessing the same input from a fresh checkpoint replaces the
+    # same batch ids instead of appending duplicates
+    assert out["rows_after_replay"] == 20
+    assert out["total_value"] == sum(range(20))  # values 0..19 once each
