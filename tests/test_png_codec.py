@@ -91,6 +91,45 @@ def test_decode_image_batch_mixed_png_and_stub(spark):
     assert out[2]["features"] == pytest.approx([b / 255.0 for b in raw[:16]])
 
 
+def test_png_roundtrip_property():
+    """Property: ANY pixel buffer round-trips bit-exactly through
+    encode/decode for every filter and color type (hypothesis)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=12),
+        h=st.integers(min_value=1, max_value=12),
+        channels=st.sampled_from([1, 3, 4]),
+        filter_type=st.integers(min_value=0, max_value=4),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def roundtrip(w, h, channels, filter_type, seed):
+        px = _pixels(w, h, channels, seed=seed)
+        rw, rh, rch, rpx = decode_png(encode_png(px, w, h, channels, filter_type))
+        assert (rw, rh, rch, rpx) == (w, h, channels, px)
+
+    roundtrip()
+
+
+def test_resize_nearest_identity_property():
+    """Property: resizing to the same dimensions is the identity."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=10),
+        h=st.integers(min_value=1, max_value=10),
+        channels=st.sampled_from([1, 3]),
+        seed=st.integers(min_value=0, max_value=1000),
+    )
+    def identity(w, h, channels, seed):
+        px = _pixels(w, h, channels, seed=seed)
+        assert resize_nearest(px, w, h, channels, w, h) == px
+
+    identity()
+
+
 def test_resize_image_batch_real_png(spark):
     # 8x8 constant image -> 3x2 PNG out, still valid, same color
     px = bytes([200, 40, 90] * 64)

@@ -106,6 +106,17 @@ CHECKS = {
         ("band dim broadcast (non-equi)", "BroadcastNestedLoopJoin"),
         ("no fact shuffle before the join", "HashAggregate"),
     ],
+    "ngram_jaccard_pairs": [
+        # candidate generation is a prefix equi-join; any cartesian
+        # product here melts down at scale
+        ("no cartesian product", "!CartesianProduct"),
+    ],
+    "containment_pairs": [
+        ("no cartesian product", "!CartesianProduct"),
+    ],
+    "minhash_pairs": [
+        ("banded equi-join, no cartesian", "!CartesianProduct"),
+    ],
 }
 
 
