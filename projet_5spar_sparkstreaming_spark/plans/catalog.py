@@ -419,6 +419,42 @@ def q_stream_user_activity(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_session_counts(spark, sf_dir):
+    # T6 as a REAL stream: watermarked session_window aggregation in
+    # append mode — only sessions whose end (< last event + gap) has
+    # fallen behind the final watermark (max ts - 1h) are emitted,
+    # exactly the late-data eviction contract. The oracle replicates
+    # both the sessionization AND the watermark cutoff.
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
+
+    stream = read_parquet_stream(spark, sf_dir, "events")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    out = agg.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "user_id",
+        "n",
+    )
+    name = "q_stream_session_counts_sink"
+    chk = tempfile.mkdtemp(prefix="chk_stream_sess_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 _VALUE_BANDS = [
     (0.0, 50.0, "low"),
     (50.0, 150.0, "mid"),
@@ -3017,6 +3053,7 @@ def catalog() -> list[CatalogQuery]:
         "dedup_keep_best": q_dedup_keep_best,
         "embedding_quantize_error": q_embedding_quantize_error,
         "stream_user_activity": q_stream_user_activity,
+        "stream_session_counts": q_stream_session_counts,
         "range_join_bands": q_range_join_bands,
         "multimodal_decode_stats": q_multimodal_decode_stats,
     }
@@ -3035,6 +3072,23 @@ def catalog() -> list[CatalogQuery]:
         "GROUP BY band"
     )
     oracles["multimodal_decode_stats"] = None  # PNG payloads: rows-only
+    oracles["stream_session_counts"] = (
+        # sessionization (gap >= 30 min starts a new session; session
+        # end = last event + gap) PLUS the append-mode watermark cutoff:
+        # only sessions with end <= max(ts) - 1h have been emitted
+        "WITH marked AS (SELECT user_id, ts, CASE WHEN prev_ts IS NULL "
+        "  OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+        "  FROM (SELECT user_id, ts, LAG(ts) OVER ("
+        "    PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events)), "
+        "grouped AS (SELECT user_id, ts, SUM(new_s) OVER ("
+        "  PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+        "  FROM marked), "
+        "sess AS (SELECT user_id, MIN(ts) AS session_start, "
+        "  MAX(ts) + INTERVAL 30 MINUTE AS session_end, "
+        "  CAST(COUNT(*) AS BIGINT) AS n FROM grouped GROUP BY user_id, sid) "
+        "SELECT session_start, session_end, user_id, n FROM sess "
+        "WHERE session_end <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)"
+    )
     oracles["curate_corpus"] = _curate_sql()
     # candidate pairs (nested-WITH subquery) -> prefix edit distance
     oracles["neardup_edit_distance"] = (
