@@ -455,6 +455,55 @@ def q_stream_session_counts(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_stream_join(spark, sf_dir):
+    # Stream-STREAM inner interval join, executed for real: signups and
+    # purchases replay as two independent streams, each watermarked; a
+    # purchase joins its user's signup within [signup, signup + 24h].
+    # Inner joins emit every match once both rows have arrived, so the
+    # availableNow end-state equals the batch interval join — giving
+    # this stream-stream join an exact SQL oracle.
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
+    from projet_5spar_sparkstreaming_spark.streaming.joins import interval_join
+
+    ev = read_parquet_stream(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts"), F.col("event_id").alias("signup_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    joined = interval_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="signup_ts",
+        lower_bound="24 hours",  # signup_ts >= purchase_ts - 24h
+        upper_bound="0 seconds",  # signup_ts <= purchase_ts
+        watermark="1 hour",
+    )
+    out = joined.select(
+        "user_id", "purchase_id", "signup_id", "purchase_ts", "signup_ts", "value"
+    )
+    name = "q_stream_stream_join_sink"
+    chk = tempfile.mkdtemp(prefix="chk_ss_join_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 _VALUE_BANDS = [
     (0.0, 50.0, "low"),
     (50.0, 150.0, "mid"),
@@ -3054,6 +3103,7 @@ def catalog() -> list[CatalogQuery]:
         "embedding_quantize_error": q_embedding_quantize_error,
         "stream_user_activity": q_stream_user_activity,
         "stream_session_counts": q_stream_session_counts,
+        "stream_stream_join": q_stream_stream_join,
         "range_join_bands": q_range_join_bands,
         "multimodal_decode_stats": q_multimodal_decode_stats,
     }
@@ -3072,6 +3122,16 @@ def catalog() -> list[CatalogQuery]:
         "GROUP BY band"
     )
     oracles["multimodal_decode_stats"] = None  # PNG payloads: rows-only
+    oracles["stream_stream_join"] = (
+        # batch equivalent of the inner interval join (emission is
+        # complete for inner joins once both streams drain)
+        "SELECT p.user_id, p.event_id AS purchase_id, s.event_id AS signup_id, "
+        "p.ts AS purchase_ts, s.ts AS signup_ts, p.value "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
+        "ON p.user_id = s.user_id "
+        "AND s.ts >= p.ts - INTERVAL 24 HOUR AND s.ts <= p.ts"
+    )
     oracles["stream_session_counts"] = (
         # sessionization (gap >= 30 min starts a new session; session
         # end = last event + gap) PLUS the append-mode watermark cutoff:
