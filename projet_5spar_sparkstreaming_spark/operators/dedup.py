@@ -133,6 +133,13 @@ def ngram_jaccard_pairs(
     posting lists ~1/(1-t)x and the candidate pairs quadratically —
     the property that keeps the join feasible at 100 TB; the naive
     exploded self-join melts down on skewed (boilerplate) shingles.
+
+    Scale boundary (measured, SCALE.md): candidate count is quadratic
+    in per-shingle posting-list length, so corpora with large
+    structural near-miss groups (many sub-threshold twins sharing rare
+    shingles) degrade this exact join. Beyond ~10M docs — or when twin
+    structure is suspected — generate candidates with
+    ``minhash_near_dup_pairs`` and use this only as the exact verifier.
     """
     # Shingles are hashed to int64 up front: the prefix index, join keys
     # and verification intersect then work on fixed-width ints instead of
