@@ -120,3 +120,32 @@ def test_asof_join_null_payload_not_stitched(spark):
     row = as_of_join(left, right, ["user"], "ts", "ts", ["score", "tag"]).collect()[0]
     assert row["right_tag"] == "new-partial"
     assert row["right_score"] is None  # NOT 1.0 from the older row
+
+
+def test_arrow_knn_string_ids(spark):
+    """Arrow knn and IVF derive id types from the input schema — string
+    keys must work identically to longs (previously hard-coded long)."""
+    from projet_5spar_sparkstreaming_spark.operators.similarity import ivf_top_k
+
+    rows = [
+        (f"doc-{i}", [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id string, embedding array<float>")
+    queries = df.limit(4)
+    out = brute_force_top_k_arrow(queries, df, "id", "id", k=3).collect()
+    assert len(out) == 12
+    assert all(isinstance(r["query_id"], str) and isinstance(r["neighbor_id"], str) for r in out)
+    # IVF with string ids builds and returns typed ids too
+    ivf = ivf_top_k(queries, df, "id", "id", k=3, n_centroids=4, n_probe=4).collect()
+    assert ivf and all(isinstance(r["neighbor_id"], str) for r in ivf)
+
+
+def test_arrow_knn_query_size_guard(spark):
+    """The driver-side query collect raises past max_query_rows instead
+    of silently materializing an unbounded side."""
+    import pytest
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    with pytest.raises(ValueError, match="more than 10 rows"):
+        brute_force_top_k_arrow(df, df, "id", "id", k=2, max_query_rows=10)
