@@ -5,6 +5,10 @@ from projet_5spar_sparkstreaming_spark.streaming.windows import (
 )
 from projet_5spar_sparkstreaming_spark.streaming.dedup import stream_dedup
 from projet_5spar_sparkstreaming_spark.streaming.stateful import stream_first_seen
+from projet_5spar_sparkstreaming_spark.streaming.rollup import (
+    incremental_rollup_sink,
+    read_rollup,
+)
 from projet_5spar_sparkstreaming_spark.streaming.sinks import (
     foreach_batch_sink,
     idempotent_parquet_sink,
@@ -16,6 +20,8 @@ __all__ = [
     "windowed_counts",
     "stream_dedup",
     "stream_first_seen",
+    "incremental_rollup_sink",
+    "read_rollup",
     "foreach_batch_sink",
     "idempotent_parquet_sink",
 ]

@@ -318,3 +318,65 @@ def test_stream_windowed_distinct_counts(spark, toot_dir):
     got = {str(r["window_start"]): r["n_distinct"] for r in out.collect()}
     # 10:00 window: alice+bob -> 2; 10:01 window: alice (dup'd toot) -> 1
     assert got == {"2025-10-03 10:00:00": 2, "2025-10-03 10:01:00": 1}
+
+
+def test_incremental_rollup_matches_batch(spark, tmp_path):
+    """Continuous aggregate: streaming partials (exactly-once by
+    batch_id partition) merge to the same rollup as a batch groupBy,
+    and restarting the stream over the same input changes nothing."""
+    import json
+
+    from projet_5spar_sparkstreaming_spark.streaming.rollup import (
+        incremental_rollup_sink,
+        read_rollup,
+    )
+
+    d = tmp_path / "roll_in"
+    d.mkdir()
+    rows0 = [{"ts": f"2024-01-0{1 + i % 3}T10:00:0{i}", "value": float(i)} for i in range(9)]
+    rows1 = [{"ts": f"2024-01-0{1 + i % 2}T11:00:0{i}", "value": 10.0 + i} for i in range(4)]
+    (d / "p0.json").write_text("\n".join(json.dumps(r) for r in rows0))
+    (d / "p1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    import os
+    import time
+
+    now = time.time()
+    os.utime(d / "p0.json", (now - 60, now - 60))
+    os.utime(d / "p1.json", (now, now))
+
+    out_dir = str(tmp_path / "rollup")
+    chk = str(tmp_path / "chk_roll")
+
+    def run():
+        stream = (
+            spark.readStream.schema("ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(d))
+        )
+        q = incremental_rollup_sink(
+            stream, out_dir, chk, ts_col="ts", bucket="day", value_col="value",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {
+        r["bucket"]: (r["cnt"], r["total"])
+        for r in read_rollup(spark, out_dir).collect()
+    }
+    batch = (
+        spark.read.json(str(d))
+        .select(F.col("ts").cast("timestamp").alias("ts"), "value")
+        .groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total"))
+    )
+    expected = {r["bucket"]: (r["cnt"], r["total"]) for r in batch.collect()}
+    assert got == expected
+
+    # restart over the same input: checkpoint says nothing new -> no change
+    run()
+    again = {
+        r["bucket"]: (r["cnt"], r["total"])
+        for r in read_rollup(spark, out_dir).collect()
+    }
+    assert again == expected
