@@ -45,6 +45,9 @@ def test_jdbc_roundtrip_s4_s7(tmp_path):
     # S4 analytics on the JDBC scan: 200 rows over 7 users, id%7 -> user_0
     # appears ceil(200/7) = 29 times and wins the tie-break.
     assert out["top_user"] == ["user_0", 29]
+    # the reference's analytics suite over the JDBC round-trip equals
+    # the same suite over the in-memory frame
+    assert out["analytics_suite_match"] is True
 
 
 def test_streaming_jdbc_sink_idempotent_replay(tmp_path):

@@ -120,6 +120,54 @@ def main() -> None:
         .collect()[0]
     )
 
+    # Reference flow parity (src/batch_analytics.py): the analytics
+    # suite computed over a JDBC round-trip must equal the same suite
+    # over the in-memory frame. mastodon_posts is array-free, so the
+    # four non-hashtag analytics apply.
+    from projet_5spar_sparkstreaming_spark.plans.toots import (
+        active_users,
+        avg_toot_length_by_user,
+        daily_toot_counts,
+        hourly_toot_counts,
+        user_activity_counts,
+    )
+
+    toots = spark.createDataFrame(
+        [
+            (
+                f"user_{i % 9}",
+                ("great post " * (1 + i % 7)).strip(),
+                f"2024-02-{1 + i % 10:02d} {i % 24:02d}:15:00",
+            )
+            for i in range(300)
+        ],
+        "username string, text string, created_at string",
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+    jdbc_execute(
+        spark,
+        url,
+        "CREATE TABLE IF NOT EXISTS mastodon_posts "
+        '("username" VARCHAR, "text" VARCHAR, "created_at" TIMESTAMP)',
+        driver="org.duckdb.DuckDBDriver",
+    )
+    write_jdbc(toots, url, "mastodon_posts", mode="overwrite", properties=props, truncate=True)
+    back_toots = read_jdbc_table(spark, url, "mastodon_posts", properties=props)
+
+    def suite_sums(df):
+        out = {}
+        for name, adf in {
+            "hourly": hourly_toot_counts(df),
+            "daily": daily_toot_counts(df),
+            "user_activity": user_activity_counts(df),
+            "active": active_users(df, min_count=30),
+            "avg_len": avg_toot_length_by_user(df),
+        }.items():
+            hashed = adf.select(F.xxhash64(*adf.columns).alias("h"))
+            out[name] = hashed.select(F.expr("bit_xor(h)")).collect()[0][0]
+        return out
+
+    analytics_match = suite_sums(toots) == suite_sums(back_toots)
+
     print(
         json.dumps(
             {
@@ -129,6 +177,7 @@ def main() -> None:
                 "n_partitioned": n_partitioned,
                 "n_input_parts": n_input_parts,
                 "top_user": [top["username"], top["count"]],
+                "analytics_suite_match": bool(analytics_match),
             }
         )
     )
