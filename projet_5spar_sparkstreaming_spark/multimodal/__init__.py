@@ -1,5 +1,6 @@
 from projet_5spar_sparkstreaming_spark.multimodal.binary import (
     MEDIA_SCHEMA,
+    decode_audio_batch,
     decode_image_batch,
     extract_image_features,
     media_metadata,
@@ -8,6 +9,7 @@ from projet_5spar_sparkstreaming_spark.multimodal.binary import (
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "decode_audio_batch",
     "decode_image_batch",
     "extract_image_features",
     "media_metadata",

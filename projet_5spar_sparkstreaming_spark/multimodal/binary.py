@@ -5,11 +5,12 @@ North-star extension (BASELINE.json): treat image/audio/video as
 pandas functions over ``mapInPandas``. The Spark-side plumbing —
 schema, partitioning, UDF signatures, batch shapes — is real and
 tested. IMAGE payloads are decoded/resized FOR REAL via the pure-stdlib
-PNG codec in ``multimodal/png.py`` (this container has no PIL/cv2;
-production swaps PIL into the same mapInPandas bodies). Non-PNG
-payloads fall back to a documented deterministic stub so the pipeline
-shape stays exercisable for formats whose codecs genuinely need
-external libraries (JPEG/audio/video).
+PNG codec in ``multimodal/png.py``, and AUDIO payloads via the stdlib
+``wave`` module (``decode_audio_batch``: header metadata + RMS /
+zero-crossing features). This container has no PIL/cv2/av; production
+swaps them into the same mapInPandas bodies. Other formats (JPEG,
+compressed audio, video) fall back to a documented deterministic stub
+so the pipeline shape stays exercisable.
 
 Scale notes:
 - binary payloads ride the scan; metadata-only queries never touch
@@ -112,6 +113,75 @@ def decode_image_batch(df: DataFrame, id_col: str = "media_id", payload_col: str
             )
 
     return df.mapInPandas(_decode, schema=_FEATURE_SCHEMA)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("zero_crossing_rate", T.DoubleType(), False),
+    ]
+)
+
+
+def decode_audio_batch(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode for PCM WAV payloads via the stdlib ``wave``
+    module: header metadata (rate/channels/duration) plus two cheap
+    signal features (RMS level, zero-crossing rate) computed with numpy
+    over the int16 samples. Non-WAV / compressed formats raise — they
+    genuinely need external codecs; this path covers the
+    uncompressed-capture case with zero dependencies.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    id_name, payload_name = id_col, payload_col
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, chans, durs, rmss, zcrs = [], [], [], [], []
+            for p in pdf[payload_name]:
+                with wave.open(io.BytesIO(bytes(p))) as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError("only 16-bit PCM WAV supported")
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    ch = w.getnchannels()
+                    raw = w.readframes(n)
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                rates.append(rate)
+                chans.append(ch)
+                durs.append(int(round(1000.0 * n / rate)))
+                if len(samples):
+                    rmss.append(round(float(np.sqrt(np.mean(samples**2))), 6))
+                    signs = np.signbit(samples)
+                    zcrs.append(
+                        round(float(np.mean(signs[1:] != signs[:-1])), 6)
+                        if len(samples) > 1
+                        else 0.0
+                    )
+                else:
+                    rmss.append(0.0)
+                    zcrs.append(0.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_name].astype("int64"),
+                    "sample_rate": rates,
+                    "n_channels": chans,
+                    "duration_ms": durs,
+                    "rms": rmss,
+                    "zero_crossing_rate": zcrs,
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=_AUDIO_SCHEMA)
 
 
 def extract_image_features(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:

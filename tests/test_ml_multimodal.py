@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from projet_5spar_sparkstreaming_spark.ml.sentiment import train_sentiment
@@ -93,3 +94,46 @@ def test_resize_batch_normalizes_payload_size(spark):
     # deterministic: same input -> same bytes
     again = {r["media_id"]: bytes(r["payload"]) for r in resize_image_batch(df, 4, 3).collect()}
     assert {r["media_id"]: bytes(r["payload"]) for r in out} == again
+
+
+def test_decode_audio_batch_real_wav(spark):
+    """REAL WAV decode: stdlib-encoded PCM fixtures round-trip through
+    the Arrow operator with exact header metadata and known features."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from projet_5spar_sparkstreaming_spark.multimodal.binary import (
+        decode_audio_batch,
+    )
+
+    def make_wav(rate, freq, n_frames, amplitude=10000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            frames = b"".join(
+                struct.pack(
+                    "<h", int(amplitude * math.sin(2 * math.pi * freq * i / rate))
+                )
+                for i in range(n_frames)
+            )
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    rows = [
+        (1, make_wav(8000, 440, 8000)),   # 1s of 440 Hz at 8 kHz
+        (2, make_wav(16000, 100, 4000)),  # 0.25s of 100 Hz at 16 kHz
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_audio_batch(df).collect()}
+    assert out[1]["sample_rate"] == 8000 and out[1]["duration_ms"] == 1000
+    assert out[2]["sample_rate"] == 16000 and out[2]["duration_ms"] == 250
+    # a sine's RMS is amplitude/sqrt(2); generous tolerance for int rounding
+    assert out[1]["rms"] == pytest.approx(10000 / 2**0.5, rel=0.01)
+    # 440 Hz crosses zero ~880 times/s -> rate 880/8000 = 0.11
+    assert out[1]["zero_crossing_rate"] == pytest.approx(0.11, abs=0.005)
+    assert out[2]["zero_crossing_rate"] == pytest.approx(2 * 100 / 16000, abs=0.005)
+    assert all(r["n_channels"] == 1 for r in out.values())
