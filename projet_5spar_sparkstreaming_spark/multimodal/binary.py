@@ -42,7 +42,7 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-_STUB_NON_PNG = True  # JPEG/audio/video codecs unavailable in this container
+_STUB_NON_PNG = True  # JPEG/video codecs unavailable (WAV: decode_audio_batch)
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
