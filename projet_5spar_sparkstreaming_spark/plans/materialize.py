@@ -19,9 +19,28 @@ from pyspark.sql import DataFrame
 _DAY_PARTITIONED = {"daily_toot_counts": "day", "hashtags_per_day_counts": "day", "top_hashtag_per_day": "day"}
 
 
-def write_table(df: DataFrame, warehouse: str, name: str, partition_col: str | None = None) -> str:
+def write_table(
+    df: DataFrame,
+    warehouse: str,
+    name: str,
+    partition_col: str | None = None,
+    bloom_filters: bool = False,
+) -> str:
+    """Write a derived table; ``bloom_filters=True`` adds parquet bloom
+    filters, the third pruning tier after partition pruning and min/max
+    row-group stats — min/max is useless for high-cardinality unsorted
+    keys (every row group spans the whole domain), a bloom skips row
+    groups for equality probes at ~1 byte per distinct value.
+
+    Table-level (all columns): parquet-mr's per-column
+    ``parquet.bloom.filter.enabled#col`` keys do not round-trip through
+    this writer version, so the selective form is: project the
+    point-lookup table to its key+payload columns and write that.
+    """
     path = os.path.join(warehouse, name)
     writer = df.write.mode("overwrite")
+    if bloom_filters:
+        writer = writer.option("parquet.bloom.filter.enabled", "true")
     if partition_col and partition_col in df.columns:
         writer = writer.partitionBy(partition_col)
     writer.parquet(path)

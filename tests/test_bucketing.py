@@ -135,3 +135,31 @@ def test_compact_table_rightsizes_and_sorts(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint key ranges across files
+
+
+def test_write_table_bloom_filters(spark, tmp_path):
+    """Bloom-filtered writes produce valid parquet with extra index
+    bytes; data round-trips identically. (pyarrow in this container
+    can't introspect bloom offsets, so presence is asserted via the
+    size delta on identical data.)"""
+    from projet_5spar_sparkstreaming_spark.plans.materialize import write_table
+
+    df = spark.createDataFrame(
+        [(i, f"user_{i % 997}") for i in range(20000)], "id long, user string"
+    ).coalesce(1)
+    plain = write_table(df, str(tmp_path), "no_bloom")
+    bloomed = write_table(df, str(tmp_path), "bloom", bloom_filters=True)
+
+    import os
+
+    def total(p):
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    assert total(bloomed) > total(plain)
+    a = {tuple(r) for r in spark.read.parquet(plain).collect()}
+    b = {tuple(r) for r in spark.read.parquet(bloomed).collect()}
+    assert a == b and len(a) == 20000
