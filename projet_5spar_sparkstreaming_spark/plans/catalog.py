@@ -504,6 +504,51 @@ def q_stream_stream_join(spark, sf_dir):
     return spark.table(name)
 
 
+def q_multimodal_audio_stats(spark, sf_dir):
+    # Audio twin of multimodal_decode_stats: render each small embedding
+    # into a REAL 16-bit PCM WAV payload (stdlib wave), run the Arrow
+    # audio decode operator (header metadata + RMS/zero-crossings from
+    # the actual samples). Deterministic rows-only check.
+    from projet_5spar_sparkstreaming_spark.multimodal.binary import (
+        decode_audio_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+
+    def _render(batches):
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(
+                        b"".join(
+                            struct.pack(
+                                "<h", max(-32768, min(32767, int(float(v) * 20000)))
+                            )
+                            for v in vec
+                        )
+                    )
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pdf["vec_id"], "payload": payloads})
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        _render, "media_id long, payload binary"
+    )
+    return decode_audio_batch(media).select(
+        "media_id", "sample_rate", "duration_ms", "rms", "zero_crossing_rate"
+    )
+
+
 _VALUE_BANDS = [
     (0.0, 50.0, "low"),
     (50.0, 150.0, "mid"),
@@ -3106,6 +3151,7 @@ def catalog() -> list[CatalogQuery]:
         "stream_stream_join": q_stream_stream_join,
         "range_join_bands": q_range_join_bands,
         "multimodal_decode_stats": q_multimodal_decode_stats,
+        "multimodal_audio_stats": q_multimodal_audio_stats,
     }
     oracles = _oracles()
     oracles["doc_lang_id"] = _lang_id_sql()
@@ -3122,6 +3168,7 @@ def catalog() -> list[CatalogQuery]:
         "GROUP BY band"
     )
     oracles["multimodal_decode_stats"] = None  # PNG payloads: rows-only
+    oracles["multimodal_audio_stats"] = None  # WAV payloads: rows-only
     oracles["stream_stream_join"] = (
         # batch equivalent of the inner interval join (emission is
         # complete for inner joins once both streams drain)

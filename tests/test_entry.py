@@ -25,7 +25,7 @@ def test_every_oracle_key_has_query():
 
 def test_catalog_size_covers_survey_surface():
     # SURVEY §2 parity + north-star ops; keep this in sync as coverage grows
-    assert len(entry_mod.queries()) >= 109
+    assert len(entry_mod.queries()) >= 110
 
 
 def test_all_queries_build_plans(spark, sf_dir):
