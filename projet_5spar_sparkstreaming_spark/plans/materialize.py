@@ -25,6 +25,7 @@ def write_table(
     name: str,
     partition_col: str | None = None,
     bloom_filters: bool = False,
+    compression: str | None = None,
 ) -> str:
     """Write a derived table; ``bloom_filters=True`` adds parquet bloom
     filters, the third pruning tier after partition pruning and min/max
@@ -41,6 +42,11 @@ def write_table(
     writer = df.write.mode("overwrite")
     if bloom_filters:
         writer = writer.option("parquet.bloom.filter.enabled", "true")
+    if compression is not None:
+        # snappy (default) optimizes CPU; zstd typically halves cold
+        # storage + scan bytes — the right default for a 100 TB archive
+        # tier read less often than it is stored
+        writer = writer.option("compression", compression)
     if partition_col and partition_col in df.columns:
         writer = writer.partitionBy(partition_col)
     writer.parquet(path)

@@ -163,3 +163,26 @@ def test_write_table_bloom_filters(spark, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(plain).collect()}
     b = {tuple(r) for r in spark.read.parquet(bloomed).collect()}
     assert a == b and len(a) == 20000
+
+
+def test_write_table_zstd_compression(spark, tmp_path):
+    from projet_5spar_sparkstreaming_spark.plans.materialize import write_table
+
+    df = spark.createDataFrame(
+        [(i, "the same repetitive payload text " * 10) for i in range(5000)],
+        "id long, text string",
+    ).coalesce(1)
+    snappy = write_table(df, str(tmp_path), "snappy_t")
+    zstd = write_table(df, str(tmp_path), "zstd_t", compression="zstd")
+
+    import os
+
+    def total(p):
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    assert total(zstd) < total(snappy)
+    assert spark.read.parquet(zstd).count() == 5000
