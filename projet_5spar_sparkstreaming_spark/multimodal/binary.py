@@ -62,10 +62,16 @@ def _decode_bytes(payload: bytes) -> list[float]:
             to_grayscale,
         )
 
-        w, h, ch, pixels = decode_png(bytes(payload))
-        gray = to_grayscale(pixels, ch)
-        thumb = resize_nearest(gray, w, h, 1, 4, 4)
-        return [b / 255.0 for b in thumb]
+        try:
+            w, h, ch, pixels = decode_png(bytes(payload))
+        except ValueError:
+            # unsupported PNG variant (palette/interlaced/16-bit):
+            # degrade to the stub instead of failing the Spark task
+            pass
+        else:
+            gray = to_grayscale(pixels, ch)
+            thumb = resize_nearest(gray, w, h, 1, 4, 4)
+            return [b / 255.0 for b in thumb]
     if not _STUB_NON_PNG:
         raise NotImplementedError("wire a real codec (PIL/soundfile/av) here")
     # deterministic, shape-stable fake: first 16 bytes scaled to [0,1]
@@ -235,10 +241,17 @@ def resize_image_batch(
                 resize_nearest,
             )
 
-            w, h, ch, pixels = decode_png(data)
-            return encode_png(
-                resize_nearest(pixels, w, h, ch, width, height), width, height, ch
-            )
+            try:
+                w, h, ch, pixels = decode_png(data)
+            except ValueError:
+                pass  # unsupported PNG variant: fall through to the stub
+            else:
+                return encode_png(
+                    resize_nearest(pixels, w, h, ch, width, height),
+                    width,
+                    height,
+                    ch,
+                )
         # deterministic size-normalized fake: tile/truncate bytes
         reps = -(-target // max(1, len(data)))
         return (data * reps)[:target]

@@ -122,6 +122,12 @@ def stream_first_seen(
             state.remove()
             return
         if state.exists:
+            # Spark clears a key's previously-set timeout on every
+            # invocation, so the TTL must be re-armed even on the
+            # duplicate path — otherwise hot keys (the ones TTL exists
+            # to bound) never expire and state grows without limit.
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
             return  # key already emitted; duplicates drop here
         best: pd.DataFrame | None = None
         for pdf in pdfs:
