@@ -5,10 +5,11 @@ North-star extension (BASELINE.json): treat image/audio/video as
 pandas functions over ``mapInPandas``. The Spark-side plumbing —
 schema, partitioning, UDF signatures, batch shapes — is real and
 tested. IMAGE payloads are decoded/resized FOR REAL via the pure-stdlib
-PNG codec in ``multimodal/png.py``, and AUDIO payloads via the stdlib
-``wave`` module (``decode_audio_batch``: header metadata + RMS /
-zero-crossing features). This container has no PIL/cv2/av; production
-swaps them into the same mapInPandas bodies. Other formats (JPEG,
+PNG codec in ``multimodal/png.py`` and the pure-Python baseline JPEG
+codec in ``multimodal/jpeg.py``; AUDIO payloads via the stdlib ``wave``
+module (``decode_audio_batch``: header metadata + RMS / zero-crossing
+features). This container has no PIL/cv2/av; production swaps them into
+the same mapInPandas bodies. Remaining formats (progressive JPEG,
 compressed audio, video) fall back to a documented deterministic stub
 so the pipeline shape stays exercisable.
 
@@ -42,37 +43,54 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-_STUB_NON_PNG = True  # JPEG/video codecs unavailable (WAV: decode_audio_batch)
+_STUB_UNKNOWN = True  # video/compressed-audio codecs unavailable
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_SIG = b"\xff\xd8"
+
+
+def _decode_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """Real pixel decode for the two in-repo codecs (PNG, baseline
+    JPEG); None when the payload is neither or an unsupported variant
+    (progressive JPEG, palette PNG, ...)."""
+    data = bytes(payload)
+    try:
+        if data[:8] == _PNG_SIG:
+            from projet_5spar_sparkstreaming_spark.multimodal.png import decode_png
+
+            return decode_png(data)
+        if data[:2] == _JPEG_SIG:
+            from projet_5spar_sparkstreaming_spark.multimodal.jpeg import decode_jpeg
+
+            return decode_jpeg(data)
+    except ValueError:
+        # unsupported codec variant: degrade to the stub instead of
+        # failing the Spark task
+        return None
+    return None
 
 
 def _decode_bytes(payload: bytes) -> list[float]:
     """Decode a payload to a fixed 16-float feature vector.
 
-    PNG payloads are REALLY decoded (multimodal/png.py): pixels ->
-    grayscale -> 4x4 nearest-neighbor thumbnail -> 16 floats in [0,1].
-    Anything else takes the documented deterministic stub (first 16
-    bytes scaled), kept so the pipeline is exercisable for formats
-    whose codecs need external libraries.
+    PNG and baseline JPEG payloads are REALLY decoded (multimodal/
+    png.py, multimodal/jpeg.py): pixels -> grayscale -> 4x4
+    nearest-neighbor thumbnail -> 16 floats in [0,1]. Anything else
+    takes the documented deterministic stub (first 16 bytes scaled),
+    kept so the pipeline is exercisable for formats whose codecs need
+    external libraries.
     """
-    if bytes(payload[:8]) == _PNG_SIG:
+    decoded = _decode_pixels(payload)
+    if decoded is not None:
         from projet_5spar_sparkstreaming_spark.multimodal.png import (
-            decode_png,
             resize_nearest,
             to_grayscale,
         )
 
-        try:
-            w, h, ch, pixels = decode_png(bytes(payload))
-        except ValueError:
-            # unsupported PNG variant (palette/interlaced/16-bit):
-            # degrade to the stub instead of failing the Spark task
-            pass
-        else:
-            gray = to_grayscale(pixels, ch)
-            thumb = resize_nearest(gray, w, h, 1, 4, 4)
-            return [b / 255.0 for b in thumb]
-    if not _STUB_NON_PNG:
+        w, h, ch, pixels = decoded
+        gray = to_grayscale(pixels, ch)
+        thumb = resize_nearest(gray, w, h, 1, 4, 4)
+        return [b / 255.0 for b in thumb]
+    if not _STUB_UNKNOWN:
         raise NotImplementedError("wire a real codec (PIL/soundfile/av) here")
     # deterministic, shape-stable fake: first 16 bytes scaled to [0,1]
     head = payload[:16].ljust(16, b"\0")
@@ -223,35 +241,31 @@ def resize_image_batch(
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Resize payloads; PNGs are REALLY decoded, nearest-neighbor
-    resampled, and re-encoded as PNG (multimodal/png.py). Non-PNG
-    payloads take the deterministic tile/truncate stub. Demonstrates
-    the payload-rewriting mapInPandas shape: binary in -> binary out,
-    metadata columns updated alongside so downstream metadata-only
-    queries stay prunable."""
+    """Resize payloads; PNG and baseline JPEG are REALLY decoded,
+    nearest-neighbor resampled, and re-encoded as PNG (multimodal/
+    png.py, multimodal/jpeg.py). Unknown formats take the deterministic
+    tile/truncate stub. Demonstrates the payload-rewriting mapInPandas
+    shape: binary in -> binary out, metadata columns updated alongside
+    so downstream metadata-only queries stay prunable."""
     id_name, payload_name = id_col, payload_col
     target = width * height
 
     def _resize_one(p) -> bytes:
         data = bytes(p)
-        if data[:8] == _PNG_SIG:
+        decoded = _decode_pixels(data)
+        if decoded is not None:
             from projet_5spar_sparkstreaming_spark.multimodal.png import (
-                decode_png,
                 encode_png,
                 resize_nearest,
             )
 
-            try:
-                w, h, ch, pixels = decode_png(data)
-            except ValueError:
-                pass  # unsupported PNG variant: fall through to the stub
-            else:
-                return encode_png(
-                    resize_nearest(pixels, w, h, ch, width, height),
-                    width,
-                    height,
-                    ch,
-                )
+            w, h, ch, pixels = decoded
+            return encode_png(
+                resize_nearest(pixels, w, h, ch, width, height),
+                width,
+                height,
+                ch,
+            )
         # deterministic size-normalized fake: tile/truncate bytes
         reps = -(-target // max(1, len(data)))
         return (data * reps)[:target]

@@ -160,17 +160,16 @@ def ngram_jaccard_pairs(
     # (boilerplate) shingles OUT of the prefixes — measured on the test
     # corpus it cuts candidate pairs ~100x vs hash order, which is also
     # exactly what bounds the posting-list blowup at 100 TB.
-    freq = (
-        sh.select(F.explode("__sh").alias("__s"))
-        .groupBy("__s")
-        .agg(F.count(F.lit(1)).alias("__df"))
-    )
+    # Document frequency rides the SAME exploded scan as a count window
+    # over __s (the tfidf trick): one shuffle on the shingle key instead
+    # of a separate aggregate + equi-join back.
     exploded = sh.select(
         "__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__s")
     )
+    df_w = Window.partitionBy("__s")
     rank_w = Window.partitionBy("__id").orderBy("__df", "__s")
     prefix = (
-        exploded.join(freq, "__s")
+        exploded.withColumn("__df", F.count(F.lit(1)).over(df_w))
         .withColumn("__rn", F.row_number().over(rank_w))
         .filter(
             # required prefix length is |x| - ceil(t*|x|) + 1; the float
@@ -235,17 +234,14 @@ def containment_pairs(
             )
         ).alias("__sh"),
     ).cache()
-    freq = (
-        sh.select(F.explode("__sh").alias("__s"))
-        .groupBy("__s")
-        .agg(F.count(F.lit(1)).alias("__df"))
-    )
     exploded = sh.select(
         "__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__s")
     )
+    # df via count window over the exploded scan (see ngram_jaccard_pairs)
+    df_w = Window.partitionBy("__s")
     rank_w = Window.partitionBy("__id").orderBy("__df", "__s")
     prefix_a = (
-        exploded.join(freq, "__s")
+        exploded.withColumn("__df", F.count(F.lit(1)).over(df_w))
         .withColumn("__rn", F.row_number().over(rank_w))
         .filter(
             # epsilon: see ngram_jaccard_pairs — float (1-t) must not
@@ -473,15 +469,21 @@ def minhash_near_dup_pairs(
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Connected components over near-dup pairs -> (doc id, cluster id).
 
-    Iterative label propagation: every node starts as its own label;
-    each round a node takes the minimum label in its neighborhood;
-    converged when no label changes. Cluster id = the smallest doc id
-    in the component (the canonical "keep" representative for dedup).
+    Iterative min-label propagation with POINTER JUMPING: every node
+    starts as its own label; each round a node takes the minimum label
+    over its neighborhood, then follows its label one more hop
+    (label := label(label)) — the path-doubling step that collapses a
+    diameter-D component in O(log D) rounds instead of D (the Hash-Min
+    / pointer-jumping family, public literature). Near-dup components
+    are near-cliques (1-2 rounds); the jump bounds the worst case
+    (chain graphs) too. Cluster id = the smallest doc id in the
+    component (the canonical "keep" representative for dedup).
 
-    Input: (id_a, id_b) pair columns. Each iteration is one join +
-    aggregate — at 100 TB-scale graphs this is the standard large-CC
-    pattern (iterations ~ graph diameter; near-dup components are
-    near-cliques, so 2-3 rounds in practice).
+    Lineage safety for long runs: each round's labels are cached and
+    the PREVIOUS round's cache is unpersisted once superseded; every
+    5th round materializes through ``localCheckpoint(eager=True)``,
+    truncating the logical plan so depth stays bounded regardless of
+    iteration count.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -492,22 +494,38 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    for _ in range(max_iterations):
+    prev_cached: DataFrame | None = None
+    for i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        hop = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: label := min(label, label(label)). Labels are
+        # always existing node ids, so the lookup is a self-join.
+        lol = hop.select(
+            F.col("node").alias("__ln"), F.col("label").alias("__ll")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            hop.join(lol, hop.label == lol["__ln"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("__ll"), F.col("label"))
                 ).alias("label"),
             )
-            .cache()
         )
+        if (i + 1) % 5 == 0:
+            # eager localCheckpoint: materializes AND truncates lineage
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -515,9 +533,16 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
         labels = new_labels
         if changed == 0:
             break
+    # final eager checkpoint: callers get a constant-depth plan (and the
+    # blocks are already materialized, so this is a cheap re-store, not
+    # a recomputation)
+    labels = labels.localCheckpoint(eager=True)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -212,12 +212,29 @@ def ivf_top_k(
     and scoring) stay distributed: one Arrow pass to assign cells, one
     equi-join on cell id. Cost scales with n_probe/n_centroids of the
     corpus per query instead of all of it.
+
+    The training sample is a deterministic HASH sample (xxhash64 of the
+    id modulo a rate derived from the corpus count), not a storage-order
+    prefix — a ``limit(n)`` sample is whatever rows the first scanned
+    files hold, which on a partitioned/sorted 100 TB corpus is a single
+    skewed slice and trains centroids that don't cover the space.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    sample = corpus.select(F.col(corpus_vec).alias("v")).limit(sample_limit).collect()
+    n_corpus = corpus.count()
+    ids_vecs = corpus.select(
+        F.col(corpus_id).alias("i"), F.col(corpus_vec).alias("v")
+    )
+    if n_corpus > sample_limit:
+        # keep ~sample_limit rows spread uniformly by id hash; fixed
+        # seed (the hash itself) keeps reruns identical
+        modulus = -(-n_corpus // sample_limit)  # ceil
+        ids_vecs = ids_vecs.filter(
+            F.pmod(F.xxhash64(F.col("i")), F.lit(modulus)) == 0
+        )
+    sample = ids_vecs.select("v").limit(sample_limit).collect()
     mat = np.array([r["v"] for r in sample], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
     rng = np.random.RandomState(42)

@@ -504,6 +504,58 @@ def q_stream_stream_join(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_stream_left_join(spark, sf_dir):
+    # Stream-STREAM LEFT-OUTER interval join, executed for real — the
+    # hardest watermark semantics: matches emit like the inner join,
+    # while unmatched purchases are held in state and emitted with
+    # null signup columns only once the global watermark passes their
+    # matchable bound (purchase_ts). With availableNow the final
+    # watermark is max(ts) - 1h, so the batch oracle is: inner matches
+    # UNION unmatched purchases with purchase_ts < max(ts) - 1h
+    # (younger unmatched purchases are still in state, never emitted).
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
+    from projet_5spar_sparkstreaming_spark.streaming.joins import interval_join
+
+    ev = read_parquet_stream(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts"), F.col("event_id").alias("signup_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    joined = interval_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="signup_ts",
+        lower_bound="24 hours",  # signup_ts >= purchase_ts - 24h
+        upper_bound="0 seconds",  # signup_ts <= purchase_ts
+        watermark="1 hour",
+        how="left_outer",
+    )
+    out = joined.select(
+        "user_id", "purchase_id", "signup_id", "purchase_ts", "signup_ts", "value"
+    )
+    name = "q_stream_stream_left_join_sink"
+    chk = tempfile.mkdtemp(prefix="chk_ss_ljoin_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_multimodal_audio_stats(spark, sf_dir):
     # Audio twin of multimodal_decode_stats: render each small embedding
     # into a REAL 16-bit PCM WAV payload (stdlib wave), run the Arrow
@@ -598,6 +650,46 @@ def q_multimodal_decode_stats(spark, sf_dir):
                     max(0, min(255, int(abs(float(v)) * 512.0))) for v in vec
                 )
                 payloads.append(encode_png(px, 8, 8, 1))
+            yield pd.DataFrame({"media_id": pdf["vec_id"], "payload": payloads})
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        _render, "media_id long, payload binary"
+    )
+    decoded = decode_image_batch(media)
+    return decoded.select(
+        "media_id",
+        "n_bytes",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, v: a + v.cast("double")), 6
+        ).alias("feature_sum"),
+    )
+
+
+def q_multimodal_jpeg_stats(spark, sf_dir):
+    # JPEG twin of multimodal_decode_stats: render each small embedding
+    # into a REAL baseline JPEG payload (pure-Python encoder,
+    # multimodal/jpeg.py), then run the same Arrow decode operator —
+    # which huffman-decodes, dequantizes and IDCTs the actual bitstream.
+    # Deterministic rows-only check (features depend on the codec's
+    # quantization, not on partitioning).
+    from projet_5spar_sparkstreaming_spark.multimodal.binary import (
+        decode_image_batch,
+    )
+    from projet_5spar_sparkstreaming_spark.multimodal.jpeg import encode_jpeg
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+
+    def _render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                # 64 floats -> 64 clamped bytes -> 8x8 gray baseline JPEG
+                px = bytes(
+                    max(0, min(255, int(abs(float(v)) * 512.0))) for v in vec
+                )
+                payloads.append(encode_jpeg(px, 8, 8, 1, quality=90))
             yield pd.DataFrame({"media_id": pdf["vec_id"], "payload": payloads})
 
     media = emb.select("vec_id", "embedding").mapInPandas(
@@ -3149,9 +3241,11 @@ def catalog() -> list[CatalogQuery]:
         "stream_user_activity": q_stream_user_activity,
         "stream_session_counts": q_stream_session_counts,
         "stream_stream_join": q_stream_stream_join,
+        "stream_stream_left_join": q_stream_stream_left_join,
         "range_join_bands": q_range_join_bands,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "multimodal_audio_stats": q_multimodal_audio_stats,
+        "multimodal_jpeg_stats": q_multimodal_jpeg_stats,
     }
     oracles = _oracles()
     oracles["doc_lang_id"] = _lang_id_sql()
@@ -3169,6 +3263,7 @@ def catalog() -> list[CatalogQuery]:
     )
     oracles["multimodal_decode_stats"] = None  # PNG payloads: rows-only
     oracles["multimodal_audio_stats"] = None  # WAV payloads: rows-only
+    oracles["multimodal_jpeg_stats"] = None  # JPEG payloads: rows-only
     oracles["stream_stream_join"] = (
         # batch equivalent of the inner interval join (emission is
         # complete for inner joins once both streams drain)
@@ -3178,6 +3273,28 @@ def catalog() -> list[CatalogQuery]:
         "JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
         "ON p.user_id = s.user_id "
         "AND s.ts >= p.ts - INTERVAL 24 HOUR AND s.ts <= p.ts"
+    )
+    oracles["stream_stream_left_join"] = (
+        # inner matches + watermark-expired unmatched purchases: a left
+        # row emits nulls only once the final GLOBAL watermark passes
+        # purchase_ts, its last possible match time. The two watermark
+        # nodes sit AFTER the purchase/signup filters, so the global
+        # (min-across-nodes) watermark is the SMALLER of the two
+        # filtered maxima minus the 1h delay — not max(all events).
+        "WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'), "
+        "s AS (SELECT * FROM events WHERE event_type = 'signup'), "
+        "wm AS (SELECT LEAST((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM s)) "
+        "- INTERVAL 1 HOUR AS w) "
+        "SELECT p.user_id, p.event_id AS purchase_id, s.event_id AS signup_id, "
+        "p.ts AS purchase_ts, s.ts AS signup_ts, p.value "
+        "FROM p JOIN s ON p.user_id = s.user_id "
+        "AND s.ts >= p.ts - INTERVAL 24 HOUR AND s.ts <= p.ts "
+        "UNION ALL "
+        "SELECT p.user_id, p.event_id, CAST(NULL AS BIGINT), p.ts, "
+        "CAST(NULL AS TIMESTAMP), p.value FROM p "
+        "WHERE p.ts < (SELECT w FROM wm) AND NOT EXISTS ("
+        "SELECT 1 FROM s WHERE s.user_id = p.user_id "
+        "AND s.ts >= p.ts - INTERVAL 24 HOUR AND s.ts <= p.ts)"
     )
     oracles["stream_session_counts"] = (
         # sessionization (gap >= 30 min starts a new session; session

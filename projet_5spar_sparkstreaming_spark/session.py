@@ -43,6 +43,11 @@ def get_spark(
         .master(master)
         # --- determinism / correctness ---
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet timestamps with isAdjustedToUTC=false (what pandas/
+        # pyarrow write by default) must read as LTZ wall-clock-in-UTC,
+        # not TIMESTAMP_NTZ: event-time ops (long casts, watermarks) and
+        # the DuckDB oracles both assume one timestamp family
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # --- adaptive execution: runtime re-plan beats hardcoded knobs ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -71,8 +71,10 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     ns_cols = _nanos_timestamp_cols(path)
     # Engine invariant: UTC session time. The driver may hand us its own
     # session; event-time semantics (and DuckDB-oracle agreement) depend
-    # on LTZ timestamps rendering as UTC wall-clock.
+    # on LTZ timestamps rendering as UTC wall-clock. Same reason no-tz
+    # microsecond parquet timestamps must infer as LTZ, not NTZ.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if not ns_cols:
         return spark.read.parquet(path)
     with _nanos_as_long(spark):
@@ -93,6 +95,7 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     the schema-drift-safe default for paths without a catalog entry.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 

@@ -33,17 +33,25 @@ def interval_join(
     ``left_ts - lower_bound <= right_ts <= left_ts + upper_bound``
     on equal keys. Column names must be disjoint apart from ``on``;
     rename upstream if needed.
+
+    Both sides are explicitly aliased so SELF-joins (two filtered views
+    of one stream) resolve correctly: with ``lw[k] == rw[k]`` on a
+    shared lineage Spark's ambiguity resolution can silently bind both
+    references to one side, and on outer joins the kept key column can
+    be the null-padded one. The output key columns are always taken
+    from the LEFT side (non-null on left-outer).
     """
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
-    key_cond = [lw[k] == rw[k] for k in on]
+    lw = left.withWatermark(left_ts, watermark).alias("__ij_l")
+    rw = right.withWatermark(right_ts, watermark).alias("__ij_r")
+    key_cond = [F.col(f"__ij_l.{k}") == F.col(f"__ij_r.{k}") for k in on]
     time_cond = [
-        rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lower_bound}"),
-        rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper_bound}"),
+        F.col(f"__ij_r.{right_ts}")
+        >= F.col(f"__ij_l.{left_ts}") - F.expr(f"INTERVAL {lower_bound}"),
+        F.col(f"__ij_r.{right_ts}")
+        <= F.col(f"__ij_l.{left_ts}") + F.expr(f"INTERVAL {upper_bound}"),
     ]
-    cond = key_cond + time_cond
-    joined = lw.join(rw, cond, how)
-    # drop the duplicated key columns from the right side
-    for k in on:
-        joined = joined.drop(rw[k])
-    return joined
+    joined = lw.join(rw, key_cond + time_cond, how)
+    out = [F.col(f"__ij_l.{k}").alias(k) for k in on]
+    out += [F.col(f"__ij_l.{c}").alias(c) for c in left.columns if c not in on]
+    out += [F.col(f"__ij_r.{c}").alias(c) for c in right.columns if c not in on]
+    return joined.select(*out)

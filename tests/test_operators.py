@@ -237,6 +237,26 @@ class TestDedupClusters:
         got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
 
+    def test_path_graph_worst_case_converges_with_bounded_plan(self, spark):
+        """50-node chain: worst-case diameter for label propagation.
+        Pointer jumping must converge well inside the default iteration
+        budget (O(log D) rounds, not D), and the periodic eager
+        localCheckpoint must keep the final plan depth bounded instead
+        of growing with iteration count."""
+        from projet_5spar_sparkstreaming_spark.operators.dedup import dedup_clusters
+
+        n = 50
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+        )
+        labels = dedup_clusters(pairs, max_iterations=20)
+        got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+        assert got == {i: 0 for i in range(n)}
+        # lineage stays truncated: a 20-iteration plan without
+        # checkpointing explodes to tens of thousands of characters
+        plan = labels._jdf.queryExecution().optimizedPlan().toString()
+        assert len(plan) < 5000, f"plan depth not bounded ({len(plan)} chars)"
+
 
 def test_fingerprint_dedup_keeps_min_id(spark):
     from projet_5spar_sparkstreaming_spark.operators.dedup import fingerprint_dedup

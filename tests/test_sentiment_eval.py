@@ -50,3 +50,44 @@ def test_sentiment_accuracy_floor_on_heldout(spark):
     # floor, not target: hashing-TF logistic regression on 90 training
     # posts; anything below this means the pipeline regressed
     assert accuracy >= 0.8, f"held-out accuracy {accuracy:.3f} on {agg['n']} posts"
+
+
+CORPUS_2K = Path(__file__).parent / "fixtures" / "sentiment_corpus_2k.jsonl"
+
+
+def test_sentiment_accuracy_floor_on_2k_corpus(spark):
+    """Eval on the committed 2k-row generated corpus
+    (fixtures/gen_sentiment_corpus.py): train/eval split by the SAME
+    md5-bucket rule as ``doc_split_assignment`` (bucket = first 4 hex
+    digits of md5(text) as int % 100; < 80 -> train), entirely inside
+    the engine. Held-out sentences are unseen (the generator dedups),
+    so the floor measures generalization over shared vocabulary, not
+    memorization."""
+    rows = [
+        json.loads(line) for line in CORPUS_2K.read_text().strip().splitlines()
+    ]
+    df = spark.createDataFrame(
+        [(r["text"], 1 if r["polarity"] == 4 else 0) for r in rows],
+        ["text", "label"],
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10).cast(
+        "long"
+    ) % 100
+    df = df.withColumn("__bucket", bucket)
+    train_df = df.filter(F.col("__bucket") < 80).drop("__bucket")
+    test_df = df.filter(F.col("__bucket") >= 80).drop("__bucket")
+    n_train, n_test = train_df.count(), test_df.count()
+    assert n_train + n_test == 2000 and 300 <= n_test <= 500  # ~80/20
+
+    model = train_sentiment(train_df)
+    scored = model.classify(test_df)
+    agg = scored.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("sentiment") == F.col("label")).cast("int")).alias("correct"),
+    ).collect()[0]
+    accuracy = agg["correct"] / agg["n"]
+    # stated floor: 0.9 on ~400 held-out posts. The corpus carries
+    # negation flips and typos, so this is not trivially separable;
+    # dropping below the floor means the featurization or trainer
+    # regressed.
+    assert accuracy >= 0.9, f"held-out accuracy {accuracy:.3f} on {agg['n']} posts"

@@ -40,7 +40,7 @@ CHECKS = {
     ],
     "q6_forecast_revenue": [
         ("range predicates pushed", "GreaterThanOrEqual(l_shipdate"),
-        ("4-column scan", "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+        ("4-column scan", "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"),
     ],
     "q10_returned_items": [
         ("returnflag pushed", "EqualTo(l_returnflag,R)"),
