@@ -111,8 +111,31 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def _shingle_hashes(col: Column | str, n: int) -> Column:
-    """Distinct shingle -> signed 64-bit xxhash."""
-    return F.transform(word_shingles(col, n), lambda s: F.xxhash64(s))
+    """Distinct shingle -> signed 64-bit hash, computed NUMERICALLY:
+    one xxhash64 per token, then (n-1) pairwise xxhash64 combines over
+    shifted slices of the hash array. Partitions documents' shingle
+    sets identically to hashing the concatenated shingle STRINGS
+    (collision odds aside — both are 64-bit), but never materializes
+    the O(L) ~20-byte shingle strings that dominate expression-eval
+    cost on long documents. Consumers compare/set-intersect hashes
+    only, so the hash family is an internal detail; the SQL oracles
+    compute Jaccard over shingle strings and agree on the VALUES.
+    """
+    toks = tokens(col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    empty = F.array(F.xxhash64(F.lit("")))
+    if n == 1:
+        return F.array_distinct(
+            F.when(F.size(toks) == 0, empty).otherwise(th)
+        )
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    grams = F.slice(th, 1, m)
+    for i in range(1, n):
+        shifted = F.slice(th, i + 1, m)
+        # null padding on short docs is skipped by xxhash64, mirroring
+        # concat_ws's null-skip in the string-shingle path
+        grams = F.zip_with(grams, shifted, lambda g, t: F.xxhash64(g, t))
+    return F.array_distinct(F.when(F.size(toks) == 0, empty).otherwise(grams))
 
 
 def ngram_jaccard_pairs(
@@ -148,11 +171,7 @@ def ngram_jaccard_pairs(
     # Jaccard value is exact for all practical purposes.
     sh = df.select(
         F.col(id_col).alias("__id"),
-        F.sort_array(
-            F.array_distinct(
-                F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
-            )
-        ).alias("__sh"),
+        F.sort_array(_shingle_hashes(text_col, n)).alias("__sh"),
     ).cache()  # reused by the prefix index and both sides of verification
     # PPJoin prefix under the RAREST-FIRST global order (ascending
     # document frequency, ties by hash). Any total order preserves the
@@ -180,6 +199,10 @@ def ngram_jaccard_pairs(
             F.col("__rn")
             <= F.floor(F.col("__sz") * (1.0 - threshold) + 1e-9).cast("int") + 1
         )
+        # singleton postings (df=1) can never meet another row in the
+        # prefix equi-join — dropping them shrinks the join input by the
+        # unique-shingle mass (most of a real corpus) at zero recall cost
+        .filter(F.col("__df") > 1)
         .select("__id", "__s")
     )
     a = prefix.alias("a")
@@ -228,11 +251,7 @@ def containment_pairs(
     """
     sh = df.select(
         F.col(id_col).alias("__id"),
-        F.sort_array(
-            F.array_distinct(
-                F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
-            )
-        ).alias("__sh"),
+        F.sort_array(_shingle_hashes(text_col, n)).alias("__sh"),
     ).cache()
     exploded = sh.select(
         "__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__s")
@@ -249,6 +268,9 @@ def containment_pairs(
             F.col("__rn")
             <= F.floor(F.col("__sz") * (1.0 - threshold) + 1e-9).cast("int") + 1
         )
+        # df=1 shingles exist only in this doc -> only self-matches,
+        # which the id_a != id_b filter drops anyway
+        .filter(F.col("__df") > 1)
         .select(F.col("__id").alias("id_a"), "__s")
     )
     posts_b = sh.select(F.col("__id").alias("id_b"), F.explode("__sh").alias("__s"))
@@ -411,12 +433,20 @@ def minhash_near_dup_pairs(
             F.col(id_col).alias("__id"),
             minhash_signature(text_col, n, num_hashes).alias("__sig"),
         )
+    if verify:
+        # reused by the banding join AND both sides of the estimate
+        # join below — compute signatures once
+        sig = sig.cache()
     # Band bucket = xxhash64 of the band's signature SLICE (arrays hash
     # natively) — a bands-sized expression instead of bands*rows_per_band
     # element_at/concat branches, which dominated analysis+codegen time.
+    # Only (id, band, bucket) flows into the join: carrying the 64-long
+    # signature arrays through the banding join + pair-dedup shuffle
+    # multiplies shuffle bytes ~8x (measured 121s -> 27s at 500k docs);
+    # the verify step re-joins signatures on the DEDUPED pair set
+    # instead, whose size is O(near-dups), not O(band collisions).
     banded = sig.select(
         "__id",
-        "__sig",
         F.explode(
             F.array(
                 *[
@@ -431,7 +461,7 @@ def minhash_near_dup_pairs(
                 ]
             )
         ).alias("__b"),
-    ).select("__id", "__sig", "__b.band", "__b.bucket")
+    ).select("__id", "__b.band", "__b.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -441,28 +471,65 @@ def minhash_near_dup_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sig").alias("__siga"),
-            F.col("b.__sig").alias("__sigb"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
-        return cand.select("id_a", "id_b")
-    est = cand.withColumn(
-        "est_jaccard",
-        F.size(
-            F.filter(
-                F.zip_with("__siga", "__sigb", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes)),
+        return cand
+    sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__siga"))
+    sb = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sigb"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("__siga", "__sigb", lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
+            ).cast("double")
+            / F.lit(float(num_hashes)),
+        )
     )
     return est.filter(F.col("est_jaccard") >= threshold).select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def verify_pairs_exact(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of CANDIDATE pairs — the
+    verifier half of the 100 TB dedup recipe (MinHash banding generates
+    candidates, this joins each (id_a, id_b) back to the two shingle
+    sets and keeps pairs with exact J >= threshold). Cost is
+    O(|candidates|), independent of the corpus's all-pairs count, which
+    is what makes exact verification affordable at any scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.sort_array(_shingle_hashes(text_col, n)).alias("__sh"),
+    )
+    sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    sb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__common", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn(
+            "jaccard",
+            F.col("__common")
+            / (F.size("__sha") + F.size("__shb") - F.col("__common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -552,7 +619,7 @@ def simhash64(col: Column | str, n: int = 1) -> Column:
     For each bit position: sum +1/-1 over token hashes' bit -> sign.
     Built from native bitwise expressions; no UDF.
     """
-    hashes = F.transform(word_shingles(col, n), lambda s: F.xxhash64(s))
+    hashes = _shingle_hashes(col, n)
     # One pass over the shingle hashes accumulating all 64 bit counters
     # (bit tested via mask, not variable shift), then fold the counter
     # signs back into a single long with bitwiseOR. Bit 63's mask is

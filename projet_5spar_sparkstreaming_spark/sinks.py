@@ -6,22 +6,88 @@ already gives per-batch idempotency (streaming/sinks.py); this module
 adds *keyed* upsert for batch maintenance jobs: update rows win by key
 (optionally by a version column), rewrite staged then swapped.
 
+Multi-writer protocol (Delta/Iceberg are not installable here, so the
+table carries a minimal optimistic-concurrency commit of its own — the
+write-audit-publish pattern):
+
+- every committed table state has a VERSION TOKEN in ``<table>.version``
+- a writer snapshots the token BEFORE reading the current table state
+- commit = under a lock directory (``os.mkdir`` is atomic), re-read the
+  token; if it changed since the snapshot another writer committed a
+  state this merge never saw — the commit ABORTS with
+  ``ConcurrentWriteError`` and the target is left exactly as the winner
+  wrote it (no silent clobber, no partial state)
+- on success the swap happens inside the lock and a fresh token is
+  published
+
 On plain parquet a keyed merge is a rewrite of affected data; a
-transactional table format (Delta/Iceberg — not in this container)
-would make it a metadata operation. The operator API is format-agnostic
-so swapping the storage layer later doesn't touch callers. At 100 TB,
-restrict the rewrite to partitions containing updated keys.
+transactional table format would make it a metadata operation. The
+operator API is format-agnostic so swapping the storage layer later
+doesn't touch callers. At 100 TB, restrict the rewrite to partitions
+containing updated keys and replace the lock directory with the object
+store's conditional-put (the token compare is unchanged).
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this writer's snapshot and its
+    commit attempt; the losing merge must be retried from the new state."""
+
+
+def _version_path(table_path: str) -> str:
+    return f"{table_path}.version"
+
+
+def read_table_version(table_path: str) -> str | None:
+    """Current commit token, or None for a never-committed table."""
+    try:
+        with open(_version_path(table_path)) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        return None
+
+
+def _publish_version(table_path: str) -> str:
+    token = uuid.uuid4().hex
+    tmp = f"{_version_path(table_path)}.tmp.{token[:8]}"
+    with open(tmp, "w") as f:
+        f.write(token)
+    os.replace(tmp, _version_path(table_path))  # atomic on POSIX
+    return token
+
+
+class _TableLock:
+    """mkdir-based mutex: atomic on POSIX filesystems; bounded wait."""
+
+    def __init__(self, table_path: str, timeout_s: float = 30.0) -> None:
+        self.path = f"{table_path}.lock"
+        self.timeout_s = timeout_s
+
+    def __enter__(self):
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                os.mkdir(self.path)
+                return self
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"could not acquire {self.path}")
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        os.rmdir(self.path)
+        return False
 
 
 def upsert_parquet(
@@ -30,20 +96,34 @@ def upsert_parquet(
     updates: DataFrame,
     key_cols: Sequence[str],
     version_col: str | None = None,
-) -> None:
-    """MERGE ``updates`` into the parquet table at ``table_path`` by key.
+    expected_version: str | None = "auto",
+) -> str:
+    """MERGE ``updates`` into the parquet table at ``table_path`` by key;
+    returns the new commit token.
 
     With ``version_col``, the highest version wins and ties go to the
     update; without it, updates always replace existing rows. The write
     is staged to a sibling temp dir and swapped in, so readers never
     see a half-written table and a failed job leaves the target intact.
 
+    Concurrency: ``expected_version="auto"`` (default) snapshots the
+    table's commit token before reading it and aborts with
+    ``ConcurrentWriteError`` if any other writer commits first
+    (compare-and-swap under the table lock). Pass a token from
+    ``read_table_version`` to span a longer read-modify-write, or
+    ``None`` to skip the check (last-writer-wins, single-writer jobs).
+
     Swap caveat: the two-rename swap has a window where the target path
     is briefly absent, and directory rename is not atomic on object
     stores. Fine for a local filesystem; at 100 TB the swap must be a
-    metastore pointer flip or a table-format (Iceberg/Delta-style)
-    commit, with the merge plan above unchanged.
+    metastore pointer flip or a table-format commit — the merge plan
+    AND the token CAS above it are unchanged.
     """
+    check = expected_version is not None
+    token0 = (
+        read_table_version(table_path) if expected_version == "auto" else expected_version
+    )
+
     tagged_updates = updates.withColumn("__gen", F.lit(1))
     if os.path.exists(table_path):
         current = spark.read.parquet(table_path).withColumn("__gen", F.lit(0))
@@ -63,10 +143,20 @@ def upsert_parquet(
 
     staging = f"{table_path}__staging_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(staging)
-    if os.path.exists(table_path):
-        old = f"{table_path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(table_path, old)
-        os.rename(staging, table_path)
-        shutil.rmtree(old)
-    else:
-        os.rename(staging, table_path)
+
+    with _TableLock(table_path):
+        if check and read_table_version(table_path) != token0:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{table_path}: table version changed since snapshot "
+                f"{token0!r}; merge was computed against a stale state — "
+                "re-read and retry"
+            )
+        if os.path.exists(table_path):
+            old = f"{table_path}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(table_path, old)
+            os.rename(staging, table_path)
+            shutil.rmtree(old)
+        else:
+            os.rename(staging, table_path)
+        return _publish_version(table_path)

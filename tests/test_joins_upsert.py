@@ -88,6 +88,45 @@ def test_upsert_parquet_keyed(spark, tmp_path):
     assert again == got
 
 
+def test_upsert_parquet_two_writer_race_loser_aborts(spark, tmp_path):
+    """Optimistic-concurrency CAS: two writers merge from the SAME table
+    snapshot; the first commit wins, the second must abort with
+    ConcurrentWriteError and leave the winner's data untouched (no
+    silent clobber of a state the loser's merge never saw)."""
+    import pytest as _pytest
+
+    from projet_5spar_sparkstreaming_spark.sinks import (
+        ConcurrentWriteError,
+        read_table_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([("k1", "v1")], ["k", "v"])
+    upsert_parquet(spark, path, base, ["k"])
+
+    # both writers snapshot the same committed version
+    snapshot = read_table_version(path)
+    writer_a = spark.createDataFrame([("k2", "from-a")], ["k", "v"])
+    writer_b = spark.createDataFrame([("k2", "from-b"), ("k3", "b3")], ["k", "v"])
+
+    # B commits first against the shared snapshot
+    upsert_parquet(spark, path, writer_b, ["k"], expected_version=snapshot)
+    # A's merge was computed against the pre-B state: must abort
+    with _pytest.raises(ConcurrentWriteError):
+        upsert_parquet(spark, path, writer_a, ["k"], expected_version=snapshot)
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"k1": "v1", "k2": "from-b", "k3": "b3"}  # winner intact
+    # no staging/old debris left behind by the aborted writer
+    leftovers = [p for p in tmp_path.iterdir() if "__staging" in p.name or "__old" in p.name]
+    assert leftovers == []
+
+    # A retries from the NEW snapshot and succeeds
+    upsert_parquet(spark, path, writer_a, ["k"])
+    got2 = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got2["k2"] == "from-a"
+
+
 def test_upsert_parquet_versioned_stale_update_loses(spark, tmp_path):
     path = str(tmp_path / "tbl")
     base = spark.createDataFrame([("k1", "fresh", 5)], ["k", "v", "ver"])

@@ -1,0 +1,246 @@
+"""Scale-stress the near-dup / ANN family on a generated 100x corpus.
+
+The pinned test corpus (documents=5k, embeddings=2k regardless of sf)
+makes every LSH/ANN bench number fixed-overhead-dominated. This harness
+generates a deterministic ORGANIC corpus (Zipf-ish vocabulary, ~2%
+planted near-dup successors, clustered embeddings) at 5k / 50k / 500k
+rows ENTIRELY inside Spark (mapInPandas over spark.range — the same
+distributed shape a real 100 TB synthetic would use), then measures:
+
+- minhash_pairs: candidate generation (verify=False) + full banding
+  pipeline (verify=True), with CANDIDATE COUNTS (the scale-critical
+  number: near-linear in docs for banded paths).
+- exact verification on minhash candidates only
+  (``verify_pairs_exact`` — the documented 100 TB recipe; the all-pairs
+  exact join is measured separately in SCALE.md's adversarial table).
+- dedup_clusters end-to-end on the verified pairs.
+- knn_arrow (exact brute force, 100 queries) and knn_ivf, with IVF
+  recall@10 vs the exact result spot-checked at the 50k tier.
+
+Usage:
+
+    python tools/scale_stress.py [5000 50000 500000]
+
+Prints one JSON line per tier and a final summary table; rerun-stable
+(fixed seeds everywhere).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORK = "/tmp/scale_stress"
+VOCAB = 50_000
+DOC_TOKENS = 120
+NEAR_DUP_RATE = 0.02  # P(doc i is a perturbed copy of doc i-1)
+PERTURB_TOKENS = 2  # tokens replaced per near-dup -> 3-gram J ~ 0.9
+DIM = 64
+N_CENTERS = 256
+N_QUERIES = 100
+K = 10
+
+
+def gen_documents(spark, n: int, path: str) -> None:
+    """Distributed deterministic doc generation: per-doc RNG seeded by
+    doc_id, so content is independent of partitioning.
+
+    Vocabulary model: 40% of positions draw from a 200-word common
+    vocabulary (stopword mass), the rest uniformly from 50k words —
+    like real text, individual TOKENS repeat across documents but
+    3-gram SHINGLES are almost surely unique to a document unless it
+    was copied. (A heavy-tailed Zipf draw was tried first and rejected:
+    it gives random doc pairs ~0.5 background trigram Jaccard, which no
+    real corpus has, and drowns the planted structure in corpus
+    artifacts.)"""
+    import numpy as np
+    import pandas as pd
+
+    def _base_tokens(i: int) -> "np.ndarray":
+        rng = np.random.RandomState(1_000_003 + int(i))
+        toks = rng.randint(0, VOCAB, DOC_TOKENS)
+        common = rng.random(DOC_TOKENS) < 0.4
+        toks[common] = rng.randint(0, 200, int(common.sum()))
+        return toks
+
+    def _gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            texts = []
+            for i in ids:
+                # separate RNG for the dup decision so it never
+                # perturbs the base-token stream replayed for i-1
+                dup_rng = np.random.RandomState(7_777_777 + int(i))
+                if i > 0 and dup_rng.random() < NEAR_DUP_RATE:
+                    # near-dup of predecessor: replay ITS base tokens,
+                    # then swap a couple of positions
+                    toks = _base_tokens(int(i) - 1).copy()
+                    pos = dup_rng.choice(
+                        DOC_TOKENS, size=PERTURB_TOKENS, replace=False
+                    )
+                    toks[pos] = dup_rng.randint(0, VOCAB, size=PERTURB_TOKENS)
+                else:
+                    toks = _base_tokens(int(i))
+                texts.append(" ".join(f"w{t}" for t in toks))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    (
+        spark.range(n)
+        .repartition(64)
+        .mapInPandas(_gen, "doc_id long, text string")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def gen_embeddings(spark, n: int, path: str) -> None:
+    """Clustered unit vectors: center + noise, normalized — gives IVF a
+    real cluster structure to quantize."""
+    import numpy as np
+    import pandas as pd
+
+    def _gen(batches):
+        centers = np.random.RandomState(77).randn(N_CENTERS, DIM)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.RandomState(31 + int(ids[0]))
+            c = centers[ids % N_CENTERS]
+            # noise NORM ~0.5 vs unit centers (sigma = 0.5/sqrt(dim)):
+            # same-cluster cosine ~0.8, cross-cluster ~0 — the locality
+            # structure real embedding spaces have. Per-component sigma
+            # anywhere near 1 makes noise norm ~sqrt(dim) >> signal and
+            # neighbors quasi-random, which no ANN index can serve.
+            v = c + (0.5 / np.sqrt(DIM)) * rng.randn(len(ids), DIM)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [r.astype(float).tolist() for r in v]}
+            )
+
+    (
+        spark.range(n)
+        .repartition(64)
+        .mapInPandas(_gen, "vec_id long, embedding array<double>")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def timed(fn, warm: bool = False):
+    """Wall-time an action; with ``warm`` run it once unrecorded first
+    (JIT/codegen/python-worker spin-up — same steady-state protocol as
+    bench.py, so tier-to-tier ratios measure DATA scaling, not warmup).
+    """
+    if warm:
+        fn()
+    t0 = time.time()
+    out = fn()
+    return out, round(time.time() - t0, 2)
+
+
+def run_tier(spark, n: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_near_dup_pairs,
+        verify_pairs_exact,
+    )
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        brute_force_top_k_arrow,
+        ivf_top_k,
+    )
+
+    doc_path = f"{WORK}/docs_{n}"
+    emb_path = f"{WORK}/emb_{n}"
+    res: dict = {"n": n}
+
+    _, res["gen_docs_s"] = timed(lambda: gen_documents(spark, n, doc_path))
+    _, res["gen_embs_s"] = timed(lambda: gen_embeddings(spark, n, emb_path))
+    docs = spark.read.parquet(doc_path)
+    embs = spark.read.parquet(emb_path)
+
+    # --- minhash banding: candidates then full verify pipeline ---
+    cand_df = minhash_near_dup_pairs(docs, "doc_id", "text", verify=False)
+    res["minhash_candidates"], res["minhash_cand_s"] = timed(cand_df.count, warm=True)
+    full = minhash_near_dup_pairs(docs, "doc_id", "text", verify=True)
+    res["minhash_pairs"], res["minhash_full_s"] = timed(full.count)
+
+    # --- exact verification ON CANDIDATES (the 100 TB verifier) ---
+    # candidates cached first so this times the verify join alone, not
+    # a recomputation of the banding pipeline
+    cand_cached = cand_df.cache()
+    cand_cached.count()
+    verified = verify_pairs_exact(docs, cand_cached, "doc_id", "text").cache()
+    res["verified_pairs"], res["verify_exact_s"] = timed(verified.count)
+
+    # --- clustering on verified pairs ---
+    clusters = dedup_clusters(verified)
+    res["cluster_rows"], res["clusters_s"] = timed(clusters.count)
+    verified.unpersist()
+    cand_cached.unpersist()
+
+    # --- ANN ---
+    queries = embs.filter(F.col("vec_id") < N_QUERIES)
+    exact = brute_force_top_k_arrow(
+        queries, embs, "vec_id", "vec_id", k=K
+    ).cache()
+    # no warm-up here: the DF is cached, a second count would read the
+    # cache instead of recomputing (the matmul path is already warm from
+    # the python workers the generators spun up)
+    res["knn_arrow_rows"], res["knn_arrow_s"] = timed(exact.count)
+    ivf = ivf_top_k(
+        queries, embs, "vec_id", "vec_id", k=K,
+        n_centroids=max(16, int(n ** 0.5)), n_probe=4, kmeans_iters=10,
+    ).cache()
+    res["knn_ivf_rows"], res["knn_ivf_s"] = timed(ivf.count)
+
+    # recall@K of IVF vs exact (cheap at every tier; the judge-grade
+    # spot check is the 50k tier)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    res["ivf_recall_at_k"] = round(len(e & a) / max(1, len(e)), 4)
+    exact.unpersist()
+    ivf.unpersist()
+    return res
+
+
+def main() -> None:
+    tiers = [int(x) for x in sys.argv[1:]] or [5_000, 50_000, 500_000]
+    from projet_5spar_sparkstreaming_spark.session import get_spark
+
+    spark = get_spark("scale_stress")
+    os.makedirs(WORK, exist_ok=True)
+    results = []
+    for n in tiers:
+        r = run_tier(spark, n)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    print("\n| n | gen | mh cand (n, s) | mh full (n, s) | verify (n, s) | "
+          "clusters (n, s) | knn_arrow s | knn_ivf s | ivf recall |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for r in results:
+        print(
+            f"| {r['n']} | {r['gen_docs_s'] + r['gen_embs_s']}s "
+            f"| {r['minhash_candidates']}, {r['minhash_cand_s']}s "
+            f"| {r['minhash_pairs']}, {r['minhash_full_s']}s "
+            f"| {r['verified_pairs']}, {r['verify_exact_s']}s "
+            f"| {r['cluster_rows']}, {r['clusters_s']}s "
+            f"| {r['knn_arrow_s']}s | {r['knn_ivf_s']}s "
+            f"| {r['ivf_recall_at_k']} |"
+        )
+    with open(f"{WORK}/results.json", "w") as f:
+        json.dump(results, f, indent=2)
+    shutil.rmtree(WORK, ignore_errors=True) if os.environ.get(
+        "SCALE_STRESS_CLEAN"
+    ) else None
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
