@@ -330,6 +330,69 @@ def _bucket_expr(vec_col: str, planes: list[list[float]]):
     return bucket
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS (id_a, id_b, cosine >= threshold)
+    — the embedding twin of ``minhash_near_dup_pairs``: sign-LSH buckets
+    generate candidates (union over ``n_tables`` tables; high-cosine
+    pairs land in the same bucket with probability
+    (1 - theta/pi)^n_planes per table), then candidates are verified
+    with the exact cosine. The bucket self-join carries IDs only; the
+    vectors re-join on the DEDUPED pair set (same shuffle-bytes lesson
+    as the minhash banding join, SCALE.md). No stage is quadratic in
+    the corpus — the plan for "drop embedding-duplicates from 100 TB".
+
+    Recall grows with n_tables and shrinks with threshold distance;
+    pair recall against the exact join is test-enforced
+    (`tests/test_operators.py`).
+    """
+    ids_vecs = corpus.select(
+        F.col(corpus_id).alias("__id"), F.col(corpus_vec).alias("__v")
+    )
+    buckets = F.array(
+        *[
+            _bucket_expr("__v", _hyperplanes(dim, n_planes, t))
+            + F.lit(t << n_planes).cast("long")
+            for t in range(n_tables)
+        ]
+    )
+    banded = ids_vecs.withColumn("__bucket", F.explode(buckets)).select(
+        "__id", "__bucket"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = ids_vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = ids_vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucketed_top_k(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1984,6 +1984,41 @@ def q_doc_token_stats(spark, sf_dir):
     )
 
 
+def q_doc_repetition_stats(spark, sf_dir):
+    # Repetition-based quality signal (the C4/Gopher-style duplicate
+    # n-gram rule, public literature): per document, the fraction of
+    # trigram OCCURRENCES that are repeats of an earlier trigram —
+    # dup_ratio = (total - distinct) / total. High ratios flag
+    # boilerplate/spam for corpus curation. Pure projection (zip_with
+    # trigram chain + array_distinct): no shuffle, no UDF; the single
+    # int/int division is IEEE-identical on both engines.
+    from projet_5spar_sparkstreaming_spark.functions.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    m = F.greatest(F.size(t) - 2, F.lit(0))
+    grams = F.when(
+        m > 0,
+        F.zip_with(
+            F.zip_with(
+                F.slice(t, 1, m), F.slice(t, 2, m), lambda a, b: F.concat_ws(" ", a, b)
+            ),
+            F.slice(t, 3, m),
+            lambda g, c: F.concat_ws(" ", g, c),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ndist = F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        "lang",
+        m.cast("bigint").alias("n_trigrams"),
+        ndist.cast("bigint").alias("n_distinct"),
+        F.when(m > 0, F.round((m - ndist) / m.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
+    )
+
+
 def q_doc_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -2222,6 +2257,26 @@ def q_knn_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return lsh_bucketed_top_k(queries, emb, "vec_id", "vec_id", k=5, n_planes=4, n_tables=12)
+
+
+def q_embedding_neardup_pairs(spark, sf_dir):
+    # Embedding-cosine near-dup pairs via sign-LSH candidates + exact
+    # verify (operators/similarity.py:cosine_near_dup_pairs) — the
+    # approximate counterpart of embedding_pair_sims' exact sampled
+    # join. Deterministic (fixed hyperplane seeds) but approximate:
+    # rows-only check; pair recall vs the exact join is test-enforced.
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    # threshold 0.3 matches the exact sampled join's cut (the synthetic
+    # embeddings are near-orthogonal, so higher cuts yield no pairs);
+    # fewer planes / more tables keeps per-table collision probability
+    # usable at that angular distance
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=4, n_tables=12
+    )
 
 
 def q_embedding_pair_sims(spark, sf_dir):
@@ -3217,6 +3272,7 @@ def catalog() -> list[CatalogQuery]:
         "doc_preview": q_doc_preview,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
+        "doc_repetition_stats": q_doc_repetition_stats,
         "doc_quality": q_doc_quality,
         "doc_keyword_filter": q_doc_keyword_filter,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3229,6 +3285,7 @@ def catalog() -> list[CatalogQuery]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "embedding_pair_sims": q_embedding_pair_sims,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "neardup_edit_distance": q_neardup_edit_distance,
         "embedding_pos_norms": q_embedding_pos_norms,
         "doc_split_assignment": q_doc_split_assignment,
@@ -3249,6 +3306,20 @@ def catalog() -> list[CatalogQuery]:
     }
     oracles = _oracles()
     oracles["doc_lang_id"] = _lang_id_sql()
+    oracles["doc_repetition_stats"] = (
+        f"WITH t AS (SELECT doc_id, lang, "
+        f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS tok FROM documents), "
+        "g AS (SELECT doc_id, lang, GREATEST(len(tok) - 2, 0) AS n_tri, "
+        "CASE WHEN len(tok) >= 3 THEN "
+        "[tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] "
+        "for i in generate_series(1, len(tok) - 2)] "
+        "ELSE [] END AS grams FROM t) "
+        "SELECT doc_id, lang, CAST(n_tri AS BIGINT) AS n_trigrams, "
+        "CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct, "
+        "CASE WHEN n_tri > 0 THEN "
+        "ROUND((n_tri - len(list_distinct(grams))) / CAST(n_tri AS DOUBLE), 6) "
+        "ELSE 0.0 END AS dup_ratio FROM g"
+    )
     oracles["doc_quality"] = _quality_sql()
     oracles["knn_arrow"] = oracles["knn_bruteforce"]
     oracles["user_activity_salted"] = oracles["user_activity"]
@@ -3264,6 +3335,7 @@ def catalog() -> list[CatalogQuery]:
     oracles["multimodal_decode_stats"] = None  # PNG payloads: rows-only
     oracles["multimodal_audio_stats"] = None  # WAV payloads: rows-only
     oracles["multimodal_jpeg_stats"] = None  # JPEG payloads: rows-only
+    oracles["embedding_neardup_pairs"] = None  # LSH candidates: rows-only
     oracles["stream_stream_join"] = (
         # batch equivalent of the inner interval join (emission is
         # complete for inner joins once both streams drain)

@@ -258,6 +258,48 @@ class TestDedupClusters:
         assert len(plan) < 5000, f"plan depth not bounded ({len(plan)} chars)"
 
 
+def test_cosine_near_dup_pairs_recall_vs_exact(spark):
+    """LSH-bucketed cosine pairs: recall floor against the exact
+    all-pairs join on a clustered corpus (the structure embedding
+    spaces actually have), and NO false positives (exact verification
+    means every emitted pair truly clears the threshold)."""
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(20, 64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        v = centers[i % 20] + (0.25 / 8.0) * rng.randn(64)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    # exact reference: brute-force all pairs in numpy
+    mat = np.array([r[1] for r in rows])
+    sims = np.round(mat @ mat.T, 6)
+    exact = {
+        (i, j)
+        for i in range(400)
+        for j in range(i + 1, 400)
+        if sims[i, j] >= 0.9
+    }
+    assert exact, "fixture must contain true near-dup pairs"
+    assert got <= exact  # exact verify: no false positives
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f} on {len(exact)} true pairs"
+
+
 def test_fingerprint_dedup_keeps_min_id(spark):
     from projet_5spar_sparkstreaming_spark.operators.dedup import fingerprint_dedup
 
