@@ -2019,6 +2019,49 @@ def q_doc_repetition_stats(spark, sf_dir):
     )
 
 
+def q_doc_gopher_rules(spark, sf_dir):
+    # Composite curation-rule filter (the Gopher/C4 rule-list shape,
+    # public literature), thresholds adapted to the synthetic corpus so
+    # both outcomes occur: per-document pass/fail flag per rule plus
+    # the overall keep decision. One pure projection over the scan —
+    # the shape of "drop 40% of a 100 TB crawl before any model runs".
+    from projet_5spar_sparkstreaming_spark.functions.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    t = tokens(c)
+    n_toks = F.size(t).cast("double")
+    n_chars = F.length(c).cast("double")
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    mean_wl = F.when(n_toks > 0, n_alpha / n_toks).otherwise(F.lit(0.0))
+    m = F.greatest(F.size(t) - 2, F.lit(0))
+    grams = F.when(
+        m > 0,
+        F.zip_with(
+            F.zip_with(
+                F.slice(t, 1, m), F.slice(t, 2, m), lambda a, b: F.concat_ws(" ", a, b)
+            ),
+            F.slice(t, 3, m),
+            lambda g, x: F.concat_ws(" ", g, x),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_ratio = F.when(
+        m > 0, (m - F.size(F.array_distinct(grams))) / m.cast("double")
+    ).otherwise(F.lit(0.0))
+    r_len = (n_toks >= 20) & (n_toks <= 10000)
+    r_wordlen = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    r_alpha = F.when(n_chars > 0, n_alpha / n_chars >= 0.6).otherwise(F.lit(False))
+    r_rep = dup_ratio <= 0.6
+    return docs.select(
+        "doc_id",
+        r_len.alias("rule_length"),
+        r_wordlen.alias("rule_word_len"),
+        r_alpha.alias("rule_alpha_ratio"),
+        r_rep.alias("rule_repetition"),
+        (r_len & r_wordlen & r_alpha & r_rep).alias("keep"),
+    )
+
+
 def q_doc_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -3273,6 +3316,7 @@ def catalog() -> list[CatalogQuery]:
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
         "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_gopher_rules": q_doc_gopher_rules,
         "doc_quality": q_doc_quality,
         "doc_keyword_filter": q_doc_keyword_filter,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3306,6 +3350,30 @@ def catalog() -> list[CatalogQuery]:
     }
     oracles = _oracles()
     oracles["doc_lang_id"] = _lang_id_sql()
+    oracles["doc_gopher_rules"] = (
+        f"WITH t AS (SELECT doc_id, text, "
+        f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS tok FROM documents), "
+        "f AS (SELECT doc_id, CAST(len(tok) AS DOUBLE) AS n_toks, "
+        "CAST(length(text) AS DOUBLE) AS n_chars, "
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha, "
+        "GREATEST(len(tok) - 2, 0) AS n_tri, "
+        "CASE WHEN len(tok) >= 3 THEN "
+        "[tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] "
+        "for i in generate_series(1, len(tok) - 2)] ELSE [] END AS grams FROM t), "
+        "r AS (SELECT doc_id, "
+        "(n_toks >= 20 AND n_toks <= 10000) AS rule_length, "
+        "(CASE WHEN n_toks > 0 THEN n_alpha / n_toks ELSE 0.0 END >= 3.0 "
+        " AND CASE WHEN n_toks > 0 THEN n_alpha / n_toks ELSE 0.0 END <= 10.0) "
+        "AS rule_word_len, "
+        "(CASE WHEN n_chars > 0 THEN n_alpha / n_chars >= 0.6 ELSE FALSE END) "
+        "AS rule_alpha_ratio, "
+        "(CASE WHEN n_tri > 0 THEN "
+        "(n_tri - len(list_distinct(grams))) / CAST(n_tri AS DOUBLE) "
+        "ELSE 0.0 END <= 0.6) AS rule_repetition FROM f) "
+        "SELECT doc_id, rule_length, rule_word_len, rule_alpha_ratio, "
+        "rule_repetition, (rule_length AND rule_word_len AND rule_alpha_ratio "
+        "AND rule_repetition) AS keep FROM r"
+    )
     oracles["doc_repetition_stats"] = (
         f"WITH t AS (SELECT doc_id, lang, "
         f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS tok FROM documents), "

@@ -29,6 +29,7 @@ def main() -> None:
 
     # streaming / ML entries need their own harness; everything batch runs
     skip = {"stream_minute_counts", "sentiment_scores"}
+    only = set(sys.argv[4:])  # optional query-name subset
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -37,7 +38,7 @@ def main() -> None:
     )
     failures = 0
     for q in catalog():
-        if q.name in skip:
+        if q.name in skip or (only and q.name not in only):
             continue
         hashes = []
         for parts in (parts_a, parts_b):
