@@ -411,6 +411,13 @@ def lsh_bucketed_top_k(
     Candidates = union over tables of same-bucket pairs; exact cosine
     re-scoring on candidates only; top-k per query. Recall grows with
     ``n_tables``; candidate cost shrinks with ``n_planes``.
+
+    Shuffle discipline: the bucket join and pair dedup flow (id, bucket)
+    only — embedding vectors re-join on the DEDUPED candidate set (same
+    shuffle-bytes property as the minhash banding join, SCALE.md;
+    test-enforced for the pair operators). At fixed bucket occupancy the
+    candidate set is corpus-size-independent per query, so the re-join
+    is small.
     """
     def with_buckets(df: DataFrame, id_alias: str, vec_alias: str, idc: str, vecc: str):
         out = df.select(F.col(idc).alias(id_alias), F.col(vecc).alias(vec_alias))
@@ -425,14 +432,30 @@ def lsh_bucketed_top_k(
 
     q = with_buckets(queries, "query_id", "__qv", query_id, query_vec)
     c = with_buckets(corpus, "neighbor_id", "__cv", corpus_id, corpus_vec)
-    cand = q.join(c, "__bucket")
+    cand = q.select("query_id", "__bucket").join(
+        c.select("neighbor_id", "__bucket"), "__bucket"
+    )
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+    cand = cand.select("query_id", "neighbor_id").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    cv = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias(
+                "cosine"
+            ),
+        )
     )
     return top_k_per_group(
         scored,

@@ -24,3 +24,53 @@ def test_plan_shape(spark, name):
     results = audit_query(spark, SF_DIR, name)
     failed = [label for label, ok in results if not ok]
     assert not failed, f"{name}: plan lost properties {failed}"
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _exchange_blocks(plan: str) -> list[str]:
+    """Each physical-plan node description block that is an Exchange."""
+    blocks, cur, in_ex = [], [], False
+    for line in plan.splitlines():
+        if line.startswith("(") and ")" in line:  # new node header
+            if in_ex:
+                blocks.append("\n".join(cur))
+            in_ex = "Exchange" in line and "BroadcastExchange" not in line
+            cur = [line]
+        elif in_ex:
+            cur.append(line)
+    if in_ex:
+        blocks.append("\n".join(cur))
+    return blocks
+
+
+@pytest.mark.parametrize(
+    "query", ["minhash_pairs", "embedding_neardup_pairs"]
+)
+def test_banding_shuffles_carry_ids_not_payloads(spark, query):
+    """The shuffle-bytes property behind the 500k-doc fix (SCALE.md):
+    candidate-pair exchanges (hashpartitioning on id_a/id_b) must carry
+    IDs only — signature arrays / embedding vectors re-join AFTER the
+    dedup. A regression here multiplies shuffle volume ~8x at scale."""
+    from projet_5spar_sparkstreaming_spark.plans.catalog import catalog
+
+    cat = {q.name: q for q in catalog()}
+    plan = _formatted_plan(cat[query].build(spark, SF_DIR))
+    pair_exchanges = [
+        b
+        for b in _exchange_blocks(plan)
+        if "hashpartitioning(id_a" in b or "hashpartitioning(id_b" in b
+    ]
+    assert pair_exchanges, f"{query}: expected a pair-dedup exchange"
+    for block in pair_exchanges:
+        assert "__sig" not in block and "__v" not in block and "__emb" not in block, (
+            f"{query}: payload column shuffled with candidate pairs:\n{block}"
+        )
