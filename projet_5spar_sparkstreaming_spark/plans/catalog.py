@@ -556,6 +556,70 @@ def q_stream_stream_left_join(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_first_event_per_user(spark, sf_dir):
+    # CUSTOM STATEFUL streaming operator executed with a SQL oracle:
+    # stream_first_seen (applyInPandasWithState keyed dedup) replayed
+    # over the events stream keeps each user's earliest event. With an
+    # availableNow single-batch replay the state answer equals the
+    # batch argmin — event timestamps are microsecond-distinct per
+    # user, so min(ts) identifies one row.
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
+    from projet_5spar_sparkstreaming_spark.streaming.stateful import (
+        stream_first_seen,
+    )
+
+    ev = read_parquet_stream(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    first = stream_first_seen(ev, ["user_id"], order_col="ts")
+    name = "q_stream_first_event_sink"
+    chk = tempfile.mkdtemp(prefix="chk_first_seen_")
+    q = (
+        first.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def q_stream_running_key_stats(spark, sf_dir):
+    # Second custom stateful oracle: running per-key accumulators
+    # (applyInPandasWithState, update mode). After a single-batch
+    # replay the running state equals the batch aggregate. Only the
+    # ORDER-INDEPENDENT outputs (count, max) are exposed — a float
+    # running total's addition order differs between engines, which is
+    # exactly the class the determinism sweep exists to catch.
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
+    from projet_5spar_sparkstreaming_spark.streaming.stateful import (
+        running_key_stats,
+    )
+
+    ev = read_parquet_stream(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_key"), "value"
+    )
+    stats = running_key_stats(ev, "user_key", "value")
+    name = "q_stream_running_stats_sink"
+    chk = tempfile.mkdtemp(prefix="chk_running_")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("key", "n_events", "max_value")
+
+
 def q_multimodal_audio_stats(spark, sf_dir):
     # Audio twin of multimodal_decode_stats: render each small embedding
     # into a REAL 16-bit PCM WAV payload (stdlib wave), run the Arrow
@@ -3343,6 +3407,8 @@ def catalog() -> list[CatalogQuery]:
         "stream_session_counts": q_stream_session_counts,
         "stream_stream_join": q_stream_stream_join,
         "stream_stream_left_join": q_stream_stream_left_join,
+        "stream_first_event_per_user": q_stream_first_event_per_user,
+        "stream_running_key_stats": q_stream_running_key_stats,
         "range_join_bands": q_range_join_bands,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "multimodal_audio_stats": q_multimodal_audio_stats,
@@ -3435,6 +3501,16 @@ def catalog() -> list[CatalogQuery]:
         "WHERE p.ts < (SELECT w FROM wm) AND NOT EXISTS ("
         "SELECT 1 FROM s WHERE s.user_id = p.user_id "
         "AND s.ts >= p.ts - INTERVAL 24 HOUR AND s.ts <= p.ts)"
+    )
+    oracles["stream_first_event_per_user"] = (
+        "SELECT user_id, event_id, ts FROM ("
+        "SELECT user_id, event_id, ts, ROW_NUMBER() OVER ("
+        "PARTITION BY user_id ORDER BY ts) AS rn FROM events) WHERE rn = 1"
+    )
+    oracles["stream_running_key_stats"] = (
+        "SELECT CAST(user_id AS VARCHAR) AS key, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "MAX(value) AS max_value FROM events GROUP BY user_id"
     )
     oracles["stream_session_counts"] = (
         # sessionization (gap >= 30 min starts a new session; session
