@@ -228,6 +228,76 @@ def ngram_jaccard_pairs(
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def ngram_jaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ACROSS two document sets —
+    (id_a from ``left``, id_b from ``right``, jaccard >= threshold).
+
+    The INCREMENTAL dedup shape: dedupe a new crawl batch against the
+    already-indexed corpus without paying index×index (the dominant
+    cost — the index is the 100 TB side) or batch×batch work; the only
+    join is new-prefix × index-prefix. PPJoin prefix filtering holds
+    across two sets provided both take their prefixes under ONE shared
+    global order, so document frequency is computed over the UNION of
+    both sides (count window on the shared exploded scan). Shingles
+    with union-df 1 exist on one side only and are dropped from the
+    prefixes (no cross match possible).
+    """
+    shl = left.select(
+        F.col(id_col).alias("__id"),
+        F.sort_array(_shingle_hashes(text_col, n)).alias("__sh"),
+    ).cache()
+    shr = right.select(
+        F.col(id_col).alias("__id"),
+        F.sort_array(_shingle_hashes(text_col, n)).alias("__sh"),
+    ).cache()
+    exploded = shl.withColumn("__side", F.lit("L")).unionByName(
+        shr.withColumn("__side", F.lit("R"))
+    ).select(
+        "__side", "__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__s")
+    )
+    df_w = Window.partitionBy("__s")
+    rank_w = Window.partitionBy("__side", "__id").orderBy("__df", "__s")
+    prefix = (
+        exploded.withColumn("__df", F.count(F.lit(1)).over(df_w))
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(
+            F.col("__rn")
+            <= F.floor(F.col("__sz") * (1.0 - threshold) + 1e-9).cast("int") + 1
+        )
+        .filter(F.col("__df") > 1)
+        .select("__side", "__id", "__s")
+    )
+    a = prefix.filter(F.col("__side") == "L").select(F.col("__id").alias("id_a"), "__s")
+    b = prefix.filter(F.col("__side") == "R").select(F.col("__id").alias("id_b"), "__s")
+    cand = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = shl.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    sb = shr.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__common", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn(
+            "jaccard",
+            F.col("__common")
+            / (F.size("__sha") + F.size("__shb") - F.col("__common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

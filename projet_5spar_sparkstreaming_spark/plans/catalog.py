@@ -2083,6 +2083,19 @@ def q_doc_repetition_stats(spark, sf_dir):
     )
 
 
+def q_incremental_neardup_pairs(spark, sf_dir):
+    # Incremental dedup: the odd-doc_id half plays the NEW crawl batch,
+    # the even half the indexed corpus; only cross-set pairs are
+    # computed (operators/dedup.py:ngram_jaccard_join) — exactly the
+    # daily shape at 100 TB where index x index must never rerun.
+    from projet_5spar_sparkstreaming_spark.operators.dedup import ngram_jaccard_join
+
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    return ngram_jaccard_join(new_batch, index, "doc_id", "text", n=3, threshold=0.8)
+
+
 def q_doc_gopher_rules(spark, sf_dir):
     # Composite curation-rule filter (the Gopher/C4 rule-list shape,
     # public literature), thresholds adapted to the synthetic corpus so
@@ -3381,6 +3394,7 @@ def catalog() -> list[CatalogQuery]:
         "doc_lang_id": q_doc_lang_id,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_gopher_rules": q_doc_gopher_rules,
+        "incremental_neardup_pairs": q_incremental_neardup_pairs,
         "doc_quality": q_doc_quality,
         "doc_keyword_filter": q_doc_keyword_filter,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3416,6 +3430,24 @@ def catalog() -> list[CatalogQuery]:
     }
     oracles = _oracles()
     oracles["doc_lang_id"] = _lang_id_sql()
+    oracles["incremental_neardup_pairs"] = (
+        # cross-set variant of the ngram_jaccard oracle: a-side odd
+        # (new batch), b-side even (index); directional (id_a, id_b)
+        f"WITH toks AS (SELECT doc_id, "
+        f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS t FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform("
+        "  range(0, greatest(len(t) - 3, 0) + 1), "
+        "  i -> array_to_string(t[i + 1 : i + 3], ' '))) AS s FROM toks), "
+        "ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh), "
+        "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c "
+        "  FROM ex a JOIN ex b ON a.shingle = b.shingle "
+        "  AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2), "
+        "sz AS (SELECT doc_id, len(s) AS z FROM sh) "
+        "SELECT id_a, id_b, ROUND(c / (za.z + zb.z - c), 6) AS jaccard "
+        "FROM common JOIN sz za ON id_a = za.doc_id "
+        "JOIN sz zb ON id_b = zb.doc_id "
+        "WHERE c / (za.z + zb.z - c) >= 0.8"
+    )
     oracles["doc_gopher_rules"] = (
         f"WITH t AS (SELECT doc_id, text, "
         f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS tok FROM documents), "

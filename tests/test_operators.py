@@ -258,6 +258,32 @@ class TestDedupClusters:
         assert len(plan) < 5000, f"plan depth not bounded ({len(plan)} chars)"
 
 
+def test_ngram_jaccard_join_cross_set_only(spark):
+    """Incremental dedup: cross-set pairs emitted, within-set duplicate
+    pairs NOT (that's the whole point — the index side is never
+    self-joined)."""
+    from projet_5spar_sparkstreaming_spark.operators.dedup import ngram_jaccard_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " extra"
+    new_batch = spark.createDataFrame(
+        [(1, base), (2, base + " word"), (3, "totally different text here now")],
+        ["doc_id", "text"],
+    )  # docs 1 and 2 are near-dups of EACH OTHER (within-set: ignored)
+    index = spark.createDataFrame(
+        [(10, near), (11, "unrelated content entirely separate words")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_join(
+            new_batch, index, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert (1, 10) in pairs and (2, 10) in pairs
+    assert all(a in (1, 2, 3) and b in (10, 11) for a, b in pairs), pairs
+
+
 def test_cosine_near_dup_pairs_recall_vs_exact(spark):
     """LSH-bucketed cosine pairs: recall floor against the exact
     all-pairs join on a clustered corpus (the structure embedding
