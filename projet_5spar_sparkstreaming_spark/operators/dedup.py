@@ -472,6 +472,108 @@ def minhash_signature_arrow(
     return hashed.mapInPandas(_sig, schema=schema)
 
 
+def _banded_buckets(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) rows from a (id, sig) table.
+
+    Band bucket = xxhash64 of the band's signature SLICE (arrays hash
+    natively) — a bands-sized expression instead of bands*rows_per_band
+    element_at/concat branches, which dominated analysis+codegen time.
+    Only (id, band, bucket) flows into the candidate join: carrying the
+    64-long signature arrays through the banding join + pair-dedup
+    shuffle multiplies shuffle bytes ~8x (measured 121s -> 38s at 500k
+    docs); verification re-joins signatures on the DEDUPED pair set,
+    whose size is O(near-dups), not O(band collisions).
+    """
+    return sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice("__sig", i * rows_per_band + 1, rows_per_band),
+                            F.lit(i),
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__b.band", "__b.bucket")
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    verify: bool = True,
+    signature_impl: str = "arrow",
+) -> DataFrame:
+    """MinHash banding across TWO corpora: candidates/pairs (id_a from
+    ``new_docs``, id_b from ``index_docs``) only — the 100 TB
+    incremental-crawl shape where the index side is never self-joined.
+    In production the index side's signatures and band buckets are
+    PRECOMPUTED and stored (they are deterministic), so a daily run
+    pays one scan of the new batch plus a bucket equi-join against the
+    stored bands; this operator expresses that plan from raw text.
+    Same banding/verify semantics as ``minhash_near_dup_pairs``.
+    """
+    rows_per_band = num_hashes // bands
+
+    def _sig(df: DataFrame) -> DataFrame:
+        if signature_impl == "arrow":
+            return minhash_signature_arrow(df, id_col, text_col, n, num_hashes)
+        return df.select(
+            F.col(id_col).alias("__id"),
+            minhash_signature(text_col, n, num_hashes).alias("__sig"),
+        )
+
+    sig_new = _sig(new_docs)
+    sig_idx = _sig(index_docs)
+    if verify:
+        sig_new = sig_new.cache()
+        sig_idx = sig_idx.cache()
+    a = _banded_buckets(sig_new, bands, rows_per_band).alias("a")
+    b = _banded_buckets(sig_idx, bands, rows_per_band).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") != F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        return cand
+    sa = sig_new.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__siga"))
+    sb = sig_idx.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sigb"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("__siga", "__sigb", lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
+            ).cast("double")
+            / F.lit(float(num_hashes)),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -507,31 +609,7 @@ def minhash_near_dup_pairs(
         # reused by the banding join AND both sides of the estimate
         # join below — compute signatures once
         sig = sig.cache()
-    # Band bucket = xxhash64 of the band's signature SLICE (arrays hash
-    # natively) — a bands-sized expression instead of bands*rows_per_band
-    # element_at/concat branches, which dominated analysis+codegen time.
-    # Only (id, band, bucket) flows into the join: carrying the 64-long
-    # signature arrays through the banding join + pair-dedup shuffle
-    # multiplies shuffle bytes ~8x (measured 121s -> 27s at 500k docs);
-    # the verify step re-joins signatures on the DEDUPED pair set
-    # instead, whose size is O(near-dups), not O(band collisions).
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.slice("__sig", i * rows_per_band + 1, rows_per_band),
-                            F.lit(i),
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("__b"),
-    ).select("__id", "__b.band", "__b.bucket")
+    banded = _banded_buckets(sig, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
