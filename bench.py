@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "containment_pairs",
     "knn_bruteforce",
     "knn_arrow",
+    # round-4 additions: incremental dedup + curation projections
+    "incremental_neardup_pairs",
+    "doc_repetition_stats",
+    "doc_gopher_rules",
 ]
 
 

@@ -330,6 +330,60 @@ def _bucket_expr(vec_col: str, planes: list[list[float]]):
     return bucket
 
 
+def _lsh_buckets_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    id_alias: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+) -> DataFrame:
+    """(id, __bucket) rows for ALL tables via one Arrow matmul: the
+    (rows x dim) batch against the stacked (n_tables*n_planes x dim)
+    hyperplane matrix, sign bits packed per table. Replaces
+    n_tables*n_planes interpreted per-plane dot-product expressions
+    per row (~50x fewer evaluator dispatches); bucket ids are identical
+    to ``_bucket_expr`` (same hyperplane seeds, same bit packing).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes = np.concatenate(
+        [np.asarray(_hyperplanes(dim, n_planes, t)) for t in range(n_tables)]
+    )  # (n_tables*n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))  # bit packing
+    offsets = (np.arange(n_tables, dtype=np.int64) << n_planes)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_alias, df.schema[id_col].dataType, False),
+            T.StructField("__bucket", T.LongType(), False),
+        ]
+    )
+    idc, vecc = id_col, vec_col
+
+    def _bucketize(batches):
+        for pdf in batches:
+            m = np.array(list(pdf[vecc]), dtype=np.float64)  # (N, dim)
+            bits = (m @ planes.T) > 0  # (N, tables*planes)
+            per_table = bits.reshape(len(m), n_tables, n_planes)
+            buckets = (per_table * weights[None, None, :]).sum(axis=2) + offsets[
+                None, :
+            ]  # (N, tables)
+            ids = np.repeat(pdf[idc].to_numpy(), n_tables)
+            yield pd.DataFrame({id_alias: ids, "__bucket": buckets.reshape(-1)})
+
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        _ensure_min_parallelism,
+    )
+
+    return _ensure_min_parallelism(df.select(idc, vecc), idc).mapInPandas(
+        _bucketize, schema
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     corpus_id: str,
@@ -356,16 +410,23 @@ def cosine_near_dup_pairs(
     ids_vecs = corpus.select(
         F.col(corpus_id).alias("__id"), F.col(corpus_vec).alias("__v")
     )
-    buckets = F.array(
-        *[
-            _bucket_expr("__v", _hyperplanes(dim, n_planes, t))
-            + F.lit(t << n_planes).cast("long")
-            for t in range(n_tables)
-        ]
-    )
-    banded = ids_vecs.withColumn("__bucket", F.explode(buckets)).select(
-        "__id", "__bucket"
-    )
+    try:
+        import numpy  # noqa: F401
+
+        banded = _lsh_buckets_arrow(
+            corpus, corpus_id, corpus_vec, "__id", n_planes, n_tables, dim
+        )
+    except ImportError:
+        buckets = F.array(
+            *[
+                _bucket_expr("__v", _hyperplanes(dim, n_planes, t))
+                + F.lit(t << n_planes).cast("long")
+                for t in range(n_tables)
+            ]
+        )
+        banded = ids_vecs.withColumn("__bucket", F.explode(buckets)).select(
+            "__id", "__bucket"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -420,15 +481,24 @@ def lsh_bucketed_top_k(
     is small.
     """
     def with_buckets(df: DataFrame, id_alias: str, vec_alias: str, idc: str, vecc: str):
-        out = df.select(F.col(idc).alias(id_alias), F.col(vecc).alias(vec_alias))
-        buckets = F.array(
-            *[
-                _bucket_expr(vec_alias, _hyperplanes(dim, n_planes, t))
-                + F.lit(t << n_planes).cast("long")
-                for t in range(n_tables)
-            ]
-        )
-        return out.withColumn("__bucket", F.explode(buckets))
+        try:
+            import numpy  # noqa: F401
+
+            return _lsh_buckets_arrow(
+                df, idc, vecc, id_alias, n_planes, n_tables, dim
+            )
+        except ImportError:
+            out = df.select(F.col(idc).alias(id_alias), F.col(vecc).alias(vec_alias))
+            buckets = F.array(
+                *[
+                    _bucket_expr(vec_alias, _hyperplanes(dim, n_planes, t))
+                    + F.lit(t << n_planes).cast("long")
+                    for t in range(n_tables)
+                ]
+            )
+            return out.withColumn("__bucket", F.explode(buckets)).select(
+                id_alias, "__bucket"
+            )
 
     q = with_buckets(queries, "query_id", "__qv", query_id, query_vec)
     c = with_buckets(corpus, "neighbor_id", "__cv", corpus_id, corpus_vec)
