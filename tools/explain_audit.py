@@ -117,6 +117,21 @@ CHECKS = {
     "minhash_pairs": [
         ("banded equi-join, no cartesian", "!CartesianProduct"),
     ],
+    "embedding_neardup_pairs": [
+        # bucket equi-join candidates; a cartesian here is the
+        # quadratic-corpus failure mode
+        ("bucketed equi-join, no cartesian", "!CartesianProduct"),
+    ],
+    "incremental_neardup_pairs": [
+        ("cross-set prefix equi-join, no cartesian", "!CartesianProduct"),
+    ],
+    "doc_gopher_rules": [
+        # curation rules are a pure projection over the scan
+        ("no exchange (projection only)", "!Exchange"),
+    ],
+    "doc_repetition_stats": [
+        ("no exchange (projection only)", "!Exchange"),
+    ],
 }
 
 
