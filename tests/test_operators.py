@@ -284,6 +284,31 @@ def test_ngram_jaccard_join_cross_set_only(spark):
     assert all(a in (1, 2, 3) and b in (10, 11) for a, b in pairs), pairs
 
 
+def test_ngram_jaccard_join_matches_self_join_cross_pairs(spark, sf_dir):
+    """Cross-set join == the oracled self-join restricted to cross-set
+    pairs (up to pair orientation): the incremental operator must find
+    exactly the same near-dups, just without paying within-set work."""
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        ngram_jaccard_join,
+        ngram_jaccard_pairs,
+    )
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_table
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    cross = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]), r["jaccard"])
+        for r in ngram_jaccard_join(odd, even, "doc_id", "text").collect()
+    }
+    all_pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+        if (r["id_a"] % 2) != (r["id_b"] % 2)
+    }
+    assert cross == all_pairs
+
+
 def test_cosine_near_dup_pairs_recall_vs_exact(spark):
     """LSH-bucketed cosine pairs: recall floor against the exact
     all-pairs join on a clustered corpus (the structure embedding
