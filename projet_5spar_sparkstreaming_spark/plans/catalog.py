@@ -620,6 +620,35 @@ def q_stream_running_key_stats(spark, sf_dir):
     return spark.table(name).select("key", "n_events", "max_value")
 
 
+def q_stream_curate_corpus(spark, sf_dir):
+    # The END-TO-END streaming curation pipeline executed with the
+    # BATCH pipeline's SQL oracle: quality/length filters + fingerprint
+    # first-seen dedup over the replayed documents stream converge to
+    # curate_corpus on the same input (min-id canonical per
+    # fingerprint, T8 stream/batch parity for the whole chain).
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.plans.corpus import curate_corpus_stream
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
+
+    docs = read_parquet_stream(spark, sf_dir, "documents")
+    curated = curate_corpus_stream(
+        docs, min_quality=0.59, min_tokens=10, max_tokens=100_000
+    ).select("doc_id", "lang", "quality", "n_tokens")
+    name = "q_stream_curate_sink"
+    chk = tempfile.mkdtemp(prefix="chk_curate_")
+    q = (
+        curated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_multimodal_audio_stats(spark, sf_dir):
     # Audio twin of multimodal_decode_stats: render each small embedding
     # into a REAL 16-bit PCM WAV payload (stdlib wave), run the Arrow
@@ -3423,6 +3452,7 @@ def catalog() -> list[CatalogQuery]:
         "stream_stream_left_join": q_stream_stream_left_join,
         "stream_first_event_per_user": q_stream_first_event_per_user,
         "stream_running_key_stats": q_stream_running_key_stats,
+        "stream_curate_corpus": q_stream_curate_corpus,
         "range_join_bands": q_range_join_bands,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "multimodal_audio_stats": q_multimodal_audio_stats,
@@ -3562,6 +3592,9 @@ def catalog() -> list[CatalogQuery]:
         "WHERE session_end <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)"
     )
     oracles["curate_corpus"] = _curate_sql()
+    # the streaming replay converges to the batch pipeline (T8 parity
+    # for the full curation chain)
+    oracles["stream_curate_corpus"] = _curate_sql()
     # candidate pairs (nested-WITH subquery) -> prefix edit distance
     oracles["neardup_edit_distance"] = (
         "SELECT id_a, id_b, "

@@ -46,3 +46,42 @@ def curate_corpus(
         & (F.col("n_tokens") <= max_tokens)
     )
     return fingerprint_dedup(filtered, text_col, keep_by=id_col)
+
+
+def curate_corpus_stream(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    dedup_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``curate_corpus``: the SAME quality/length
+    filter expressions run over an unbounded document stream (narrow,
+    stream-safe — at 100 TB/day they drop rows inside the scan before
+    any state), and the near-exact fingerprint dedup incrementalizes as
+    keyed first-seen state on the normalization fingerprint
+    (streaming/stateful.py:stream_first_seen): the first document with
+    a given fingerprint passes, later near-identical copies are
+    suppressed across micro-batches. ``dedup_ttl_ms`` bounds state for
+    endless streams (a fingerprint may re-emit after the TTL).
+    """
+    from projet_5spar_sparkstreaming_spark.functions.textstats import doc_fingerprint
+    from projet_5spar_sparkstreaming_spark.streaming.stateful import (
+        stream_first_seen,
+    )
+
+    scored = docs_stream.withColumn(
+        "quality", F.round(quality_score(text_col), 6)
+    ).withColumn("n_tokens", token_count(text_col))
+    filtered = scored.filter(
+        (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+    )
+    with_fp = filtered.withColumn("__fp", doc_fingerprint(text_col))
+    deduped = stream_first_seen(
+        with_fp, ["__fp"], order_col=id_col, ttl_ms=dedup_ttl_ms
+    )
+    return deduped.drop("__fp")
