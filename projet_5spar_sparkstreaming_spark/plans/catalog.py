@@ -649,6 +649,37 @@ def q_stream_curate_corpus(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_enriched_segment_counts(spark, sf_dir):
+    # STREAM-STATIC broadcast join executed with a SQL oracle: the
+    # events stream enriches against the static customer dim (no
+    # streaming state for the join — map-side broadcast per
+    # micro-batch), then aggregates per market segment. Converges to
+    # the batch join + groupBy.
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
+    from projet_5spar_sparkstreaming_spark.streaming.jobs import enrich_with_dim
+
+    ev = read_parquet_stream(spark, sf_dir, "events").select("user_id", "value")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_with_dim(ev, dim, "user_id", how="inner")
+    agg = enriched.groupBy("c_mktsegment").agg(F.count("*").alias("cnt"))
+    name = "q_stream_enriched_sink"
+    chk = tempfile.mkdtemp(prefix="chk_enrich_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_multimodal_audio_stats(spark, sf_dir):
     # Audio twin of multimodal_decode_stats: render each small embedding
     # into a REAL 16-bit PCM WAV payload (stdlib wave), run the Arrow
@@ -3453,6 +3484,7 @@ def catalog() -> list[CatalogQuery]:
         "stream_first_event_per_user": q_stream_first_event_per_user,
         "stream_running_key_stats": q_stream_running_key_stats,
         "stream_curate_corpus": q_stream_curate_corpus,
+        "stream_enriched_segment_counts": q_stream_enriched_segment_counts,
         "range_join_bands": q_range_join_bands,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "multimodal_audio_stats": q_multimodal_audio_stats,
@@ -3563,6 +3595,11 @@ def catalog() -> list[CatalogQuery]:
         "WHERE p.ts < (SELECT w FROM wm) AND NOT EXISTS ("
         "SELECT 1 FROM s WHERE s.user_id = p.user_id "
         "AND s.ts >= p.ts - INTERVAL 24 HOUR AND s.ts <= p.ts)"
+    )
+    oracles["stream_enriched_segment_counts"] = (
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+        "GROUP BY c_mktsegment"
     )
     oracles["stream_first_event_per_user"] = (
         "SELECT user_id, event_id, ts FROM ("
