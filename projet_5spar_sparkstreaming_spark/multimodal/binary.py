@@ -299,20 +299,108 @@ def sample_video_frames(
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """STUB frame sampler: emits every_n 'frames' per payload (fake
-    slices of the byte stream; a real impl would call an av demuxer).
-    Demonstrates the 1-row -> N-rows mapInPandas expansion shape."""
+    """Frame sampler (1-row -> N-rows mapInPandas expansion).
+
+    Y4M (YUV4MPEG2) payloads are REALLY demuxed (multimodal/y4m.py):
+    every ``every_n``-th frame's luma plane is emitted as the frame
+    payload. Compressed containers (mp4/webm) genuinely need external
+    decoders and take the deterministic stub (fake byte-stream slices)
+    so the pipeline shape stays exercisable.
+    """
+    from projet_5spar_sparkstreaming_spark.multimodal.y4m import (
+        Y4M_SIG,
+        iter_y4m_frames,
+        parse_y4m_header,
+    )
+
     id_name, payload_name = id_col, payload_col
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf[id_name], pdf[payload_name]):
-                step = max(1, len(payload) // every_n)
-                for i in range(0, min(every_n, len(payload))):
+                data = bytes(payload)
+                if data[: len(Y4M_SIG)] == Y4M_SIG:
+                    w, h, _fps, _cs, _off = parse_y4m_header(data)
+                    luma = w * h
+                    for i, frame in enumerate(iter_y4m_frames(data)):
+                        if i % every_n:
+                            continue
+                        ids.append(int(mid))
+                        idxs.append(i)
+                        frames.append(frame[:luma])  # Y plane
+                    continue
+                step = max(1, len(data) // every_n)
+                for i in range(0, min(every_n, len(data))):
                     ids.append(int(mid))
                     idxs.append(i)
-                    frames.append(bytes(payload[i * step : i * step + step]))
+                    frames.append(data[i * step : i * step + step])
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(_sample, schema=_FRAME_SCHEMA)
+
+
+_VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("fps", T.DoubleType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("mean_luma", T.DoubleType(), False),
+    ]
+)
+
+
+def decode_video_stats(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL video decode for Y4M payloads: container metadata (dims,
+    frame rate, frame count, duration) plus mean luma over the actual
+    decoded frames. Non-Y4M payloads raise — compressed video needs an
+    external decoder; this covers the uncompressed-capture case with
+    zero dependencies (the video twin of ``decode_audio_batch``)."""
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.multimodal.y4m import (
+        iter_y4m_frames,
+        parse_y4m_header,
+    )
+
+    id_name, payload_name = id_col, payload_col
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, ns, fpss, durs, lumas = [], [], [], [], [], []
+            for p in pdf[payload_name]:
+                data = bytes(p)
+                w, h, (fn, fd), _cs, _off = parse_y4m_header(data)
+                luma = w * h
+                total = 0.0
+                count = 0
+                for frame in iter_y4m_frames(data):
+                    total += float(
+                        np.frombuffer(frame[:luma], dtype=np.uint8).mean()
+                    )
+                    count += 1
+                fps = fn / fd
+                ws.append(w)
+                hs.append(h)
+                ns.append(count)
+                fpss.append(round(fps, 6))
+                durs.append(int(round(1000.0 * count / fps)) if fps else 0)
+                lumas.append(round(total / count, 6) if count else 0.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_name].astype("int64"),
+                    "width": ws,
+                    "height": hs,
+                    "n_frames": ns,
+                    "fps": fpss,
+                    "duration_ms": durs,
+                    "mean_luma": lumas,
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=_VIDEO_SCHEMA)

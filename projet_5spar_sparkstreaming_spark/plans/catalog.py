@@ -725,6 +725,44 @@ def q_multimodal_audio_stats(spark, sf_dir):
     )
 
 
+def q_multimodal_video_stats(spark, sf_dir):
+    # Video twin of the PNG/JPEG/WAV queries: render each small
+    # embedding into a REAL 4-frame 8x8 Y4M payload (multimodal/
+    # y4m.py), run the Arrow video decode operator (container metadata
+    # + mean luma from the actual demuxed frames). Deterministic
+    # rows-only check.
+    from projet_5spar_sparkstreaming_spark.multimodal.binary import (
+        decode_video_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+
+    def _render(batches):
+        import pandas as pd
+
+        from projet_5spar_sparkstreaming_spark.multimodal.y4m import encode_y4m
+
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                # 64 floats -> 4 frames of 8x8 luma (16 values each,
+                # tiled 4x to fill the plane)
+                frames = []
+                for f in range(4):
+                    seg = [
+                        max(0, min(255, int(abs(float(v)) * 512.0)))
+                        for v in vec[f * 16 : (f + 1) * 16]
+                    ]
+                    frames.append(bytes(seg * 4))
+                payloads.append(encode_y4m(frames, 8, 8, fps=(25, 1)))
+            yield pd.DataFrame({"media_id": pdf["vec_id"], "payload": payloads})
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        _render, "media_id long, payload binary"
+    )
+    return decode_video_stats(media)
+
+
 _VALUE_BANDS = [
     (0.0, 50.0, "low"),
     (50.0, 150.0, "mid"),
@@ -3489,6 +3527,7 @@ def catalog() -> list[CatalogQuery]:
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "multimodal_audio_stats": q_multimodal_audio_stats,
         "multimodal_jpeg_stats": q_multimodal_jpeg_stats,
+        "multimodal_video_stats": q_multimodal_video_stats,
     }
     oracles = _oracles()
     oracles["doc_lang_id"] = _lang_id_sql()
@@ -3564,6 +3603,7 @@ def catalog() -> list[CatalogQuery]:
     oracles["multimodal_audio_stats"] = None  # WAV payloads: rows-only
     oracles["multimodal_jpeg_stats"] = None  # JPEG payloads: rows-only
     oracles["embedding_neardup_pairs"] = None  # LSH candidates: rows-only
+    oracles["multimodal_video_stats"] = None  # Y4M payloads: rows-only
     oracles["stream_stream_join"] = (
         # batch equivalent of the inner interval join (emission is
         # complete for inner joins once both streams drain)
