@@ -62,6 +62,19 @@ def _decode_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
             from projet_5spar_sparkstreaming_spark.multimodal.jpeg import decode_jpeg
 
             return decode_jpeg(data)
+        from projet_5spar_sparkstreaming_spark.multimodal.y4m import (
+            Y4M_SIG,
+            iter_y4m_frames,
+            parse_y4m_header,
+        )
+
+        if data[: len(Y4M_SIG)] == Y4M_SIG:
+            # video payloads feature-extract from the FIRST frame's
+            # luma plane — the keyframe-thumbnail convention
+            w, h, _fps, _cs, _off = parse_y4m_header(data)
+            first = next(iter_y4m_frames(data), None)
+            if first is not None:
+                return w, h, 1, first[: w * h]
     except ValueError:
         # unsupported codec variant: degrade to the stub instead of
         # failing the Spark task

@@ -61,6 +61,22 @@ def test_sample_video_frames_real_demux(spark):
         assert frame == frames[idx]
 
 
+def test_decode_image_batch_y4m_first_frame_features(spark):
+    # the unified decode path feature-extracts video payloads from the
+    # first frame's luma (keyframe thumbnail): constant-luma frame ->
+    # constant features
+    from projet_5spar_sparkstreaming_spark.multimodal.binary import (
+        decode_image_batch,
+    )
+
+    frames = [bytes([200] * 64), bytes([10] * 64)]  # second frame ignored
+    df = spark.createDataFrame(
+        [(1, encode_y4m(frames, 8, 8))], "media_id long, payload binary"
+    )
+    out = decode_image_batch(df).collect()[0]
+    assert out["features"] == pytest.approx([200 / 255.0] * 16)
+
+
 def test_decode_video_stats_real_metadata(spark):
     w, h, n = 16, 8, 6
     frames = [bytes([v] * (w * h)) for v in (0, 50, 100, 150, 200, 250)]
