@@ -80,6 +80,38 @@ def get_spark(
     return spark
 
 
+def cluster_conf(
+    total_cores: int = 5000,
+    broadcast_threshold_mb: int = 256,
+    use_rocksdb_state: bool = True,
+) -> dict[str, str]:
+    """Recommended SQL conf overrides for a real multi-executor cluster
+    (SCALE.md's knob table, as code): pass to ``get_spark(master=None,
+    extra_conf=cluster_conf(...))`` under an external cluster manager.
+
+    - shuffle partitions ~2x total cores (AQE coalesces down, skew-join
+      splits hot keys at runtime — both already on in the base conf);
+    - broadcast threshold raised so dimension tables up to ~1e8 rows
+      avoid shuffles (the base default 10MB is sized for laptops);
+    - RocksDB state store for streaming state that exceeds executor
+      heap (watermarked windows/joins/dedup at 100 TB/day).
+    Everything else in the factory (UTC, Arrow, parquet split sizing,
+    LTZ timestamp inference) is scale-independent and carries over.
+    """
+    conf = {
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.autoBroadcastJoinThreshold": str(
+            broadcast_threshold_mb * 1024 * 1024
+        ),
+    }
+    if use_rocksdb_state:
+        conf["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider"
+        )
+    return conf
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

@@ -380,3 +380,61 @@ def test_incremental_rollup_matches_batch(spark, tmp_path):
         for r in read_rollup(spark, out_dir).collect()
     }
     assert again == expected
+
+
+def test_windowed_state_on_rocksdb_provider(spark, tmp_path):
+    """The cluster profile's RocksDB state store actually executes:
+    a watermarked windowed aggregation runs with
+    RocksDBStateStoreProvider and produces the same counts as the
+    default (HDFS-backed) provider. Provider conf is restored so other
+    tests keep the default."""
+    import json
+
+    from projet_5spar_sparkstreaming_spark.session import cluster_conf
+    from projet_5spar_sparkstreaming_spark.streaming.windows import windowed_counts
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    rows = [
+        {"ts": f"2024-01-01 10:{m:02d}:00", "k": "a"} for m in range(0, 30, 5)
+    ]
+    (d / "ev.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    provider = cluster_conf()[key]
+    before = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        stream = (
+            spark.readStream.schema("ts string, k string")
+            .json(str(d))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = windowed_counts(stream, "ts", "10 minutes", "10 minutes")
+        chk = str(tmp_path / "chk")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rocksdb_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["window_start"].minute: r["cnt"]
+            for r in spark.table("rocksdb_counts").collect()
+        }
+        assert got == {0: 2, 10: 2, 20: 2}
+        # the checkpoint really used RocksDB (its state dir layout)
+        import pathlib
+
+        state_files = list(pathlib.Path(chk).glob("state/**/*.zip")) + list(
+            pathlib.Path(chk).glob("state/**/*.changelog")
+        )
+        assert state_files, "no RocksDB snapshot files under the checkpoint"
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
