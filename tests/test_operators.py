@@ -258,6 +258,26 @@ class TestDedupClusters:
         assert len(plan) < 5000, f"plan depth not bounded ({len(plan)} chars)"
 
 
+def test_jaccard_threshold_monotone(spark, sf_dir):
+    """Invariant: raising the threshold can only REMOVE pairs — the
+    prefix length shrinks with t, so a bug in the prefix-bound
+    arithmetic (the classic off-by-one this operator once guarded with
+    an epsilon) shows up as a violation here."""
+    from projet_5spar_sparkstreaming_spark.operators.dedup import ngram_jaccard_pairs
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_table
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    def pairs(t):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=t).collect()
+        }
+
+    p6, p8, p9 = pairs(0.6), pairs(0.8), pairs(0.9)
+    assert p9 <= p8 <= p6
+    assert p6, "corpus must contain pairs at the loosest threshold"
+
+
 def test_ngram_jaccard_join_cross_set_only(spark):
     """Incremental dedup: cross-set pairs emitted, within-set duplicate
     pairs NOT (that's the whole point — the index side is never
