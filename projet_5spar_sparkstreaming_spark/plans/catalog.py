@@ -3600,10 +3600,49 @@ def catalog() -> list[CatalogQuery]:
         "GROUP BY band"
     )
     oracles["multimodal_decode_stats"] = None  # PNG payloads: rows-only
-    oracles["multimodal_audio_stats"] = None  # WAV payloads: rows-only
+    # Audio also carries an EXACT SQL oracle: the WAV render is
+    # sample = clamp(trunc(v*20000), int16) per embedding value, and
+    # RMS/zero-crossings recompute from those integers — sum of int
+    # squares / 64 is exact in float64 and sqrt is correctly rounded,
+    # so both engines produce the identical double before rounding.
+    oracles["multimodal_audio_stats"] = (
+        "WITH s AS (SELECT vec_id, "
+        # CAST before multiplying: FLOAT*literal runs in float32 and
+        # rounds 4903.99986 -> 4904.0f, flipping the truncation
+        "GREATEST(-32768.0, LEAST(32767.0, "
+        "TRUNC(CAST(u AS DOUBLE) * 20000.0))) AS smp, ord "
+        "FROM (SELECT vec_id, UNNEST(embedding) AS u, "
+        "UNNEST(generate_series(1, len(embedding))) AS ord "
+        "FROM embeddings WHERE vec_id < 64)), "
+        "t AS (SELECT vec_id, smp, CASE WHEN (smp < 0) != "
+        "(LAG(smp) OVER (PARTITION BY vec_id ORDER BY ord) < 0) "
+        "THEN 1 ELSE 0 END AS trans FROM s) "
+        "SELECT vec_id AS media_id, 8000 AS sample_rate, "
+        "CAST(8 AS BIGINT) AS duration_ms, "
+        "ROUND(SQRT(SUM(smp * smp) / 64.0), 6) AS rms, "
+        "ROUND(SUM(trans) / 63.0, 6) AS zero_crossing_rate "
+        "FROM t GROUP BY vec_id"
+    )
     oracles["multimodal_jpeg_stats"] = None  # JPEG payloads: rows-only
     oracles["embedding_neardup_pairs"] = None  # LSH candidates: rows-only
-    oracles["multimodal_video_stats"] = None  # Y4M payloads: rows-only
+    # The video query has an EXACT SQL oracle: the render is
+    # byte = least(255, floor(abs(v)*512)) per embedding value, each
+    # value tiled 4x into its frame, so mean_luma over the decoded
+    # frames equals the plain average of the 64 per-value bytes — and
+    # every intermediate is an integer over a power-of-two denominator,
+    # so the float value is IDENTICAL on both engines (no rounding
+    # races). Container metadata is constant by construction.
+    oracles["multimodal_video_stats"] = (
+        "SELECT vec_id AS media_id, 8 AS width, 8 AS height, "
+        "4 AS n_frames, CAST(25.0 AS DOUBLE) AS fps, "
+        "CAST(160 AS BIGINT) AS duration_ms, "
+        # CAST before multiplying: float32 ABS(v)*512 can round across
+        # the floor boundary (see the audio oracle)
+        "ROUND(AVG(LEAST(255.0, FLOOR(ABS(CAST(v AS DOUBLE)) * 512.0))), 6) "
+        "AS mean_luma "
+        "FROM (SELECT vec_id, UNNEST(embedding) AS v FROM embeddings "
+        "WHERE vec_id < 64) GROUP BY vec_id"
+    )
     oracles["stream_stream_join"] = (
         # batch equivalent of the inner interval join (emission is
         # complete for inner joins once both streams drain)
