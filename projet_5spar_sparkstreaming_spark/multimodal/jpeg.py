@@ -275,8 +275,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     channels is 1 (grayscale) or 3 (RGB, converted from YCbCr with
     BT.601 full-range as the spec's JFIF convention). Raises
     ``ValueError`` on non-baseline streams (progressive, arithmetic,
-    12-bit) so callers can route to a stub.
+    12-bit) AND on corrupt/truncated streams — the single exception
+    contract the Spark operators route to the stub path (a leaked
+    IndexError would fail the whole task on one bad payload;
+    fuzz-tested in tests/test_jpeg_codec.py).
     """
+    try:
+        return _decode_jpeg_impl(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(
+            f"invalid JPEG: corrupt or truncated stream ({type(e).__name__})"
+        ) from e
+
+
+def _decode_jpeg_impl(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -103,8 +103,19 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
 
     Validates signature and chunk CRCs; handles all five scanline
     filters; raises ValueError on anything outside the supported subset
-    (interlace, palette, 16-bit) so callers can fall back.
+    (interlace, palette, 16-bit) AND on corrupt/truncated streams — the
+    single exception contract the Spark operators route to the stub
+    path (fuzz-tested in tests/test_jpeg_codec.py alongside JPEG/Y4M).
     """
+    try:
+        return _decode_png_impl(data)
+    except (IndexError, struct.error, zlib.error) as e:
+        raise ValueError(
+            f"invalid PNG: corrupt or truncated stream ({type(e).__name__})"
+        ) from e
+
+
+def _decode_png_impl(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos = 8

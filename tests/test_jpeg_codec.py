@@ -200,6 +200,41 @@ def test_decode_420_subsampling_with_restart_markers(restart_interval):
     assert err.mean() <= 6.0 and err.max() <= 40, (err.mean(), err.max())
 
 
+def test_codecs_raise_only_valueerror_on_corruption():
+    """Exception contract shared by all three codecs: ANY corruption of
+    a valid stream either decodes or raises ValueError — never an
+    IndexError/KeyError/zlib.error that would fail a whole Spark task
+    on one bad payload. 300 random corruptions per codec, fixed seed."""
+    import random
+
+    from projet_5spar_sparkstreaming_spark.multimodal.png import (
+        decode_png,
+        encode_png,
+    )
+    from projet_5spar_sparkstreaming_spark.multimodal.y4m import (
+        encode_y4m,
+        iter_y4m_frames,
+    )
+
+    img = np.random.RandomState(0).randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    rng = random.Random(1)
+    cases = [
+        ("jpeg", encode_jpeg(img.tobytes(), 16, 16, 3), decode_jpeg),
+        ("png", encode_png(img.tobytes(), 16, 16, 3), decode_png),
+        ("y4m", encode_y4m([bytes(256)] * 3, 16, 16), lambda d: list(iter_y4m_frames(d))),
+    ]
+    for name, base, decode in cases:
+        for _ in range(300):
+            data = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                data[rng.randrange(2, len(data))] = rng.randrange(256)
+            try:
+                decode(bytes(data))
+            except ValueError:
+                pass  # the contract
+            # anything else propagates and fails the test
+
+
 def test_jpeg_roundtrip_property():
     """Property: any smooth-ish image round-trips with bounded error and
     exact dimensions for arbitrary sizes (hypothesis)."""
