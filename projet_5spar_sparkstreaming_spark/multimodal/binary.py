@@ -185,13 +185,19 @@ def decode_audio_batch(
         for pdf in batches:
             rates, chans, durs, rmss, zcrs = [], [], [], [], []
             for p in pdf[payload_name]:
-                with wave.open(io.BytesIO(bytes(p))) as w:
-                    if w.getsampwidth() != 2:
-                        raise ValueError("only 16-bit PCM WAV supported")
-                    rate = w.getframerate()
-                    n = w.getnframes()
-                    ch = w.getnchannels()
-                    raw = w.readframes(n)
+                try:
+                    with wave.open(io.BytesIO(bytes(p))) as w:
+                        if w.getsampwidth() != 2:
+                            raise ValueError("only 16-bit PCM WAV supported")
+                        rate = w.getframerate()
+                        n = w.getnframes()
+                        ch = w.getnchannels()
+                        raw = w.readframes(n)
+                except (wave.Error, EOFError) as e:
+                    # same single-exception contract as the image/video
+                    # codecs: corrupt payloads raise ValueError, not a
+                    # stdlib-specific class callers would not expect
+                    raise ValueError(f"invalid WAV payload: {e}") from e
                 samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
                 rates.append(rate)
                 chans.append(ch)

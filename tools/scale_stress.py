@@ -284,10 +284,14 @@ def main() -> None:
     inc = run_incremental(spark, max(tiers))
     results.append(inc)
     print(json.dumps(inc), flush=True)
+    with open(f"{WORK}/results.json", "w") as f:
+        json.dump(results, f, indent=2)
     print("\n| n | gen | mh cand (n, s) | mh full (n, s) | verify (n, s) | "
           "clusters (n, s) | knn_arrow s | knn_ivf s | ivf recall |")
     print("|---|---|---|---|---|---|---|---|---|")
     for r in results:
+        if "n" not in r:  # the incremental entry has its own shape
+            continue
         print(
             f"| {r['n']} | {r['gen_docs_s'] + r['gen_embs_s']}s "
             f"| {r['minhash_candidates']}, {r['minhash_cand_s']}s "
@@ -297,8 +301,6 @@ def main() -> None:
             f"| {r['knn_arrow_s']}s | {r['knn_ivf_s']}s "
             f"| {r['ivf_recall_at_k']} |"
         )
-    with open(f"{WORK}/results.json", "w") as f:
-        json.dump(results, f, indent=2)
     shutil.rmtree(WORK, ignore_errors=True) if os.environ.get(
         "SCALE_STRESS_CLEAN"
     ) else None
