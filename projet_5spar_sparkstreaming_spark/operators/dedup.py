@@ -584,6 +584,7 @@ def minhash_near_dup_pairs(
     threshold: float = 0.8,
     verify: bool = True,
     signature_impl: str = "arrow",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup detection — the 100 TB dedup path.
 
@@ -594,8 +595,14 @@ def minhash_near_dup_pairs(
 
     Returns (id_a, id_b, est_jaccard). The only shuffles are the bucket
     equi-join (one row per doc per band) and the pair distinct — no
-    quadratic blowup. Skewed buckets (boilerplate shingle sets) are AQE
-    skew-join handled.
+    quadratic blowup from ORGANIC duplication. The remaining quadratic
+    risk is a mega-group of (near-)identical documents: a k-doc group
+    shares every bucket and emits k^2/2 candidates. ``max_bucket_size``
+    is the standard guard — band buckets holding more than that many
+    docs are dropped entirely (their membership is boilerplate-grade
+    duplication, better handled by running ``fingerprint_dedup`` /
+    ``exact_dedup`` BEFORE minhash, which collapses identical payloads
+    for free). None (default) keeps every bucket.
     """
     rows_per_band = num_hashes // bands
     if signature_impl == "arrow":
@@ -610,6 +617,16 @@ def minhash_near_dup_pairs(
         # join below — compute signatures once
         sig = sig.cache()
     banded = _banded_buckets(sig, bands, rows_per_band)
+    if max_bucket_size is not None:
+        # occupancy rides the same shuffle the join needs anyway (count
+        # window over the bucket key); oversized buckets drop before
+        # they can fan out k^2 candidate rows
+        occ_w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__occ", F.count(F.lit(1)).over(occ_w))
+            .filter(F.col("__occ") <= max_bucket_size)
+            .drop("__occ")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

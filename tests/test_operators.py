@@ -258,6 +258,36 @@ class TestDedupClusters:
         assert len(plan) < 5000, f"plan depth not bounded ({len(plan)} chars)"
 
 
+def test_minhash_bucket_cap_drops_mega_group_only(spark):
+    """max_bucket_size: a 30-doc identical mega-group (every pair is a
+    candidate -> 435 pairs) is dropped by the cap, while an ordinary
+    2-doc near-dup pair in the same corpus survives. The documented
+    recipe: exact/fingerprint dedup collapses the mega-group BEFORE
+    minhash; the cap is the safety valve when it wasn't run."""
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    mega = "the same boilerplate text repeated across many documents here"
+    pair_a = "completely different organic document about spark shuffles and joins"
+    pair_b = pair_a + " extra"
+    rows = [(i, mega) for i in range(30)]
+    rows += [(100, pair_a), (101, pair_b), (102, "unrelated third thing entirely")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = minhash_near_dup_pairs(
+        df, "doc_id", "text", n=2, threshold=0.5
+    )
+    capped = minhash_near_dup_pairs(
+        df, "doc_id", "text", n=2, threshold=0.5, max_bucket_size=10
+    )
+    un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in un and (100, 101) in cp  # organic pair survives
+    assert sum(1 for a, b in un if a < 30 and b < 30) == 435  # 30*29/2
+    assert not any(a < 30 and b < 30 for a, b in cp)  # mega-group dropped
+
+
 def test_jaccard_threshold_monotone(spark, sf_dir):
     """Invariant: raising the threshold can only REMOVE pairs — the
     prefix length shrinks with t, so a bug in the prefix-bound
