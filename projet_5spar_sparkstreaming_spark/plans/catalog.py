@@ -2146,30 +2146,45 @@ def q_doc_token_stats(spark, sf_dir):
     )
 
 
+def _trigram_counts(col):
+    """(total trigram count, distinct trigram count) for a text column.
+
+    Distinctness is computed over NUMERIC trigram hashes (xxhash64 per
+    token, pairwise xxhash64 combines — same construction as
+    operators.dedup._shingle_hashes) instead of concatenated strings:
+    identical counts (64-bit collision odds aside) at a fraction of the
+    expression-eval cost. SQL oracles count string trigrams and agree
+    on the VALUES.
+    """
+    from projet_5spar_sparkstreaming_spark.functions.textstats import tokens
+
+    t = tokens(col)
+    th = F.transform(t, lambda x: F.xxhash64(x))
+    m = F.greatest(F.size(t) - 2, F.lit(0))
+    grams = F.when(
+        m > 0,
+        F.zip_with(
+            F.zip_with(F.slice(th, 1, m), F.slice(th, 2, m), lambda a, b: F.xxhash64(a, b)),
+            F.slice(th, 3, m),
+            lambda g, c: F.xxhash64(g, c),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return m, F.size(F.array_distinct(grams))
+
+
 def q_doc_repetition_stats(spark, sf_dir):
     # Repetition-based quality signal (the C4/Gopher-style duplicate
     # n-gram rule, public literature): per document, the fraction of
     # trigram OCCURRENCES that are repeats of an earlier trigram —
     # dup_ratio = (total - distinct) / total. High ratios flag
-    # boilerplate/spam for corpus curation. Pure projection (zip_with
-    # trigram chain + array_distinct): no shuffle, no UDF; the single
-    # int/int division is IEEE-identical on both engines.
-    from projet_5spar_sparkstreaming_spark.functions.textstats import tokens
-
+    # boilerplate/spam for corpus curation. Pure projection, no shuffle,
+    # no UDF; the single int/int division is IEEE-identical on both
+    # engines. Trigrams are DISTINCT-COUNTED via the numeric hash
+    # combine (_trigram_hashes) — the count equals the string-trigram
+    # count the SQL oracle uses (collision odds aside) without
+    # materializing O(L) concatenated strings.
     docs = _t(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    m = F.greatest(F.size(t) - 2, F.lit(0))
-    grams = F.when(
-        m > 0,
-        F.zip_with(
-            F.zip_with(
-                F.slice(t, 1, m), F.slice(t, 2, m), lambda a, b: F.concat_ws(" ", a, b)
-            ),
-            F.slice(t, 3, m),
-            lambda g, c: F.concat_ws(" ", g, c),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ndist = F.size(F.array_distinct(grams))
+    m, ndist = _trigram_counts(F.col("text"))
     return docs.select(
         "doc_id",
         "lang",
@@ -2209,19 +2224,9 @@ def q_doc_gopher_rules(spark, sf_dir):
     n_chars = F.length(c).cast("double")
     n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
     mean_wl = F.when(n_toks > 0, n_alpha / n_toks).otherwise(F.lit(0.0))
-    m = F.greatest(F.size(t) - 2, F.lit(0))
-    grams = F.when(
-        m > 0,
-        F.zip_with(
-            F.zip_with(
-                F.slice(t, 1, m), F.slice(t, 2, m), lambda a, b: F.concat_ws(" ", a, b)
-            ),
-            F.slice(t, 3, m),
-            lambda g, x: F.concat_ws(" ", g, x),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m, ndist = _trigram_counts(c)
     dup_ratio = F.when(
-        m > 0, (m - F.size(F.array_distinct(grams))) / m.cast("double")
+        m > 0, (m - ndist) / m.cast("double")
     ).otherwise(F.lit(0.0))
     r_len = (n_toks >= 20) & (n_toks <= 10000)
     r_wordlen = (mean_wl >= 3.0) & (mean_wl <= 10.0)
