@@ -2209,6 +2209,39 @@ def q_incremental_neardup_pairs(spark, sf_dir):
     return ngram_jaccard_join(new_batch, index, "doc_id", "text", n=3, threshold=0.8)
 
 
+def q_doc_mean_token_freq(spark, sf_dir):
+    # Rare-vocabulary quality signal (the integer-exact cousin of
+    # LM-perplexity filtering): per document, the mean corpus-wide
+    # occurrence count of its tokens — low means rare/garbled
+    # vocabulary, high means stopword soup; both tails get trimmed in
+    # curation. Corpus term frequency rides the SAME exploded scan as a
+    # count window (the tfidf/ngram-df trick): token-key shuffle, then
+    # the doc-key aggregation — no separate agg+join. All-integer sums
+    # with one final division, so both engines produce the identical
+    # double (a mean of log-probs would hinge on libm rounding).
+    from projet_5spar_sparkstreaming_spark.functions.textstats import tokens
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf_w = Window.partitionBy("tok")
+    return (
+        ex.withColumn("__tf", F.count(F.lit(1)).over(tf_w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__tf").alias("__s"),
+        )
+        .select(
+            "doc_id",
+            F.col("__n").cast("bigint").alias("n_tokens"),
+            F.round(F.col("__s") / F.col("__n").cast("double"), 6).alias(
+                "mean_token_freq"
+            ),
+        )
+    )
+
+
 def q_doc_gopher_rules(spark, sf_dir):
     # Composite curation-rule filter (the Gopher/C4 rule-list shape,
     # public literature), thresholds adapted to the synthetic corpus so
@@ -3497,6 +3530,7 @@ def catalog() -> list[CatalogQuery]:
         "doc_lang_id": q_doc_lang_id,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_gopher_rules": q_doc_gopher_rules,
+        "doc_mean_token_freq": q_doc_mean_token_freq,
         "incremental_neardup_pairs": q_incremental_neardup_pairs,
         "doc_quality": q_doc_quality,
         "doc_keyword_filter": q_doc_keyword_filter,
@@ -3536,6 +3570,15 @@ def catalog() -> list[CatalogQuery]:
     }
     oracles = _oracles()
     oracles["doc_lang_id"] = _lang_id_sql()
+    oracles["doc_mean_token_freq"] = (
+        f"WITH ex AS (SELECT doc_id, UNNEST("
+        f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS tok "
+        "FROM documents), "
+        "tf AS (SELECT tok, COUNT(*) AS c FROM ex GROUP BY tok) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "ROUND(SUM(c) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_token_freq "
+        "FROM ex JOIN tf USING (tok) GROUP BY doc_id"
+    )
     oracles["incremental_neardup_pairs"] = (
         # cross-set variant of the ngram_jaccard oracle: a-side odd
         # (new batch), b-side even (index); directional (id_a, id_b)
