@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "incremental_neardup_pairs",
     "doc_repetition_stats",
     "doc_gopher_rules",
+    "doc_mean_token_freq",
 ]
 
 
