@@ -179,31 +179,53 @@ def ngram_jaccard_pairs(
     # (boilerplate) shingles OUT of the prefixes — measured on the test
     # corpus it cuts candidate pairs ~100x vs hash order, which is also
     # exactly what bounds the posting-list blowup at 100 TB.
-    # Document frequency rides the SAME exploded scan as a count window
-    # over __s (the tfidf trick): one shuffle on the shingle key instead
-    # of a separate aggregate + equi-join back.
     exploded = sh.select(
         "__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__s")
     )
-    df_w = Window.partitionBy("__s")
+    # Document frequency via groupBy (map-side partial agg) + join back,
+    # NOT a count window over __s: the window shuffles the ENTIRE
+    # exploded scan by shingle, while the partial agg shuffles only
+    # per-partition (shingle, count) partials — and the df>1 table it
+    # yields is small enough to broadcast on moderate corpora (AQE),
+    # removing the exploded-scan shuffle altogether. At 100 TB the join
+    # degrades to the same single shuffle-by-__s the window needed, so
+    # this is never worse.
+    # The inner join with the df>1 table also DROPS singleton postings
+    # (df=1) before the rank window — they can never meet another row in
+    # the prefix equi-join, so this is lossless despite changing ranks:
+    # removing singletons only moves df>=2 shingles EARLIER in each
+    # doc's order, so the first-p prefix of the filtered list is a
+    # superset trap for every colliding shingle the full-list prefix
+    # guaranteed, and the smaller __rn only LOOSENS (keeps safe) the
+    # positional upper bound below.
+    dfreq = (
+        exploded.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > 1)
+    )
     rank_w = Window.partitionBy("__id").orderBy("__df", "__s")
     prefix = (
-        exploded.withColumn("__df", F.count(F.lit(1)).over(df_w))
+        exploded.join(dfreq, "__s")
         .withColumn("__rn", F.row_number().over(rank_w))
         .filter(
             # required prefix length is |x| - ceil(t*|x|) + 1; the float
             # form floor((1-t)*|x|)+1 can UNDERSHOOT it by 1 when (1-t)
             # rounds down (1.0-0.8 = 0.1999...96 -> floor(10*0.1999...) = 1,
             # dropping a J=0.8 boundary pair). The epsilon makes the
-            # length err only on the safe (longer) side.
+            # length err only on the safe (longer) side. __sz stays the
+            # FULL shingle-set size — the prefix-length bound is defined
+            # against it, not the singleton-free list length.
             F.col("__rn")
             <= F.floor(F.col("__sz") * (1.0 - threshold) + 1e-9).cast("int") + 1
         )
-        # singleton postings (df=1) can never meet another row in the
-        # prefix equi-join — dropping them shrinks the join input by the
-        # unique-shingle mass (most of a real corpus) at zero recall cost
-        .filter(F.col("__df") > 1)
         .select("__id", "__s", "__sz", "__rn")
+        # cached: the self-join needs the prefix on BOTH sides, and when
+        # the join goes broadcast (AQE, small corpora) the broadcast side
+        # is a separate physical subtree — without the cache the whole
+        # two-window prefix pipeline executes twice. (Under sort-merge at
+        # scale, ReusedExchange would dedup it; the cache makes the reuse
+        # unconditional and is ~(1-t) of the exploded scan in size.)
+        .cache()
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -216,7 +238,7 @@ def ngram_jaccard_pairs(
     #    prefix element (1-based, global order) caps the overlap at
     #    1 + min(|A|-rn_a, |B|-rn_b); J >= t needs overlap >=
     #    t/(1+t) * (|A|+|B|). Epsilons err on the keep side only.
-    # Measured at sf0.1 these cut candidates ~40x (118,850 -> ~3k for
+    # Measured at sf0.1 these cut candidates 9.2x (118,850 -> 12,884 for
     # 256 true pairs), which is what bounds the verify-join shuffle at
     # 100 TB where candidate volume, not the prefix scan, dominates.
     overlap_req = (threshold / (1.0 + threshold)) * (
@@ -237,10 +259,14 @@ def ngram_jaccard_pairs(
             & (pos_ubound >= overlap_req),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
     sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     sb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    # Candidates are verified WITHOUT a prior dedup exchange: with the
+    # size+positional filters the duplicate-collision factor is ~1.1x
+    # (14,258 raw vs 12,884 distinct at sf0.1, bounded by prefix length),
+    # so re-verifying the few dups is far cheaper than shuffling the
+    # whole candidate set; the output dedup runs on true pairs only.
     verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -252,7 +278,9 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 def ngram_jaccard_join(
@@ -272,7 +300,7 @@ def ngram_jaccard_join(
     join is new-prefix × index-prefix. PPJoin prefix filtering holds
     across two sets provided both take their prefixes under ONE shared
     global order, so document frequency is computed over the UNION of
-    both sides (count window on the shared exploded scan). Shingles
+    both sides (groupBy over the shared exploded scan). Shingles
     with union-df 1 exist on one side only and are dropped from the
     prefixes (no cross match possible).
     """
@@ -289,17 +317,26 @@ def ngram_jaccard_join(
     ).select(
         "__side", "__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__s")
     )
-    df_w = Window.partitionBy("__s")
+    # union-df via groupBy partial agg + join, singleton-drop before the
+    # rank window: both lossless, see ngram_jaccard_pairs
+    dfreq = (
+        exploded.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > 1)
+    )
     rank_w = Window.partitionBy("__side", "__id").orderBy("__df", "__s")
     prefix = (
-        exploded.withColumn("__df", F.count(F.lit(1)).over(df_w))
+        exploded.join(dfreq, "__s")
         .withColumn("__rn", F.row_number().over(rank_w))
         .filter(
             F.col("__rn")
             <= F.floor(F.col("__sz") * (1.0 - threshold) + 1e-9).cast("int") + 1
         )
-        .filter(F.col("__df") > 1)
         .select("__side", "__id", "__s", "__sz", "__rn")
+        # cached: L and R sides below filter the SAME windowed pipeline;
+        # without the cache each side re-executes it (see the self-join
+        # note in ngram_jaccard_pairs)
+        .cache()
     )
     a = prefix.filter(F.col("__side") == "L").select(
         F.col("__id").alias("id_a"),
@@ -332,10 +369,11 @@ def ngram_jaccard_join(
             - 1e-9
         )
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     sa = shl.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     sb = shr.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    # dup-collision candidates verified as-is, distinct applied on the
+    # (tiny) verified output — see ngram_jaccard_pairs
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -347,6 +385,7 @@ def ngram_jaccard_join(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -378,11 +417,17 @@ def containment_pairs(
     exploded = sh.select(
         "__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__s")
     )
-    # df via count window over the exploded scan (see ngram_jaccard_pairs)
-    df_w = Window.partitionBy("__s")
+    # df via groupBy partial agg + join back; the inner join with the
+    # df>1 table drops singletons (only self-matches) before the rank
+    # window — both lossless, see ngram_jaccard_pairs
+    dfreq = (
+        exploded.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > 1)
+    )
     rank_w = Window.partitionBy("__id").orderBy("__df", "__s")
     prefix_a = (
-        exploded.withColumn("__df", F.count(F.lit(1)).over(df_w))
+        exploded.join(dfreq, "__s")
         .withColumn("__rn", F.row_number().over(rank_w))
         .filter(
             # epsilon: see ngram_jaccard_pairs — float (1-t) must not
@@ -390,9 +435,6 @@ def containment_pairs(
             F.col("__rn")
             <= F.floor(F.col("__sz") * (1.0 - threshold) + 1e-9).cast("int") + 1
         )
-        # df=1 shingles exist only in this doc -> only self-matches,
-        # which the id_a != id_b filter drops anyway
-        .filter(F.col("__df") > 1)
         .select(F.col("__id").alias("id_a"), "__s", "__sz", "__rn")
     )
     posts_b = sh.select(
@@ -413,10 +455,11 @@ def containment_pairs(
             >= threshold * F.col("__sz") - 1e-9
         )
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     sb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    # dup-collision candidates verified as-is, distinct applied on the
+    # (tiny) verified output — see ngram_jaccard_pairs
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -427,6 +470,7 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
