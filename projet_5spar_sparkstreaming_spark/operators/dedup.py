@@ -283,6 +283,65 @@ def ngram_jaccard_pairs(
     ).dropDuplicates(["id_a", "id_b"])
 
 
+def ngram_overlap_join(
+    evals: DataFrame,
+    train: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION stats: for every document in ``evals``,
+    how much of it already appears verbatim in ``train`` — measured as
+    the fraction of its distinct n-gram shingles (n=13 is the published
+    GPT-3 convention) that occur anywhere in the training corpus.
+
+    Returns (doc_id, n_shingles, n_contaminated, contamination_rate,
+    flagged) with one row per eval doc, zero-contamination docs
+    included; ``flagged`` is true when any shingle collides.
+
+    Plan shape at 100 TB: the training side reduces to its DISTINCT
+    shingle set via a partial-aggregated groupBy (map-side combine
+    collapses within-partition repeats before the shuffle), and the only
+    join is eval-shingles × that set — an equi-join on a 64-bit key,
+    keyed-shuffle not broadcast, since the train side is the 100 TB
+    side. The eval side (a benchmark suite) is small and cached.
+    """
+    ev = evals.select(
+        F.col(id_col).alias("doc_id"),
+        _shingle_hashes(text_col, n).alias("__sh"),
+    ).cache()  # tiny benchmark side; reused for sizes and the explode
+    ev_ex = ev.select("doc_id", F.explode("__sh").alias("__s"))
+    # distinct via groupBy => partial aggregation before the shuffle
+    tr_s = (
+        train.select(F.explode(_shingle_hashes(text_col, n)).alias("__s"))
+        .groupBy("__s")
+        .agg(F.lit(1))
+        .select("__s")
+    )
+    hits = (
+        ev_ex.join(tr_s, "__s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        ev.select("doc_id", F.size("__sh").cast("bigint").alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0))
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("contamination_rate"),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("flagged"),
+        )
+    )
+
+
 def ngram_jaccard_join(
     left: DataFrame,
     right: DataFrame,

@@ -2209,6 +2209,60 @@ def q_incremental_neardup_pairs(spark, sf_dir):
     return ngram_jaccard_join(new_batch, index, "doc_id", "text", n=3, threshold=0.8)
 
 
+def q_decontamination_overlap(spark, sf_dir):
+    # Benchmark decontamination (the GPT-3 13-gram convention): docs
+    # with doc_id % 5 == 0 play the held-out eval suite, the rest the
+    # training corpus; per eval doc, the fraction of its distinct
+    # 13-gram shingles already present anywhere in training
+    # (operators/dedup.py:ngram_overlap_join). At 100 TB the train side
+    # collapses to its distinct-shingle set behind a partial agg and the
+    # only join is eval-grams x that set.
+    from projet_5spar_sparkstreaming_spark.operators.dedup import ngram_overlap_join
+
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 5 == 0)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    return ngram_overlap_join(evals, train, "doc_id", "text", n=13)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    # Tokenizer-vocabulary sizing signal: the top-30 corpus tokens by
+    # frequency with each token's CUMULATIVE share of total token mass
+    # — "how large a vocab covers X% of the corpus". Deterministic ties
+    # via (count desc, token asc). Scale shape: token counts are a
+    # partial-agg groupBy; the total is one scalar agg broadcast back;
+    # the running sum's single-partition window only ever sees the
+    # TakeOrdered top-30 rows, never the full vocabulary.
+    from projet_5spar_sparkstreaming_spark.functions.textstats import tokens
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(30)
+    cum_w = (
+        Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())))
+        .withColumn("cum_cnt", F.sum("cnt").over(cum_w))
+        .select(
+            "rank",
+            "tok",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cum_cnt") / F.col("__total").cast("double"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
 def q_doc_mean_token_freq(spark, sf_dir):
     # Rare-vocabulary quality signal (the integer-exact cousin of
     # LM-perplexity filtering): per document, the mean corpus-wide
@@ -3532,6 +3586,8 @@ def catalog() -> list[CatalogQuery]:
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_mean_token_freq": q_doc_mean_token_freq,
         "incremental_neardup_pairs": q_incremental_neardup_pairs,
+        "decontamination_overlap": q_decontamination_overlap,
+        "vocab_coverage": q_vocab_coverage,
         "doc_quality": q_doc_quality,
         "doc_keyword_filter": q_doc_keyword_filter,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3596,6 +3652,40 @@ def catalog() -> list[CatalogQuery]:
         "FROM common JOIN sz za ON id_a = za.doc_id "
         "JOIN sz zb ON id_b = zb.doc_id "
         "WHERE c / (za.z + zb.z - c) >= 0.8"
+    )
+    oracles["decontamination_overlap"] = (
+        # eval side doc_id % 5 = 0, train side the rest; 13-gram
+        # shingles with the same truncation convention as the jaccard
+        # oracles (short docs -> one truncated shingle, empty -> '')
+        f"WITH toks AS (SELECT doc_id, "
+        f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS t FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform("
+        "  range(0, greatest(len(t) - 13, 0) + 1), "
+        "  i -> array_to_string(t[i + 1 : i + 13], ' '))) AS s FROM toks), "
+        "ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh), "
+        "tr AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 5 != 0), "
+        "hits AS (SELECT ex.doc_id, COUNT(*) AS c FROM ex JOIN tr USING (shingle) "
+        "  WHERE ex.doc_id % 5 = 0 GROUP BY 1), "
+        "sz AS (SELECT doc_id, len(s) AS z FROM sh WHERE doc_id % 5 = 0) "
+        "SELECT sz.doc_id, CAST(z AS BIGINT) AS n_shingles, "
+        "CAST(COALESCE(c, 0) AS BIGINT) AS n_contaminated, "
+        "ROUND(COALESCE(c, 0) / CAST(z AS DOUBLE), 6) AS contamination_rate, "
+        "COALESCE(c, 0) > 0 AS flagged "
+        "FROM sz LEFT JOIN hits ON sz.doc_id = hits.doc_id"
+    )
+    oracles["vocab_coverage"] = (
+        f"WITH ex AS (SELECT UNNEST("
+        f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS tok FROM documents), "
+        "cnts AS (SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY tok), "
+        "total AS (SELECT SUM(cnt) AS t FROM cnts), "
+        "top AS (SELECT tok, cnt, ROW_NUMBER() OVER ("
+        "  ORDER BY cnt DESC, tok ASC) AS rank FROM cnts "
+        "  ORDER BY cnt DESC, tok ASC LIMIT 30) "
+        "SELECT rank, tok, CAST(cnt AS BIGINT) AS cnt, "
+        "ROUND(SUM(cnt) OVER (ORDER BY rank ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "/ CAST(t AS DOUBLE), 6) AS cum_share "
+        "FROM top CROSS JOIN total"
     )
     oracles["doc_gopher_rules"] = (
         f"WITH t AS (SELECT doc_id, text, "

@@ -359,6 +359,42 @@ def test_ngram_jaccard_join_matches_self_join_cross_pairs(spark, sf_dir):
     assert cross == all_pairs
 
 
+def test_ngram_overlap_join_decontamination(spark):
+    """Decontamination stats: a verbatim 5-gram lifted from a training
+    doc is detected; clean eval docs report zero with flagged=False and
+    still appear in the output (left-join semantics)."""
+    from projet_5spar_sparkstreaming_spark.operators.dedup import ngram_overlap_join
+
+    train = spark.createDataFrame(
+        [
+            (100, "one two three four five six seven eight nine ten"),
+            (101, "totally separate training material goes right here"),
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [
+            # contains the 5-gram "three four five six seven" from 100
+            (1, "zz yy three four five six seven xx ww vv"),
+            (2, "no overlap with training corpus at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ngram_overlap_join(evals, train, "doc_id", "text", n=5).collect()
+    }
+    assert set(rows) == {1, 2}
+    # doc 1: 10 tokens -> 6 distinct 5-grams; exactly 1 collides
+    assert rows[1]["n_shingles"] == 6
+    assert rows[1]["n_contaminated"] == 1
+    assert rows[1]["flagged"] is True
+    assert abs(rows[1]["contamination_rate"] - 1 / 6) < 1e-6
+    assert rows[2]["n_contaminated"] == 0
+    assert rows[2]["flagged"] is False
+    assert rows[2]["contamination_rate"] == 0.0
+
+
 def test_cosine_near_dup_pairs_recall_vs_exact(spark):
     """LSH-bucketed cosine pairs: recall floor against the exact
     all-pairs join on a clustered corpus (the structure embedding
