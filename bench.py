@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "doc_repetition_stats",
     "doc_gopher_rules",
     "doc_mean_token_freq",
+    "decontamination_overlap",
+    "vocab_coverage",
 ]
 
 

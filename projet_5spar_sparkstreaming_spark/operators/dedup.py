@@ -111,31 +111,41 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def _shingle_hashes(col: Column | str, n: int) -> Column:
-    """Distinct shingle -> signed 64-bit hash, computed NUMERICALLY:
-    one xxhash64 per token, then (n-1) pairwise xxhash64 combines over
-    shifted slices of the hash array. Partitions documents' shingle
-    sets identically to hashing the concatenated shingle STRINGS
-    (collision odds aside — both are 64-bit), but never materializes
-    the O(L) ~20-byte shingle strings that dominate expression-eval
-    cost on long documents. Consumers compare/set-intersect hashes
-    only, so the hash family is an internal detail; the SQL oracles
-    compute Jaccard over shingle strings and agree on the VALUES.
+    """Distinct shingle -> signed 64-bit hash: xxhash64 over each
+    n-token SLICE of the token array (xxhash64 hashes array elements
+    natively). Partitions documents' shingle sets identically to
+    hashing the concatenated shingle STRINGS (collision odds aside —
+    both are 64-bit), but never materializes the O(L) ~20-byte shingle
+    strings. Consumers compare/set-intersect hashes only, so the hash
+    family is an internal detail; the SQL oracles compute Jaccard over
+    shingle strings and agree on the VALUES.
+
+    Deliberately ONE transform+slice, not a chain of n-1 zip_with
+    combines: the chained form's expression tree grows with n and its
+    Catalyst ANALYSIS cost (paid on every plan construction, cache hit
+    or not) reached seconds at n=13; this tree is constant-size in n.
+    Short docs (< n tokens) degrade to a single truncated shingle (the
+    slice returns the available tokens); empty docs keep one ''-element
+    shingle — both matching the SQL-oracle shingle expression.
+
+    The token array is BOUND to a lambda variable via a one-element
+    outer transform before the inner per-shingle transform touches it:
+    a captured non-trivial expression (the tokenizer regex) is
+    re-evaluated on every lambda invocation otherwise — measured 5x
+    slower on the n=13 path (3.2s -> 0.6s at sf0.1).
     """
-    toks = tokens(col)
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    empty = F.array(F.xxhash64(F.lit("")))
-    if n == 1:
-        return F.array_distinct(
-            F.when(F.size(toks) == 0, empty).otherwise(th)
+
+    def over_tokens(tk: Column) -> Column:
+        m = F.greatest(F.size(tk) - (n - 1), F.lit(1))
+        grams = F.transform(
+            F.sequence(F.lit(1), m), lambda i: F.xxhash64(F.slice(tk, i, n))
         )
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    grams = F.slice(th, 1, m)
-    for i in range(1, n):
-        shifted = F.slice(th, i + 1, m)
-        # null padding on short docs is skipped by xxhash64, mirroring
-        # concat_ws's null-skip in the string-shingle path
-        grams = F.zip_with(grams, shifted, lambda g, t: F.xxhash64(g, t))
-    return F.array_distinct(F.when(F.size(toks) == 0, empty).otherwise(grams))
+        empty = F.array(F.xxhash64(F.array(F.lit(""))))
+        return F.array_distinct(
+            F.when(F.size(tk) == 0, empty).otherwise(grams)
+        )
+
+    return F.transform(F.array(tokens(col)), over_tokens)[0]
 
 
 def ngram_jaccard_pairs(
@@ -780,10 +790,12 @@ def minhash_near_dup_pairs(
             F.col(id_col).alias("__id"),
             minhash_signature(text_col, n, num_hashes).alias("__sig"),
         )
-    if verify:
-        # reused by the banding join AND both sides of the estimate
-        # join below — compute signatures once
-        sig = sig.cache()
+    # cached unconditionally: the banding SELF-join needs the buckets on
+    # both sides, and when AQE broadcasts one side that side is a
+    # separate physical subtree — without the cache it would re-run the
+    # whole Arrow signature stage. With verify, the estimate join below
+    # reuses the same cache on both of its sides too.
+    sig = sig.cache()
     banded = _banded_buckets(sig, bands, rows_per_band)
     if max_bucket_size is not None:
         # occupancy rides the same shuffle the join needs anyway (count
@@ -1050,6 +1062,11 @@ def simhash_near_dup_pairs(
         sh = df.select(
             F.col(id_col).alias("__id"), simhash64(text_col, n).alias("__sh")
         )
+    # cached: signatures are 16 bytes/doc and the self-join needs them on
+    # both sides — when AQE turns the join into a broadcast, the build
+    # side is a separate subtree and would otherwise re-run the whole
+    # Arrow signature stage (Python workers, the expensive part) twice
+    sh = sh.cache()
     banded = sh.select(
         "__id",
         "__sh",
@@ -1081,6 +1098,9 @@ def simhash_near_dup_pairs(
             F.col("b.__id").alias("id_b"),
             F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # verify (cheap bit_count) BEFORE the distinct exchange so the
+        # dedup shuffle only carries true near-dup pairs, not every
+        # multi-block collision
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
