@@ -680,6 +680,68 @@ def q_stream_enriched_segment_counts(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_decontamination(spark, sf_dir):
+    # STREAMING ingest guard with the BATCH decontamination oracle:
+    # incoming documents (the replayed eval split) are flagged against
+    # the STATIC training corpus' distinct 13-gram set in-flight — a
+    # stream-static LEFT join (clean docs must surface too, flagged
+    # false) feeding a per-doc streaming aggregation. No streaming
+    # state beyond the aggregation; the static side is planned per
+    # micro-batch exactly like the batch operator's join side. After an
+    # availableNow replay the answer equals ngram_overlap_join on the
+    # same split (T8 stream/batch parity).
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.operators.dedup import _shingle_hashes
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
+
+    evals = read_parquet_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    train = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 != 0)
+    tr_s = (
+        train.select(F.explode(_shingle_hashes("text", 13)).alias("__s"))
+        .groupBy("__s")
+        .agg(F.lit(1).alias("__hit"))
+    )
+    ev_ex = evals.select(
+        "doc_id",
+        F.size(_shingle_hashes("text", 13)).alias("__sz"),
+        F.explode(_shingle_hashes("text", 13)).alias("__s"),
+    )
+    agg = (
+        ev_ex.join(tr_s, "__s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("__sz").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("n_shingles").cast("double"), 6
+            ).alias("contamination_rate"),
+            (F.col("n_contaminated") > 0).alias("flagged"),
+        )
+    )
+    name = "q_stream_decontamination_sink"
+    chk = tempfile.mkdtemp(prefix="chk_decontam_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_multimodal_audio_stats(spark, sf_dir):
     # Audio twin of multimodal_decode_stats: render each small embedding
     # into a REAL 16-bit PCM WAV payload (stdlib wave), run the Arrow
@@ -3618,6 +3680,7 @@ def catalog() -> list[CatalogQuery]:
         "stream_running_key_stats": q_stream_running_key_stats,
         "stream_curate_corpus": q_stream_curate_corpus,
         "stream_enriched_segment_counts": q_stream_enriched_segment_counts,
+        "stream_decontamination": q_stream_decontamination,
         "range_join_bands": q_range_join_bands,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "multimodal_audio_stats": q_multimodal_audio_stats,
@@ -3818,6 +3881,9 @@ def catalog() -> list[CatalogQuery]:
         "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
         "GROUP BY c_mktsegment"
     )
+    # stream/batch parity: the streaming ingest guard converges to the
+    # batch decontamination query, so it shares that oracle verbatim
+    oracles["stream_decontamination"] = oracles["decontamination_overlap"]
     oracles["stream_first_event_per_user"] = (
         "SELECT user_id, event_id, ts FROM ("
         "SELECT user_id, event_id, ts, ROW_NUMBER() OVER ("
