@@ -270,6 +270,13 @@ def ngram_jaccard_pairs(
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
     )
+    # The verify joins read the CACHED sh directly: at this operator's
+    # documented scale (<~10M docs; beyond that, generate candidates
+    # with minhash and verify via verify_pairs_exact) the joined output
+    # stays broadcastable and an id-reduction's extra blocking stages
+    # (measured +1s at sf0.1) buy nothing. verify_pairs_exact carries
+    # the semi-join reduction for the corpus sizes where the probe side
+    # would otherwise sort-merge-shuffle every doc's shingle array.
     sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     sb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
     # Candidates are verified WITHOUT a prior dedup exchange: with the
@@ -439,6 +446,8 @@ def ngram_jaccard_join(
         )
         .select("id_a", "id_b")
     )
+    # verify joins read the cached side tables directly — see the
+    # scale note in ngram_jaccard_pairs
     sa = shl.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     sb = shr.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
     # dup-collision candidates verified as-is, distinct applied on the
@@ -525,6 +534,8 @@ def containment_pairs(
         )
         .select("id_a", "id_b")
     )
+    # verify joins read the cached sh directly — see the scale note in
+    # ngram_jaccard_pairs
     sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     sb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
     # dup-collision candidates verified as-is, distinct applied on the
@@ -550,16 +561,22 @@ def minhash_signature(col: Column | str, n: int = 3, num_hashes: int = 64) -> Co
 
     One nested transform over a salt literal array — a single compact
     expression instead of num_hashes separate aggregate branches (which
-    bloat analysis/codegen time).
+    bloat analysis/codegen time). The shingle array is BOUND to a lambda
+    variable via a one-element outer transform first: a captured
+    expression is re-evaluated on every lambda invocation, which here
+    would recompute the whole shingle scan once per salt (64x).
     """
-    hashes = _shingle_hashes(col, n)
     salts = F.array(*[F.lit(s) for s in _HASH_SALTS[:num_hashes]])
-    return F.transform(
-        salts,
-        lambda salt: F.array_min(
-            F.transform(hashes, lambda h: F.xxhash64(h.bitwiseXOR(salt)))
-        ),
-    )
+
+    def over_hashes(hashes: Column) -> Column:
+        return F.transform(
+            salts,
+            lambda salt: F.array_min(
+                F.transform(hashes, lambda h: F.xxhash64(h.bitwiseXOR(salt)))
+            ),
+        )
+
+    return F.transform(F.array(_shingle_hashes(col, n)), over_hashes)[0]
 
 
 def _ensure_min_parallelism(df: DataFrame, key_col: str) -> DataFrame:
@@ -856,10 +873,35 @@ def verify_pairs_exact(
     sets and keeps pairs with exact J >= threshold). Cost is
     O(|candidates|), independent of the corpus's all-pairs count, which
     is what makes exact verification affordable at any scale.
+
+    Join shape: the corpus is first SEMI-JOIN-REDUCED to the docs that
+    appear in any pair (ids only, broadcastable at any realistic pair
+    count) — one streaming pass over the corpus, which is never
+    shuffled. Only the reduced array-carrying table (O(pairs) rows)
+    participates in the two per-side joins. Without the reduction the
+    second join's probe side exceeds the broadcast threshold and Spark
+    sort-merge-shuffles the ENTIRE corpus's shingle arrays — measured
+    37s vs 3s at 500k docs / 9.8k candidates.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.sort_array(_shingle_hashes(text_col, n)).alias("__sh"),
+    pair_ids = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("__id"))
+        .groupBy("__id")
+        .agg(F.lit(1))
+        .select("__id")
+    )
+    sh = (
+        # join BEFORE computing the arrays: the broadcast semi-join only
+        # needs ids, so the (expensive) shingle hashing and sort run for
+        # the O(pairs) surviving docs, not the whole corpus — Catalyst
+        # will not reorder a join below a projection on its own
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .join(F.broadcast(pair_ids), "__id")
+        .select(
+            "__id", F.sort_array(_shingle_hashes("__text", n)).alias("__sh")
+        )
+        # cached: O(pairs) rows; without it each of the two per-side
+        # joins below re-runs the full corpus scan behind the reduction
+        .cache()
     )
     sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     sb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
