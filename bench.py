@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "doc_mean_token_freq",
     "decontamination_overlap",
     "vocab_coverage",
+    "doc_boilerplate_ratio",
+    "mix_sampling_weights",
+    "doc_pii_scan",
 ]
 
 

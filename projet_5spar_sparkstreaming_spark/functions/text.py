@@ -68,6 +68,49 @@ def hashtags_contain(col: Column | str, keywords: Sequence[str]) -> Column:
     return F.exists(c, lambda x: F.array_contains(kws, F.lower(x)))
 
 
+"""PII patterns — deliberately restricted to syntax that Java regex
+(Spark) and RE2 (DuckDB oracle) interpret identically: character
+classes, bounded repetition, ``\\b`` anchors; no lookaround, no
+backreferences. Greedy matching converges for these (no alternation
+ambiguity), so backtracking (Java) and automaton (RE2) engines return
+the same spans."""
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_PATTERN = r"\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b"
+SSN_PATTERN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+_PII_REDACTIONS = (
+    (EMAIL_PATTERN, "<EMAIL>"),
+    (SSN_PATTERN, "<SSN>"),  # before PHONE: both are digit-group shapes
+    (IPV4_PATTERN, "<IP>"),
+    (PHONE_PATTERN, "<PHONE>"),
+)
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-row PII hit counts (emails / IPv4 / phones / SSNs) as native
+    regexp_extract_all + size — codegen'd, no UDF. At 100 TB this is a
+    pure projection over the scan: no shuffle, no state."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0)),
+        "n_ipv4": F.size(F.regexp_extract_all(c, F.lit(IPV4_PATTERN), 0)),
+        "n_phones": F.size(F.regexp_extract_all(c, F.lit(PHONE_PATTERN), 0)),
+        "n_ssn": F.size(F.regexp_extract_all(c, F.lit(SSN_PATTERN), 0)),
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace PII spans with typed placeholder tokens. Order matters:
+    SSN (3-2-4 digit groups) is rewritten before the phone pattern can
+    see digit runs; emails before anything that could match their
+    digits."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, token in _PII_REDACTIONS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
 def merge_text_content(text: Column | str, content: Column | str) -> Column:
     """First-non-null of alternate body fields (reference: Test.ipynb
     when/otherwise merge; 5SPAR.ipynb coalesce)."""

@@ -2358,6 +2358,102 @@ def q_doc_mean_token_freq(spark, sf_dir):
     )
 
 
+def q_mix_sampling_weights(spark, sf_dir):
+    # Data-mix design: per-language token mass -> temperature-sampled
+    # training shares (the multilingual alpha-sampling convention from
+    # the XLM-R / mC4 literature, here alpha = 0.5 so the transform is
+    # IEEE-exact sqrt, not libm pow). Outputs raw share, tempered
+    # share, and the implied up/down-sampling factor per language.
+    # Scale shape: one partial-agg groupBy(lang) collapses the corpus
+    # to #langs rows; every window below runs on that tiny frame. The
+    # double sum of sqrt masses is evaluated over an ORDER BY lang
+    # full frame so both engines (and any shuffle-partition count)
+    # accumulate in the identical order.
+    from projet_5spar_sparkstreaming_spark.functions.textstats import token_count
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    w = Window.orderBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sq = F.sqrt(F.col("n_tokens").cast("double"))
+    raw = F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double")
+    temp = sq / F.sum(sq).over(w)
+    return per.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(raw, 6).alias("raw_share"),
+        F.round(temp, 6).alias("temp_share"),
+        F.round(temp / raw, 6).alias("upsample"),
+    )
+
+
+def q_doc_boilerplate_ratio(spark, sf_dir):
+    # Cross-document boilerplate signal (the C4 "common line" rule
+    # generalized to word 5-grams): per document, the fraction of its
+    # DISTINCT 5-gram shingles that appear in >= 3 documents — high
+    # ratio means the doc is mostly template/boilerplate text shared
+    # across the corpus. Complements doc_repetition_stats (WITHIN-doc
+    # repeats). Document frequency rides the same exploded scan as a
+    # count window (the tfidf/ngram-df trick): per-doc-distinct
+    # shingles mean count(*) over the shingle partition IS the doc
+    # frequency — shingle-key shuffle, then the doc-key agg, no
+    # separate agg+join. Shingles travel as 64-bit hashes, never as
+    # O(L)-byte strings (operators/dedup.py:_shingle_hashes).
+    from projet_5spar_sparkstreaming_spark.operators.dedup import _shingle_hashes
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(_shingle_hashes("text", 5)).alias("__s")
+    )
+    df_w = Window.partitionBy("__s")
+    boiler = (F.count(F.lit(1)).over(df_w) >= 3).cast("int")
+    return (
+        ex.withColumn("__b", boiler)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__b").alias("__nb"))
+        .select(
+            "doc_id",
+            F.col("__n").cast("bigint").alias("n_shingles"),
+            F.col("__nb").cast("bigint").alias("n_boilerplate"),
+            F.round(
+                F.col("__nb") / F.col("__n").cast("double"), 6
+            ).alias("boilerplate_ratio"),
+        )
+    )
+
+
+def q_doc_pii_scan(spark, sf_dir):
+    # PII audit projection: per-document counts of email / IPv4 /
+    # phone / SSN patterns plus the length delta after redaction
+    # (functions/text.py:pii_counts/redact_pii). On the synthetic
+    # corpus every count is legitimately zero — the oracle proves the
+    # Spark (Java regex) and DuckDB (RE2) engines agree on the same
+    # patterns; the positive-case behavior is pinned by
+    # tests/test_functions.py on crafted PII rows. Pure projection
+    # over the scan: the 100 TB shape of a compliance sweep.
+    from projet_5spar_sparkstreaming_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[counts[k].cast("bigint").alias(k) for k in sorted(counts)],
+        (F.length("text") - F.length(redact_pii(F.col("text"))))
+        .cast("bigint")
+        .alias("redacted_chars"),
+    )
+
+
 def q_doc_gopher_rules(spark, sf_dir):
     # Composite curation-rule filter (the Gopher/C4 rule-list shape,
     # public literature), thresholds adapted to the synthetic corpus so
@@ -3647,6 +3743,9 @@ def catalog() -> list[CatalogQuery]:
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_mean_token_freq": q_doc_mean_token_freq,
+        "mix_sampling_weights": q_mix_sampling_weights,
+        "doc_boilerplate_ratio": q_doc_boilerplate_ratio,
+        "doc_pii_scan": q_doc_pii_scan,
         "incremental_neardup_pairs": q_incremental_neardup_pairs,
         "decontamination_overlap": q_decontamination_overlap,
         "vocab_coverage": q_vocab_coverage,
@@ -3697,6 +3796,63 @@ def catalog() -> list[CatalogQuery]:
         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
         "ROUND(SUM(c) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_token_freq "
         "FROM ex JOIN tf USING (tok) GROUP BY doc_id"
+    )
+    oracles["mix_sampling_weights"] = (
+        # alpha = 0.5 temperature sampling; sqrt is IEEE-correctly-
+        # rounded on both engines, and the double sum of sqrt masses is
+        # an ORDER BY lang windowed sum so accumulation order matches
+        f"WITH per AS (SELECT lang, COUNT(*) AS n_docs, "
+        f"SUM(len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'))) AS n_tokens "
+        "FROM documents GROUP BY lang), "
+        "w AS (SELECT lang, n_docs, n_tokens, "
+        "CAST(SUM(n_tokens) OVER () AS DOUBLE) AS tot, "
+        "sqrt(CAST(n_tokens AS DOUBLE)) AS sq, "
+        "SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER (ORDER BY lang "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS sqtot "
+        "FROM per) "
+        "SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, "
+        "CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "ROUND(CAST(n_tokens AS DOUBLE) / tot, 6) AS raw_share, "
+        "ROUND(sq / sqtot, 6) AS temp_share, "
+        "ROUND((sq / sqtot) / (CAST(n_tokens AS DOUBLE) / tot), 6) AS upsample "
+        "FROM w"
+    )
+    oracles["doc_boilerplate_ratio"] = (
+        # same shingle convention as the jaccard oracles (n=5: short
+        # docs -> one truncated shingle, empty -> ''); doc frequency
+        # counts rows because per-doc shingles are distinct
+        f"WITH toks AS (SELECT doc_id, "
+        f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS t FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform("
+        "  range(0, greatest(len(t) - 5, 0) + 1), "
+        "  i -> array_to_string(t[i + 1 : i + 5], ' '))) AS s FROM toks), "
+        "ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh), "
+        "df AS (SELECT shingle, COUNT(*) AS c FROM ex GROUP BY shingle) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, "
+        "CAST(SUM(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate, "
+        "ROUND(SUM(CASE WHEN c >= 3 THEN 1 ELSE 0 END) "
+        "/ CAST(COUNT(*) AS DOUBLE), 6) AS boilerplate_ratio "
+        "FROM ex JOIN df USING (shingle) GROUP BY doc_id"
+    )
+    oracles["doc_pii_scan"] = (
+        # RE2 side of the Java-regex patterns in functions/text.py —
+        # restricted syntax both engines interpret identically
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, "
+        "CAST(len(regexp_extract_all(text, "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, "
+        "CAST(len(regexp_extract_all(text, "
+        "'\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b')) AS BIGINT) AS n_phones, "
+        "CAST(len(regexp_extract_all(text, "
+        "'\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn, "
+        "CAST(length(text) - length("
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+        "'\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b', '<PHONE>', 'g')) AS BIGINT) "
+        "AS redacted_chars FROM documents"
     )
     oracles["incremental_neardup_pairs"] = (
         # cross-set variant of the ngram_jaccard oracle: a-side odd

@@ -13,6 +13,8 @@ from projet_5spar_sparkstreaming_spark.functions.text import (
     hashtags_contain,
     keyword_filter,
     merge_text_content,
+    pii_counts,
+    redact_pii,
     strip_html,
 )
 from projet_5spar_sparkstreaming_spark.functions.textstats import (
@@ -123,6 +125,58 @@ class TestTextStats:
         )
         fps = [r["f"] for r in df.select(doc_fingerprint("t").alias("f")).collect()]
         assert fps[0] == fps[1] != fps[2]
+
+
+class TestPII:
+    SAMPLE = (
+        "Mail a.user+tag@example.co.uk from 192.168.1.10, "
+        "call (555) 123-4567 or 555-123-4567, SSN 123-45-6789."
+    )
+
+    def test_pii_counts(self, spark):
+        df = spark.createDataFrame([(self.SAMPLE,), ("no pii here",)], ["t"])
+        counts = pii_counts("t")
+        rows = df.select(
+            *[counts[k].alias(k) for k in sorted(counts)]
+        ).collect()
+        assert rows[0].asDict() == {
+            "n_emails": 1, "n_ipv4": 1, "n_phones": 2, "n_ssn": 1
+        }
+        assert rows[1].asDict() == {
+            "n_emails": 0, "n_ipv4": 0, "n_phones": 0, "n_ssn": 0
+        }
+
+    def test_redact_pii(self, spark):
+        df = spark.createDataFrame([(self.SAMPLE,)], ["t"])
+        out = df.select(redact_pii("t").alias("r")).collect()[0]["r"]
+        assert "<EMAIL>" in out and "<IP>" in out
+        assert "<SSN>" in out and "<PHONE>" in out
+        assert "example.co.uk" not in out
+        assert "123-45-6789" not in out
+        assert "192.168.1.10" not in out
+
+    def test_redaction_matches_duckdb_re2(self, spark):
+        # the oracle contract: Java regex and RE2 agree on these spans
+        import duckdb
+
+        df = spark.createDataFrame(
+            [(self.SAMPLE,), ("x 10.0.0.1 y bob@x.io",), ("clean",)], ["t"]
+        )
+        got = sorted(r["r"] for r in df.select(redact_pii("t").alias("r")).collect())
+        want = sorted(
+            r[0]
+            for r in duckdb.sql(
+                "SELECT regexp_replace(regexp_replace(regexp_replace("
+                "regexp_replace(t, "
+                "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+                "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), "
+                "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+                "'\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b', '<PHONE>', 'g') "
+                "FROM (VALUES ('" + self.SAMPLE.replace("'", "''") + "'), "
+                "('x 10.0.0.1 y bob@x.io'), ('clean')) v(t)"
+            ).fetchall()
+        )
+        assert got == want
 
 
 class TestVectors:
