@@ -45,20 +45,31 @@ def language_id(col: Column | str) -> Column:
     hits. Ties break by fixed language order (en, fr, de, es) —
     deterministic so results are reproducible and oracle-checkable.
     """
-    toks = tokens(col)
+    langs = F.array(*[F.lit(lang) for lang in _LANG_MARKERS])
 
-    def _marker_hits(words: list[str]):
-        # Factory closure: a default-arg lambda would change the lambda's
-        # arity and break PySpark's higher-order-function binding.
-        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+    def over_scores(sc: Column) -> Column:
+        best = F.array_max(sc)
+        # array_position returns the FIRST max index — earlier languages
+        # win ties, same ordering contract as the previous when-chain.
+        return F.when(
+            best > 0, F.element_at(langs, F.array_position(sc, best).cast("int"))
+        ).otherwise(F.lit("und"))
 
-    scores = [_marker_hits(words) for words in _LANG_MARKERS.values()]
-    best = F.greatest(*scores)
-    result = F.lit("und")
-    # Build reversed so earlier languages win ties via later when() override.
-    for lang, score in reversed(list(zip(_LANG_MARKERS.keys(), scores))):
-        result = F.when(score == best, F.lit(lang)).otherwise(result)
-    return F.when(best > 0, result).otherwise(F.lit("und"))
+    def over_toks(tk: Column) -> Column:
+        def _marker_hits(words: list[str]):
+            # Factory closure: a default-arg lambda would change the
+            # lambda's arity and break higher-order-function binding.
+            return F.size(F.filter(tk, lambda t: t.isin(*words)))
+
+        scores = F.array(*[_marker_hits(w) for w in _LANG_MARKERS.values()])
+        return F.transform(F.array(scores), over_scores)[0]
+
+    # Double lambda binding: higher-order functions are interpreted (no
+    # codegen CSE), so the old form re-ran the tokenizer regex once per
+    # marker set and the score comparisons once per when() arm. Binding
+    # the token array, then the score array, evaluates each exactly once
+    # (doc_lang_id 0.79s -> measured ~0.3s at sf0.1).
+    return F.transform(F.array(tokens(col)), over_toks)[0]
 
 
 def quality_score(col: Column | str) -> Column:
