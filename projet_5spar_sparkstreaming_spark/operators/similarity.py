@@ -23,7 +23,11 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from projet_5spar_sparkstreaming_spark.functions.vectors import cosine_similarity
+from projet_5spar_sparkstreaming_spark.functions.vectors import (
+    cosine_from_norms,
+    cosine_similarity,
+    l2_norm,
+)
 from projet_5spar_sparkstreaming_spark.operators.dedup import _ensure_min_parallelism
 from projet_5spar_sparkstreaming_spark.operators.topk import top_k_per_group
 
@@ -83,11 +87,16 @@ def brute_force_top_k_expr(
     """Exact cosine top-k on native expressions only (no numpy): the
     broadcast-queries x streamed-corpus plan, per-pair zip_with dot.
     """
+    # norms once per row, not per pair — see cosine_from_norms
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        l2_norm(query_vec).alias("__qn"),
     )
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        l2_norm(corpus_vec).alias("__cn"),
     )
     joined = F.broadcast(q).crossJoin(c)
     if exclude_self:
@@ -95,7 +104,9 @@ def brute_force_top_k_expr(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        F.round(
+            cosine_from_norms("__qv", "__cv", "__qn", "__cn"), 6
+        ).alias("cosine"),
     )
     return top_k_per_group(
         scored,
@@ -290,13 +301,18 @@ def ivf_top_k(
     )
     q_probes = queries.sparkSession.createDataFrame(probe_rows, probe_schema)
 
-    cand = F.broadcast(q_probes).join(bucketed, "__cell")
+    # norms once per probe row / corpus row, not per candidate pair
+    cand = F.broadcast(
+        q_probes.withColumn("__qn", l2_norm("__qv"))
+    ).join(bucketed.withColumn("__cn", l2_norm("__cv")), "__cell")
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("__cid"))
     scored = cand.select(
         "query_id",
         F.col("__cid").alias("neighbor_id"),
-        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        F.round(
+            cosine_from_norms("__qv", "__cv", "__qn", "__cn"), 6
+        ).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     return top_k_per_group(
         scored,
@@ -438,17 +454,29 @@ def cosine_near_dup_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = ids_vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    vb = ids_vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    # Norms ride the side tables (computed once per row, not per
+    # candidate pair): the verify stage pays one dot product per
+    # candidate — same doubles as cosine_similarity, 4x fewer
+    # interpreted array passes (vectors.py:cosine_from_norms).
+    va = ids_vecs.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        l2_norm("__v").alias("__nva"),
+    )
+    vb = ids_vecs.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        l2_norm("__v").alias("__nvb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                cosine_from_norms("__va", "__vb", "__nva", "__nvb"), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -510,11 +538,16 @@ def lsh_bucketed_top_k(
     cand = cand.select("query_id", "neighbor_id").dropDuplicates(
         ["query_id", "neighbor_id"]
     )
+    # norms once per row, not per candidate — see cosine_from_norms
     qv = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        l2_norm(query_vec).alias("__qn"),
     )
     cv = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        l2_norm(corpus_vec).alias("__cn"),
     )
     scored = (
         cand.join(F.broadcast(qv), "query_id")
@@ -522,9 +555,9 @@ def lsh_bucketed_top_k(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                cosine_from_norms("__qv", "__cv", "__qn", "__cn"), 6
+            ).alias("cosine"),
         )
     )
     return top_k_per_group(

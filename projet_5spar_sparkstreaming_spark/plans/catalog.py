@@ -2779,13 +2779,26 @@ def q_embedding_neardup_pairs(spark, sf_dir):
 
 def q_embedding_pair_sims(spark, sf_dir):
     # Exact pairwise cosine above a loose threshold (sampled a-side).
-    from projet_5spar_sparkstreaming_spark.functions.vectors import cosine_similarity
+    # Row norms are materialized on each side BEFORE the pair join
+    # (vectors.py:cosine_from_norms): per-pair work is one dot product,
+    # not dot + four norm aggregates — same doubles, 4x fewer
+    # interpreted array passes.
+    from projet_5spar_sparkstreaming_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        l2_norm("embedding").alias("__na"),
     )
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        l2_norm("embedding").alias("__nb"),
+    )
     return (
         F.broadcast(a)
         .crossJoin(b)
@@ -2793,7 +2806,9 @@ def q_embedding_pair_sims(spark, sf_dir):
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(
+                cosine_from_norms("va", "vb", "__na", "__nb"), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.3)
     )
