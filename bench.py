@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "doc_boilerplate_ratio",
     "mix_sampling_weights",
     "doc_pii_scan",
+    "embedding_pair_sims",
+    "embedding_neardup_pairs",
 ]
 
 

@@ -408,6 +408,8 @@ def cosine_near_dup_pairs(
     n_planes: int = 6,
     n_tables: int = 8,
     dim: int = 64,
+    max_bucket_size: int | None = None,
+    verify: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup PAIRS (id_a, id_b, cosine >= threshold)
     — the embedding twin of ``minhash_near_dup_pairs``: sign-LSH buckets
@@ -422,6 +424,21 @@ def cosine_near_dup_pairs(
     Recall grows with n_tables and shrinks with threshold distance;
     pair recall against the exact join is test-enforced
     (`tests/test_operators.py`).
+
+    The residual quadratic risk is the same one minhash banding has
+    (operators/dedup.py:minhash_near_dup_pairs): a k-member group of
+    (near-)identical vectors — or a tight semantic cluster when the
+    threshold sits below the cluster's internal cosine — shares every
+    bucket and emits k^2/2 candidates. ``max_bucket_size`` drops
+    buckets holding more than that many vectors before the self-join
+    can fan out (occupancy rides the bucket-key shuffle the join needs
+    anyway); such buckets are duplication-grade mass better collapsed
+    by exact/fingerprint dedup upstream. None (default) keeps every
+    bucket.
+
+    ``verify=False`` returns the raw deduped candidate set (id_a, id_b)
+    without the exact-cosine verify join — the minhash-parity hook for
+    measuring candidate volume at scale.
     """
     ids_vecs = corpus.select(
         F.col(corpus_id).alias("__id"), F.col(corpus_vec).alias("__v")
@@ -443,6 +460,15 @@ def cosine_near_dup_pairs(
         banded = ids_vecs.withColumn("__bucket", F.explode(buckets)).select(
             "__id", "__bucket"
         )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        occ_w = Window.partitionBy("__bucket")
+        banded = (
+            banded.withColumn("__occ", F.count(F.lit(1)).over(occ_w))
+            .filter(F.col("__occ") <= max_bucket_size)
+            .drop("__occ")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -454,6 +480,8 @@ def cosine_near_dup_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not verify:
+        return cand
     # Norms ride the side tables (computed once per row, not per
     # candidate pair): the verify stage pays one dot product per
     # candidate — same doubles as cosine_similarity, 4x fewer

@@ -437,6 +437,49 @@ def test_cosine_near_dup_pairs_recall_vs_exact(spark):
     assert recall >= 0.95, f"recall {recall:.3f} on {len(exact)} true pairs"
 
 
+def test_cosine_near_dup_bucket_cap(spark):
+    """max_bucket_size for sign-LSH (same guard as minhash banding): a
+    40-member identical-vector mega-group (every pair collides in every
+    table -> 780 candidate pairs) is dropped by the cap, while an
+    ordinary near-identical 2-vector pair in the same corpus survives."""
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    mega = rng.randn(64)
+    mega /= np.linalg.norm(mega)
+    a = rng.randn(64)
+    a /= np.linalg.norm(a)
+    b = a + 0.01 * rng.randn(64)
+    b /= np.linalg.norm(b)
+    rows = [(i, [float(x) for x in mega]) for i in range(40)]
+    rows += [(100, [float(x) for x in a]), (101, [float(x) for x in b])]
+    for i in range(10):  # background noise vectors
+        v = rng.randn(64)
+        v /= np.linalg.norm(v)
+        rows.append((200 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    un = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.99
+        ).collect()
+    }
+    cp = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.99, max_bucket_size=20
+        ).collect()
+    }
+    assert (100, 101) in un and (100, 101) in cp  # organic pair survives
+    assert sum(1 for x, y in un if x < 40 and y < 40) == 780  # 40*39/2
+    assert not any(x < 40 and y < 40 for x, y in cp)  # mega-group dropped
+
+
 def test_fingerprint_dedup_keeps_min_id(spark):
     from projet_5spar_sparkstreaming_spark.operators.dedup import fingerprint_dedup
 

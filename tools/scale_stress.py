@@ -210,6 +210,79 @@ def run_tier(spark, n: int) -> dict:
     return res
 
 
+def gen_twin_embeddings(spark, n: int, path: str) -> None:
+    """Near-dup embedding corpus: near-orthogonal unit Gaussians with a
+    deterministic 2% of rows (id % 50 == 1) perturbed copies of their
+    predecessor (cosine ~0.993). UNLIKE gen_embeddings there is no
+    cluster structure: near-dup detection at threshold ~0.95 only makes
+    sense when the threshold sits ABOVE the corpus's background
+    cohesion — inside a tight cluster every member pair is a candidate
+    and the problem is inherently quadratic (that regime is what
+    max_bucket_size + upstream exact dedup are for)."""
+    import numpy as np
+    import pandas as pd
+
+    def _base(i: int) -> "np.ndarray":
+        v = np.random.RandomState(900_001 + int(i)).randn(DIM)
+        return v / max(np.linalg.norm(v), 1e-300)
+
+    def _gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = []
+            for i in ids:
+                if int(i) % 50 == 1:
+                    rng = np.random.RandomState(800_001 + int(i))
+                    v = _base(int(i) - 1) + 0.015 * rng.randn(DIM)
+                    v /= max(np.linalg.norm(v), 1e-300)
+                else:
+                    v = _base(int(i))
+                out.append(v.astype(float).tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": out})
+
+    (
+        spark.range(n)
+        .repartition(64)
+        .mapInPandas(_gen, "vec_id long, embedding array<double>")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def run_embed_neardup(spark, n: int) -> dict:
+    """Embedding-cosine near-dup at scale: sign-LSH candidates (20
+    planes x 8 tables: random-pair collision ~8 * 0.5^20 while
+    twin-pair collision ~1) + exact verify, with the mega-bucket cap
+    armed. Twin recall is exact-checkable without an all-pairs join
+    because twins are planted at known ids."""
+    from pyspark.sql import functions as F
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    path = f"{WORK}/twin_emb_{n}"
+    res: dict = {"kind": "embed_neardup", "n": n}
+    _, res["gen_s"] = timed(lambda: gen_twin_embeddings(spark, n, path))
+    embs = spark.read.parquet(path)
+    kw = dict(
+        threshold=0.95, n_planes=20, n_tables=8, max_bucket_size=100
+    )
+    cand = cosine_near_dup_pairs(embs, "vec_id", "embedding", verify=False, **kw)
+    res["candidates"], res["cand_s"] = timed(cand.count, warm=True)
+    pairs = cosine_near_dup_pairs(embs, "vec_id", "embedding", **kw).cache()
+    res["pairs"], res["full_s"] = timed(pairs.count)
+    # planted-twin recall without an all-pairs join: twin (i-1, i) at
+    # every id % 50 == 1
+    got = pairs.filter(
+        (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_b") % 50 == 1)
+    ).count()
+    planted = (n - 2) // 50 + 1  # ids 1, 51, ... < n
+    res["twin_recall"] = round(got / max(1, planted), 4)
+    pairs.unpersist()
+    return res
+
+
 def gen_batch(spark, n: int, index_n: int, path: str) -> None:
     """A 'daily crawl' batch: ``n`` docs, 20% perturbed copies of index
     docs (deterministic), ids offset by 1M to stay disjoint."""
@@ -284,6 +357,10 @@ def main() -> None:
     inc = run_incremental(spark, max(tiers))
     results.append(inc)
     print(json.dumps(inc), flush=True)
+    for n in tiers:
+        en = run_embed_neardup(spark, n)
+        results.append(en)
+        print(json.dumps(en), flush=True)
     with open(f"{WORK}/results.json", "w") as f:
         json.dump(results, f, indent=2)
     print("\n| n | gen | mh cand (n, s) | mh full (n, s) | verify (n, s) | "
