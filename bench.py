@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "doc_pii_scan",
     "embedding_pair_sims",
     "embedding_neardup_pairs",
+    "duplicate_span_pairs",
 ]
 
 

@@ -2476,6 +2476,44 @@ def q_doc_pii_scan(spark, sf_dir):
     )
 
 
+def q_duplicate_span_pairs(spark, sf_dir):
+    # Exact-substring duplication (the "deduplicating training data
+    # makes LMs better" convention, public literature): document pairs
+    # sharing at least one exact 25-token window, with the count of
+    # shared windows. Complements whole-doc Jaccard/MinHash — it
+    # catches a long verbatim quote inside two otherwise-different
+    # documents, which stays far below any Jaccard threshold. Spans
+    # travel as 64-bit hashes (operators/dedup.py:_shingle_hashes) and
+    # document frequency rides the exploded scan as a count window;
+    # spans appearing in > 20 docs are EXCLUDED before the self-join
+    # (boilerplate-grade mass whose pair fan-out is quadratic — the
+    # same occupancy-cap rationale as minhash/sign-LSH banding; such
+    # spans belong to doc_boilerplate_ratio's statistic instead). The
+    # span table is cached: the self-join reads it on both sides.
+    from projet_5spar_sparkstreaming_spark.operators.dedup import _shingle_hashes
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(_shingle_hashes("text", 25)).alias("__s")
+    )
+    df_w = Window.partitionBy("__s")
+    shared = (
+        ex.withColumn("__df", F.count(F.lit(1)).over(df_w))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= 20))
+        .select("doc_id", "__s")
+        .cache()
+    )
+    a = shared.select(F.col("doc_id").alias("id_a"), "__s")
+    b = shared.select(F.col("doc_id").alias("id_b"), "__s")
+    return (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_spans"))
+    )
+
+
 def q_doc_gopher_rules(spark, sf_dir):
     # Composite curation-rule filter (the Gopher/C4 rule-list shape,
     # public literature), thresholds adapted to the synthetic corpus so
@@ -3791,6 +3829,7 @@ def catalog() -> list[CatalogQuery]:
         "mix_sampling_weights": q_mix_sampling_weights,
         "doc_boilerplate_ratio": q_doc_boilerplate_ratio,
         "doc_pii_scan": q_doc_pii_scan,
+        "duplicate_span_pairs": q_duplicate_span_pairs,
         "incremental_neardup_pairs": q_incremental_neardup_pairs,
         "decontamination_overlap": q_decontamination_overlap,
         "vocab_coverage": q_vocab_coverage,
@@ -3898,6 +3937,23 @@ def catalog() -> list[CatalogQuery]:
         "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
         "'\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b', '<PHONE>', 'g')) AS BIGINT) "
         "AS redacted_chars FROM documents"
+    )
+    oracles["duplicate_span_pairs"] = (
+        # same 25-token shingle convention as the other shingle oracles
+        # (short docs -> one truncated shingle, empty -> ''); df window
+        # 2..20 on per-doc-distinct spans
+        f"WITH toks AS (SELECT doc_id, "
+        f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS t FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform("
+        "  range(0, greatest(len(t) - 25, 0) + 1), "
+        "  i -> array_to_string(t[i + 1 : i + 25], ' '))) AS s FROM toks), "
+        "ex AS (SELECT doc_id, unnest(s) AS span FROM sh), "
+        "df AS (SELECT span, COUNT(*) AS c FROM ex GROUP BY span "
+        "  HAVING COUNT(*) BETWEEN 2 AND 20) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_shared_spans "
+        "FROM ex a JOIN df USING (span) JOIN ex b USING (span) "
+        "WHERE a.doc_id < b.doc_id GROUP BY 1, 2"
     )
     oracles["incremental_neardup_pairs"] = (
         # cross-set variant of the ngram_jaccard oracle: a-side odd
