@@ -69,3 +69,52 @@ def test_latest_per_key_matches_reference_impl(spark, rows):
                 expect[k] = cand
     normalized = {k: (None if v == -1 else v, t) for k, (v, t) in expect.items()}
     assert got == normalized
+
+
+def test_mix_weights_invariants(spark, sf_dir):
+    """Temperature-mix weights: shares are distributions (each sums to
+    1 within rounding), and alpha < 1 up-samples below-average-mass
+    languages / down-samples above-average ones (the whole point of
+    temperature sampling)."""
+    from projet_5spar_sparkstreaming_spark.plans.catalog import catalog
+
+    cat = {q.name: q for q in catalog()}
+    rows = cat["mix_sampling_weights"].build(spark, sf_dir).collect()
+    assert rows, "corpus has languages"
+    assert abs(sum(r["raw_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
+    mean_tokens = sum(r["n_tokens"] for r in rows) / len(rows)
+    for r in rows:
+        assert r["n_docs"] > 0 and r["n_tokens"] > 0
+        if r["n_tokens"] < mean_tokens:
+            assert r["upsample"] > 1.0, r
+        elif r["n_tokens"] > mean_tokens:
+            assert r["upsample"] < 1.0, r
+
+
+def test_boilerplate_ratio_bounds_and_twins(spark, sf_dir):
+    """Ratio in [0,1] with consistent counts; a doc's shingles that hit
+    the >= 3 df bar can never exceed its distinct-shingle total."""
+    from projet_5spar_sparkstreaming_spark.plans.catalog import catalog
+
+    cat = {q.name: q for q in catalog()}
+    rows = cat["doc_boilerplate_ratio"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_boilerplate"] <= r["n_shingles"]
+        assert 0.0 <= r["boilerplate_ratio"] <= 1.0
+
+
+def test_duplicate_span_pairs_ordering_and_bounds(spark, sf_dir):
+    """Pairs are strictly ordered (id_a < id_b, no self/dup pairs) and
+    a pair can never share more spans than the shorter doc holds."""
+    from projet_5spar_sparkstreaming_spark.plans.catalog import catalog
+
+    cat = {q.name: q for q in catalog()}
+    rows = cat["duplicate_span_pairs"].build(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert (r["id_a"], r["id_b"]) not in seen
+        seen.add((r["id_a"], r["id_b"]))
+        assert r["n_shared_spans"] >= 1
