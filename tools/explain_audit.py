@@ -132,6 +132,26 @@ CHECKS = {
     "doc_repetition_stats": [
         ("no exchange (projection only)", "!Exchange"),
     ],
+    "doc_pii_scan": [
+        # compliance sweep is a pure projection over the scan
+        ("no exchange (projection only)", "!Exchange"),
+        ("2-column scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    "doc_boilerplate_ratio": [
+        # df-as-window over the exploded scan: shingle-key shuffle then
+        # doc-key agg — no separate agg+join, no cartesian
+        ("df via count window", "Window"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
+    "mix_sampling_weights": [
+        # corpus collapses to #langs rows behind a partial agg before
+        # any window runs
+        ("partial agg first", "HashAggregate"),
+    ],
+    "duplicate_span_pairs": [
+        # span equi-join on 64-bit hashes; cartesian = quadratic corpus
+        ("span equi-join, no cartesian", "!CartesianProduct"),
+    ],
 }
 
 
