@@ -469,6 +469,11 @@ def cosine_near_dup_pairs(
             .filter(F.col("__occ") <= max_bucket_size)
             .drop("__occ")
         )
+    # cached for the same reason minhash caches its signature table:
+    # the bucket SELF-join needs the banded rows on both sides, and a
+    # broadcast side is a separate physical subtree — without the cache
+    # the Arrow bucketize stage executes twice per action
+    banded = banded.cache()
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
