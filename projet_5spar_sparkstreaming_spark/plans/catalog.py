@@ -742,6 +742,44 @@ def q_stream_decontamination(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_pii_scan(spark, sf_dir):
+    # STREAMING compliance guard with the BATCH oracle: the PII audit
+    # projection (doc_pii_scan) run over replayed documents in-flight.
+    # Stateless — the regex projection needs no watermark or state, so
+    # it appends row-for-row and an availableNow replay equals the
+    # batch query exactly (T8 stream/batch parity). The 100 TB shape of
+    # "redact before anything lands in the lake".
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
+
+    docs = read_parquet_stream(spark, sf_dir, "documents")
+    counts = pii_counts(F.col("text"))
+    scanned = docs.select(
+        "doc_id",
+        *[counts[k].cast("bigint").alias(k) for k in sorted(counts)],
+        (F.length("text") - F.length(redact_pii(F.col("text"))))
+        .cast("bigint")
+        .alias("redacted_chars"),
+    )
+    name = "q_stream_pii_scan_sink"
+    chk = tempfile.mkdtemp(prefix="chk_pii_")
+    q = (
+        scanned.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_multimodal_audio_stats(spark, sf_dir):
     # Audio twin of multimodal_decode_stats: render each small embedding
     # into a REAL 16-bit PCM WAV payload (stdlib wave), run the Arrow
@@ -3864,6 +3902,7 @@ def catalog() -> list[CatalogQuery]:
         "stream_curate_corpus": q_stream_curate_corpus,
         "stream_enriched_segment_counts": q_stream_enriched_segment_counts,
         "stream_decontamination": q_stream_decontamination,
+        "stream_pii_scan": q_stream_pii_scan,
         "range_join_bands": q_range_join_bands,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "multimodal_audio_stats": q_multimodal_audio_stats,
@@ -4141,6 +4180,7 @@ def catalog() -> list[CatalogQuery]:
     # stream/batch parity: the streaming ingest guard converges to the
     # batch decontamination query, so it shares that oracle verbatim
     oracles["stream_decontamination"] = oracles["decontamination_overlap"]
+    oracles["stream_pii_scan"] = oracles["doc_pii_scan"]
     oracles["stream_first_event_per_user"] = (
         "SELECT user_id, event_id, ts FROM ("
         "SELECT user_id, event_id, ts, ROW_NUMBER() OVER ("
