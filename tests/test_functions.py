@@ -155,6 +155,24 @@ class TestPII:
         assert "123-45-6789" not in out
         assert "192.168.1.10" not in out
 
+    def test_pii_null_and_empty_edges(self, spark):
+        # SQL-consistent null propagation (DuckDB agrees): null text ->
+        # null counts/redaction, empty text -> zero counts, '' redaction
+        df = spark.createDataFrame([(1, None), (2, "")], "id long, t string")
+        c = pii_counts("t")
+        rows = {
+            r["id"]: r.asDict()
+            for r in df.select(
+                "id", *[c[k].alias(k) for k in sorted(c)],
+                redact_pii("t").alias("r"),
+            ).collect()
+        }
+        assert all(v is None for k, v in rows[1].items() if k != "id")
+        assert rows[2] == {
+            "id": 2, "n_emails": 0, "n_ipv4": 0, "n_phones": 0,
+            "n_ssn": 0, "r": "",
+        }
+
     def test_redaction_matches_duckdb_re2(self, spark):
         # the oracle contract: Java regex and RE2 agree on these spans
         import duckdb
