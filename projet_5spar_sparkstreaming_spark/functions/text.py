@@ -76,7 +76,9 @@ ambiguity), so backtracking (Java) and automaton (RE2) engines return
 the same spans."""
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PHONE_PATTERN = r"\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b"
+# leading "(" OR word boundary: without it the pattern would match the
+# tail of a longer digit run ("card 4555 123-4567" -> phone at "555...")
+PHONE_PATTERN = r"(?:\(|\b)\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b"
 SSN_PATTERN = r"\b\d{3}-\d{2}-\d{4}\b"
 
 _PII_REDACTIONS = (

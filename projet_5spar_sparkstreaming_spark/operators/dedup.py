@@ -141,8 +141,15 @@ def _shingle_hashes(col: Column | str, n: int) -> Column:
             F.sequence(F.lit(1), m), lambda i: F.xxhash64(F.slice(tk, i, n))
         )
         empty = F.array(F.xxhash64(F.array(F.lit(""))))
-        return F.array_distinct(
-            F.when(F.size(tk) == 0, empty).otherwise(grams)
+        # NULL text stays NULL (size(NULL) matches neither branch's
+        # guard, but greatest(NULL-. , 1) would otherwise fabricate one
+        # [hash-of-NULL] shingle): NULL-text docs must emit NO shingles
+        # — explode drops them from every join, array_intersect stays
+        # NULL in verifiers — matching the oracles' unnest(NULL).
+        # Without this, any two NULL-text docs become jaccard-1.0 pairs.
+        return F.when(
+            tk.isNotNull(),
+            F.array_distinct(F.when(F.size(tk) == 0, empty).otherwise(grams)),
         )
 
     return F.transform(F.array(tokens(col)), over_tokens)[0]
@@ -612,8 +619,14 @@ def minhash_signature_arrow(
     from pyspark.sql import types as T
 
     salts = np.array(_HASH_SALTS[:num_hashes], dtype=np.uint64) * np.uint64(2) + np.uint64(1)
-    hashed = _ensure_min_parallelism(df, id_col).select(
-        F.col(id_col).alias("__id"), _shingle_hashes(text_col, n).alias("__h")
+    hashed = (
+        _ensure_min_parallelism(df, id_col)
+        .select(
+            F.col(id_col).alias("__id"), _shingle_hashes(text_col, n).alias("__h")
+        )
+        # NULL-text docs carry NULL shingles (no dedup identity) — drop
+        # them here; len(None) would also break the batch vectorization
+        .filter(F.col("__h").isNotNull())
     )
 
     def _sig(batches):
@@ -883,12 +896,9 @@ def verify_pairs_exact(
     sort-merge-shuffles the ENTIRE corpus's shingle arrays — measured
     37s vs 3s at 500k docs / 9.8k candidates.
     """
-    pair_ids = (
-        pairs.select(F.explode(F.array("id_a", "id_b")).alias("__id"))
-        .groupBy("__id")
-        .agg(F.lit(1))
-        .select("__id")
-    )
+    pair_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("__id")
+    ).distinct()
     sh = (
         # join BEFORE computing the arrays: the broadcast semi-join only
         # needs ids, so the (expensive) shingle hashing and sort run for
@@ -1045,8 +1055,13 @@ def simhash64_arrow(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> Da
     import pandas as pd
     from pyspark.sql import types as T
 
-    hashed = _ensure_min_parallelism(df, id_col).select(
-        F.col(id_col).alias("__id"), _shingle_hashes(text_col, n).alias("__h")
+    hashed = (
+        _ensure_min_parallelism(df, id_col)
+        .select(
+            F.col(id_col).alias("__id"), _shingle_hashes(text_col, n).alias("__h")
+        )
+        # NULL-text docs carry NULL shingles — drop (see minhash twin)
+        .filter(F.col("__h").isNotNull())
     )
     schema = T.StructType(
         [

@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from projet_5spar_sparkstreaming_spark.functions.vectors import (
     cosine_from_norms,
-    cosine_similarity,
     l2_norm,
 )
 from projet_5spar_sparkstreaming_spark.operators.dedup import _ensure_min_parallelism

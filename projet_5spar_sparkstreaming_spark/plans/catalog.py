@@ -704,10 +704,14 @@ def q_stream_decontamination(spark, sf_dir):
         .groupBy("__s")
         .agg(F.lit(1).alias("__hit"))
     )
-    ev_ex = evals.select(
+    # two-step select: shingle once, then size+explode — the Generate
+    # boundary keeps CollapseProject from re-duplicating the 13-gram
+    # chain (same pattern as the batch ngram_overlap_join)
+    ev_sh = evals.select("doc_id", _shingle_hashes("text", 13).alias("__sh"))
+    ev_ex = ev_sh.select(
         "doc_id",
-        F.size(_shingle_hashes("text", 13)).alias("__sz"),
-        F.explode(_shingle_hashes("text", 13)).alias("__s"),
+        F.size("__sh").alias("__sz"),
+        F.explode("__sh").alias("__s"),
     )
     agg = (
         ev_ex.join(tr_s, "__s", "left")
@@ -3966,7 +3970,7 @@ def catalog() -> list[CatalogQuery]:
         "CAST(len(regexp_extract_all(text, "
         "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, "
         "CAST(len(regexp_extract_all(text, "
-        "'\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b')) AS BIGINT) AS n_phones, "
+        "'(?:\\(|\\b)\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b')) AS BIGINT) AS n_phones, "
         "CAST(len(regexp_extract_all(text, "
         "'\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn, "
         "CAST(length(text) - length("
@@ -3974,7 +3978,7 @@ def catalog() -> list[CatalogQuery]:
         "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
         "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), "
         "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
-        "'\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b', '<PHONE>', 'g')) AS BIGINT) "
+        "'(?:\\(|\\b)\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b', '<PHONE>', 'g')) AS BIGINT) "
         "AS redacted_chars FROM documents"
     )
     oracles["duplicate_span_pairs"] = (

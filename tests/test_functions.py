@@ -155,6 +155,20 @@ class TestPII:
         assert "123-45-6789" not in out
         assert "192.168.1.10" not in out
 
+    def test_phone_not_matched_inside_digit_run(self, spark):
+        # the leading (?:\(|\b) anchor: a longer digit run (card /
+        # account fragment) must not have its tail redacted as a phone
+        df = spark.createDataFrame(
+            [("card 4555 123-4567",), ("id 20555-123-4567 x",)], ["t"]
+        )
+        c = pii_counts("t")
+        rows = df.select(
+            c["n_phones"].alias("p"), redact_pii("t").alias("r")
+        ).collect()
+        for r in rows:
+            assert r["p"] == 0, r
+            assert "<PHONE>" not in r["r"], r
+
     def test_pii_null_and_empty_edges(self, spark):
         # SQL-consistent null propagation (DuckDB agrees): null text ->
         # null counts/redaction, empty text -> zero counts, '' redaction
@@ -189,7 +203,7 @@ class TestPII:
                 "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
                 "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), "
                 "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
-                "'\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b', '<PHONE>', 'g') "
+                "'(?:\\(|\\b)\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b', '<PHONE>', 'g') "
                 "FROM (VALUES ('" + self.SAMPLE.replace("'", "''") + "'), "
                 "('x 10.0.0.1 y bob@x.io'), ('clean')) v(t)"
             ).fetchall()

@@ -83,12 +83,18 @@ def test_mix_weights_invariants(spark, sf_dir):
     assert rows, "corpus has languages"
     assert abs(sum(r["raw_share"] for r in rows) - 1.0) < 1e-4
     assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
-    mean_tokens = sum(r["n_tokens"] for r in rows) / len(rows)
+    # upsample_i > 1  <=>  sqrt(m_i)/SUM(sqrt) > m_i/SUM(m)
+    #                 <=>  m_i < (SUM(m)/SUM(sqrt(m)))^2
+    # (NOT the arithmetic mean — by Cauchy-Schwarz the crossover sits
+    # at or above it)
+    total = sum(r["n_tokens"] for r in rows)
+    sqrt_total = sum(r["n_tokens"] ** 0.5 for r in rows)
+    crossover = (total / sqrt_total) ** 2
     for r in rows:
         assert r["n_docs"] > 0 and r["n_tokens"] > 0
-        if r["n_tokens"] < mean_tokens:
+        if r["n_tokens"] < crossover * 0.999:
             assert r["upsample"] > 1.0, r
-        elif r["n_tokens"] > mean_tokens:
+        elif r["n_tokens"] > crossover * 1.001:
             assert r["upsample"] < 1.0, r
 
 
