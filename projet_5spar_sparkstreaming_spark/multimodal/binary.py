@@ -403,7 +403,9 @@ def decode_video_stats(
                         np.frombuffer(frame[:luma], dtype=np.uint8).mean()
                     )
                     count += 1
-                fps = fn / fd
+                # zero denominator (F25:0 parses fine) must follow the
+                # ValueError-only corruption contract, not crash the task
+                fps = fn / fd if fd else 0.0
                 ws.append(w)
                 hs.append(h)
                 ns.append(count)

@@ -14,6 +14,13 @@ Scale design (100 TB):
   shuffle is one row per (band, signature) — this is the 100 TB path.
 - All hashing is deterministic (xxhash64 + fixed universal-hash
   parameters), so reruns and stream/batch agree.
+- Cache lifecycle: operators cache the derived tables their self-joins
+  read on both sides (signatures, prefixes, shingle arrays) and hand
+  the caller a lazy DataFrame, so they cannot unpersist themselves.
+  The storage level is the default MEMORY_AND_DISK — eviction is safe
+  (Spark recomputes), so long-lived sessions degrade to recompute, not
+  failure; a job that loops over many corpora (e.g. the scale-stress
+  harness) can call spark.catalog.clearCache() between units.
 """
 
 from __future__ import annotations
@@ -93,7 +100,12 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     """
     toks = tokens(col)
     if n == 1:
-        return F.array_distinct(toks)
+        # same empty-doc convention as every other shingle path (one
+        # '' shingle, matching the SQL-oracle expression); NULL stays
+        # NULL via the otherwise branch
+        return F.array_distinct(
+            F.when(F.size(toks) == 0, F.array(F.lit(""))).otherwise(toks)
+        )
     m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     grams = F.slice(toks, 1, m)
     for i in range(1, n):
@@ -435,10 +447,12 @@ def ngram_jaccard_join(
     )
     # PPJoin size + positional pruning at the join (lossless; see
     # ngram_jaccard_pairs) — cuts candidate volume before the dedup
-    # shuffle and the array-carrying verify joins.
+    # shuffle and the array-carrying verify joins. No id_a != id_b
+    # filter: the sides are DIFFERENT corpora, so equal ids are a
+    # legitimate cross-set match (e.g. a re-crawled doc keeping its id)
+    # — filtering them would silently drop real near-dup pairs.
     cand = (
         a.join(b, "__s")
-        .filter(F.col("id_a") != F.col("id_b"))
         .filter(
             F.least(F.col("__sza"), F.col("__szb"))
             >= threshold * F.greatest(F.col("__sza"), F.col("__szb")) - 1e-9
@@ -749,12 +763,13 @@ def minhash_incremental_pairs(
         sig_idx = sig_idx.cache()
     a = _banded_buckets(sig_new, bands, rows_per_band).alias("a")
     b = _banded_buckets(sig_idx, bands, rows_per_band).alias("b")
+    # no id inequality filter: the sides are different corpora, so an
+    # equal id is a legitimate cross-set match (see ngram_jaccard_join)
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.__id") != F.col("b.__id")),
+            & (F.col("a.bucket") == F.col("b.bucket")),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])

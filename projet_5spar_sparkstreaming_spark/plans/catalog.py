@@ -2394,19 +2394,21 @@ def q_doc_mean_token_freq(spark, sf_dir):
     # LM-perplexity filtering): per document, the mean corpus-wide
     # occurrence count of its tokens — low means rare/garbled
     # vocabulary, high means stopword soup; both tails get trimmed in
-    # curation. Corpus term frequency rides the SAME exploded scan as a
-    # count window (the tfidf/ngram-df trick): token-key shuffle, then
-    # the doc-key aggregation — no separate agg+join. All-integer sums
-    # with one final division, so both engines produce the identical
-    # double (a mean of log-probs would hinge on libm rounding).
+    # curation. Corpus term frequency is a partial-agg groupBy(token)
+    # joined back to the exploded rows — not a count window over the
+    # raw exploded scan: a stopword like "the" (a few % of all corpus
+    # tokens) would form ONE window partition no skew handling can
+    # split, while the agg+join form gets map-side combine and AQE
+    # skew-join splitting. All-integer sums with one final division,
+    # so both engines produce the identical double (a mean of
+    # log-probs would hinge on libm rounding).
     from projet_5spar_sparkstreaming_spark.functions.textstats import tokens
-    from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
     ex = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    tf_w = Window.partitionBy("tok")
+    tf = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("__tf"))
     return (
-        ex.withColumn("__tf", F.count(F.lit(1)).over(tf_w))
+        ex.join(tf, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("__n"),
@@ -2463,25 +2465,29 @@ def q_doc_boilerplate_ratio(spark, sf_dir):
     # DISTINCT 5-gram shingles that appear in >= 3 documents — high
     # ratio means the doc is mostly template/boilerplate text shared
     # across the corpus. Complements doc_repetition_stats (WITHIN-doc
-    # repeats). Document frequency rides the same exploded scan as a
-    # count window (the tfidf/ngram-df trick): per-doc-distinct
-    # shingles mean count(*) over the shingle partition IS the doc
-    # frequency — shingle-key shuffle, then the doc-key agg, no
-    # separate agg+join. Shingles travel as 64-bit hashes, never as
-    # O(L)-byte strings (operators/dedup.py:_shingle_hashes).
+    # repeats). Document frequency is a PARTIAL-AGG groupBy on the
+    # shingle key joined back to the exploded rows — NOT a count
+    # window over the raw exploded scan: a boilerplate shingle in ~1M
+    # docs would form one window partition that a single task must
+    # sort and buffer (windows cannot be skew-split), while the
+    # agg+join form gets map-side combine AND AQE skew-join splitting.
+    # Per-doc-distinct shingles mean count(*) IS the doc frequency.
+    # Shingles travel as 64-bit hashes, never as O(L)-byte strings
+    # (operators/dedup.py:_shingle_hashes).
     from projet_5spar_sparkstreaming_spark.operators.dedup import _shingle_hashes
-    from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
     ex = docs.select(
         "doc_id", F.explode(_shingle_hashes("text", 5)).alias("__s")
     )
-    df_w = Window.partitionBy("__s")
-    boiler = (F.count(F.lit(1)).over(df_w) >= 3).cast("int")
+    dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     return (
-        ex.withColumn("__b", boiler)
+        ex.join(dfreq, "__s")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__b").alias("__nb"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum((F.col("__df") >= 3).cast("int")).alias("__nb"),
+        )
         .select(
             "doc_id",
             F.col("__n").cast("bigint").alias("n_shingles"),

@@ -144,19 +144,26 @@ def upsert_parquet(
     staging = f"{table_path}__staging_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(staging)
 
-    with _TableLock(table_path):
-        if check and read_table_version(table_path) != token0:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise ConcurrentWriteError(
-                f"{table_path}: table version changed since snapshot "
-                f"{token0!r}; merge was computed against a stale state — "
-                "re-read and retry"
-            )
-        if os.path.exists(table_path):
-            old = f"{table_path}__old_{uuid.uuid4().hex[:8]}"
-            os.rename(table_path, old)
-            os.rename(staging, table_path)
-            shutil.rmtree(old)
-        else:
-            os.rename(staging, table_path)
-        return _publish_version(table_path)
+    # staging is written OUTSIDE the lock (keeps the critical section to
+    # renames), so any failure to acquire/commit — e.g. a lock timeout
+    # behind a crashed writer — must remove the staged full table copy
+    # or every retry leaks one
+    try:
+        with _TableLock(table_path):
+            if check and read_table_version(table_path) != token0:
+                raise ConcurrentWriteError(
+                    f"{table_path}: table version changed since snapshot "
+                    f"{token0!r}; merge was computed against a stale state — "
+                    "re-read and retry"
+                )
+            if os.path.exists(table_path):
+                old = f"{table_path}__old_{uuid.uuid4().hex[:8]}"
+                os.rename(table_path, old)
+                os.rename(staging, table_path)
+                shutil.rmtree(old)
+            else:
+                os.rename(staging, table_path)
+            return _publish_version(table_path)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise

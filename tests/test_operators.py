@@ -334,6 +334,38 @@ def test_ngram_jaccard_join_cross_set_only(spark):
     assert all(a in (1, 2, 3) and b in (10, 11) for a, b in pairs), pairs
 
 
+def test_cross_set_join_keeps_equal_ids(spark):
+    """The two sides are DIFFERENT corpora, so an equal id is a
+    legitimate match (a re-crawled doc keeping its id must still be
+    flagged against the index) — an id_a != id_b filter here would
+    silently drop real near-dups."""
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        ngram_jaccard_join,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    new_batch = spark.createDataFrame([(17, text)], ["doc_id", "text"])
+    index = spark.createDataFrame(
+        [(17, text + " tail"), (18, "entirely different other words here")],
+        ["doc_id", "text"],
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_join(
+            new_batch, index, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert (17, 17) in exact
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_incremental_pairs(
+            new_batch, index, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert (17, 17) in mh
+
+
 def test_ngram_jaccard_join_matches_self_join_cross_pairs(spark, sf_dir):
     """Cross-set join == the oracled self-join restricted to cross-set
     pairs (up to pair orientation): the incremental operator must find

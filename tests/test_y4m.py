@@ -87,3 +87,16 @@ def test_decode_video_stats_real_metadata(spark):
     assert (row["width"], row["height"], row["n_frames"]) == (w, h, n)
     assert row["fps"] == 25.0 and row["duration_ms"] == 240  # 6/25s
     assert row["mean_luma"] == pytest.approx(125.0)
+
+
+def test_decode_video_stats_zero_fps_denominator(spark):
+    # F25:0 parses fine; stats must degrade (fps 0, duration 0), not
+    # ZeroDivisionError the whole task — the ValueError-only contract
+    w, h = 8, 8
+    frames = [bytes([9] * (w * h))]
+    df = spark.createDataFrame(
+        [(1, encode_y4m(frames, w, h, fps=(25, 0)))], "media_id long, payload binary"
+    )
+    row = decode_video_stats(df).collect()[0]
+    assert row["fps"] == 0.0 and row["duration_ms"] == 0
+    assert row["n_frames"] == 1

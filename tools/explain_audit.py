@@ -138,9 +138,10 @@ CHECKS = {
         ("2-column scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
     "doc_boilerplate_ratio": [
-        # df-as-window over the exploded scan: shingle-key shuffle then
-        # doc-key agg — no separate agg+join, no cartesian
-        ("df via count window", "Window"),
+        # df via partial-agg groupBy + join back (AQE-skew-splittable,
+        # unlike a count window over the raw exploded scan)
+        ("partial-agg df", "HashAggregate"),
+        ("no window over raw exploded rows", "!Window"),
         ("no cartesian product", "!CartesianProduct"),
     ],
     "mix_sampling_weights": [

@@ -46,6 +46,20 @@ N_QUERIES = 100
 K = 10
 
 
+def _base_tokens(i: int):
+    """Per-doc deterministic token stream (40% from a 200-word common
+    head, rest uniform over VOCAB) — the ONE corpus token model, shared
+    by gen_documents and gen_batch so the planted cross-set near-dup
+    structure can't silently diverge."""
+    import numpy as np
+
+    rng = np.random.RandomState(1_000_003 + int(i))
+    toks = rng.randint(0, VOCAB, DOC_TOKENS)
+    common = rng.random(DOC_TOKENS) < 0.4
+    toks[common] = rng.randint(0, 200, int(common.sum()))
+    return toks
+
+
 def gen_documents(spark, n: int, path: str) -> None:
     """Distributed deterministic doc generation: per-doc RNG seeded by
     doc_id, so content is independent of partitioning.
@@ -60,13 +74,6 @@ def gen_documents(spark, n: int, path: str) -> None:
     artifacts.)"""
     import numpy as np
     import pandas as pd
-
-    def _base_tokens(i: int) -> "np.ndarray":
-        rng = np.random.RandomState(1_000_003 + int(i))
-        toks = rng.randint(0, VOCAB, DOC_TOKENS)
-        common = rng.random(DOC_TOKENS) < 0.4
-        toks[common] = rng.randint(0, 200, int(common.sum()))
-        return toks
 
     def _gen(batches):
         for pdf in batches:
@@ -109,14 +116,19 @@ def gen_embeddings(spark, n: int, path: str) -> None:
         centers /= np.linalg.norm(centers, axis=1, keepdims=True)
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            rng = np.random.RandomState(31 + int(ids[0]))
             c = centers[ids % N_CENTERS]
             # noise NORM ~0.5 vs unit centers (sigma = 0.5/sqrt(dim)):
             # same-cluster cosine ~0.8, cross-cluster ~0 — the locality
             # structure real embedding spaces have. Per-component sigma
             # anywhere near 1 makes noise norm ~sqrt(dim) >> signal and
             # neighbors quasi-random, which no ANN index can serve.
-            v = c + (0.5 / np.sqrt(DIM)) * rng.randn(len(ids), DIM)
+            # Per-ID RNG (like gen_documents/_base_tokens): content must
+            # not depend on which Arrow batch a row lands in, or the
+            # committed numbers change with core count / batch size.
+            noise = np.stack(
+                [np.random.RandomState(31 + int(i)).randn(DIM) for i in ids]
+            )
+            v = c + (0.5 / np.sqrt(DIM)) * noise
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
             yield pd.DataFrame(
                 {"vec_id": ids, "embedding": [r.astype(float).tolist() for r in v]}
@@ -289,13 +301,6 @@ def gen_batch(spark, n: int, index_n: int, path: str) -> None:
     import numpy as np
     import pandas as pd
 
-    def _base_tokens(i: int) -> "np.ndarray":
-        rng = np.random.RandomState(1_000_003 + int(i))
-        toks = rng.randint(0, VOCAB, DOC_TOKENS)
-        common = rng.random(DOC_TOKENS) < 0.4
-        toks[common] = rng.randint(0, 200, int(common.sum()))
-        return toks
-
     def _gen(batches):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
@@ -303,10 +308,15 @@ def gen_batch(spark, n: int, index_n: int, path: str) -> None:
             for i in ids:
                 rng = np.random.RandomState(9_999_991 + int(i))
                 if rng.random() < 0.2:
+                    # perturbed copy of an index doc — shares the
+                    # module-level _base_tokens model with gen_documents
                     toks = _base_tokens((int(i) * 97) % index_n).copy()
                     pos = rng.choice(DOC_TOKENS, size=PERTURB_TOKENS, replace=False)
                     toks[pos] = rng.randint(0, VOCAB, size=PERTURB_TOKENS)
                 else:
+                    # fresh organic doc: same vocabulary mix but a
+                    # DIFFERENT seed stream so it never replays an
+                    # index doc's content
                     rng2 = np.random.RandomState(5_000_003 + int(i))
                     toks = rng2.randint(0, VOCAB, DOC_TOKENS)
                     common = rng2.random(DOC_TOKENS) < 0.4
