@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "containment_pairs",
     "knn_bruteforce",
     "knn_arrow",
+    "knn_lsh",
+    "knn_ivf",
     # round-4 additions: incremental dedup + curation projections
     "incremental_neardup_pairs",
     "doc_repetition_stats",
