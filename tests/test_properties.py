@@ -124,3 +124,99 @@ def test_duplicate_span_pairs_ordering_and_bounds(spark, sf_dir):
         assert (r["id_a"], r["id_b"]) not in seen
         seen.add((r["id_a"], r["id_b"]))
         assert r["n_shared_spans"] >= 1
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_ngram_jaccard_matches_bruteforce_reference(spark, token_lists):
+    """The PPJoin-optimized exact operator equals a brute-force Python
+    Jaccard on arbitrary tiny corpora — including empty docs, identical
+    docs, and docs shorter than the shingle width."""
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    n, threshold = 3, 0.6
+    texts = [" ".join(toks) for toks in token_lists]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=n, threshold=threshold
+        ).collect()
+    }
+
+    def shingles(toks):
+        if not toks:
+            return {""}
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    expect = {}
+    sets = [shingles(t) for t in token_lists]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+            if jac >= threshold:
+                expect[(i, j)] = round(jac, 6)
+    assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_containment_matches_bruteforce_reference(spark, token_lists):
+    """Directional containment operator == brute-force |A∩B|/|A| on
+    arbitrary tiny corpora (id_a is the contained doc; self-pairs
+    excluded)."""
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    n, threshold = 3, 0.7
+    texts = [" ".join(toks) for toks in token_lists]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "doc_id", "text", n=n, threshold=threshold
+        ).collect()
+    }
+
+    def shingles(toks):
+        if not toks:
+            return {""}
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = [shingles(t) for t in token_lists]
+    expect = {}
+    for i in range(len(sets)):
+        for j in range(len(sets)):
+            if i == j:
+                continue
+            c = len(sets[i] & sets[j]) / len(sets[i])
+            if c >= threshold:
+                expect[(i, j)] = round(c, 6)
+    assert got == expect
