@@ -29,10 +29,16 @@ def as_of_join(
     right_ts: str,
     right_value_cols: Sequence[str],
     prefix: str = "right_",
+    tie_break: Sequence[str] | None = None,
 ) -> DataFrame:
     """Left rows + columns ``prefix+c`` holding the as-of right values
     (null when no right row precedes). Ties on ts: right row sorts
     before the left row (ts <= semantics, inclusive).
+
+    ``tie_break``: right payload columns ordering MULTIPLE right rows
+    that share the as-of timestamp — the greatest tie-break wins (it
+    sorts last, so the forward-fill carries it). Without it, which of
+    the tied right rows is picked is shuffle-order-dependent.
     """
     on = list(on)
     lcols = [c for c in left.columns if c not in on and c != left_ts]
@@ -58,9 +64,15 @@ def as_of_join(
         payload.alias("__payload"),
     )
     unioned = tagged_left.unionByName(tagged_right)
+    tie_order = [
+        # nulls (left rows) first: among same-ts rows every right row
+        # must still sort before the left row it can match
+        F.col("__payload").getField(c).asc_nulls_first()
+        for c in (tie_break or [])
+    ]
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), *tie_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn(

@@ -134,14 +134,25 @@ def q_minute_window_counts(spark, sf_dir):
 
 
 def q_json_k_stats(spark, sf_dir):
-    # C2 schema-less JSON extraction (reference: 5SPAR.ipynb get_json_object)
+    # C2 schema-less JSON extraction (reference: 5SPAR.ipynb get_json_object).
+    # The BIGINT cast is guarded by an anchored integer regex on BOTH
+    # engines: Spark 4 runs ANSI-on, so a bare cast would RAISE on a
+    # non-integer k (and DuckDB's CAST('1.5') rounds to 2 — a third
+    # behavior). total_value sums in decimal, not double: a 2dp double
+    # sum rounded to 2dp is partial-agg-order-dependent at the cent.
+    raw = F.get_json_object("props", "$.k")
     ev = _t(spark, sf_dir, "events").withColumn(
-        "k_value", F.get_json_object("props", "$.k").cast("long")
+        "k_value", F.when(raw.rlike(r"^-?[0-9]{1,18}$"), raw.cast("long"))
     )
     return (
         ev.filter(F.col("k_value").isNotNull())
         .groupBy("k_value")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
     )
 
 
@@ -281,8 +292,17 @@ def q_asof_last_signup(spark, sf_dir):
     signups = ev.filter(F.col("event_type") == "signup").select(
         "user_id", "ts", "event_id", "value"
     )
+    # event_id tie-break: multiple signups can share the as-of ts
+    # under a regenerated distribution; both engines pick the greatest
     joined = as_of_join(
-        purchases, signups, ["user_id"], "ts", "ts", ["event_id", "value"], prefix="signup_"
+        purchases,
+        signups,
+        ["user_id"],
+        "ts",
+        "ts",
+        ["event_id", "value"],
+        prefix="signup_",
+        tie_break=["event_id"],
     )
     return joined.select(
         "user_id",
@@ -561,8 +581,9 @@ def q_stream_first_event_per_user(spark, sf_dir):
     # stream_first_seen (applyInPandasWithState keyed dedup) replayed
     # over the events stream keeps each user's earliest event. With an
     # availableNow single-batch replay the state answer equals the
-    # batch argmin — event timestamps are microsecond-distinct per
-    # user, so min(ts) identifies one row.
+    # batch argmin; event_id is the tie-break on BOTH sides so equal
+    # timestamps (possible under a regenerated distribution) still
+    # resolve to one deterministic row.
     import tempfile
 
     from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
@@ -573,7 +594,7 @@ def q_stream_first_event_per_user(spark, sf_dir):
     ev = read_parquet_stream(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts"
     )
-    first = stream_first_seen(ev, ["user_id"], order_col="ts")
+    first = stream_first_seen(ev, ["user_id"], order_col=["ts", "event_id"])
     name = "q_stream_first_event_sink"
     chk = tempfile.mkdtemp(prefix="chk_first_seen_")
     q = (
@@ -696,9 +717,11 @@ def q_stream_decontamination(spark, sf_dir):
     from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
 
     evals = read_parquet_stream(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 5 == 0
+        (F.col("doc_id") % 5 == 0) & F.col("text").isNotNull()
     )
-    train = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 != 0)
+    train = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 5 != 0) & F.col("text").isNotNull()
+    )
     tr_s = (
         train.select(F.explode(_shingle_hashes("text", 13)).alias("__s"))
         .groupBy("__s")
@@ -1037,9 +1060,10 @@ def q3_top_orders(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
     )
-    revenue = F.round(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-    ).alias("revenue")
+    # decimal sum -> order-independent cents (see q7); a double sum
+    # rounded to 2dp can differ by a cent between engines AND reorder
+    # the top-10 cut itself
+    revenue = F.round(F.sum(_rev()), 2).cast("double").alias("revenue")
     agg = joined.groupBy("l_orderkey", "o_orderdate").agg(revenue)
     return (
         agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -1073,7 +1097,7 @@ def q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum(_rev()), 2).cast("double").alias(
             "revenue"
         )
     )
@@ -1248,7 +1272,9 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 25)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -1271,8 +1297,8 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     revenue = F.round(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-    ).alias("revenue")
+        F.sum(_rev()), 2
+    ).cast("double").alias("revenue")
     return (
         joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(revenue)
@@ -1750,7 +1776,9 @@ def q20_small_part_suppliers(spark, sf_dir):
     qual = (
         li.join(F.broadcast(smallp), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum("l_quantity").alias("__qty"))
+        # decimal sum: a double sum compared to the threshold is
+        # partial-agg-order-dependent exactly at qty == 50.00
+        .agg(F.sum(F.col("l_quantity").cast("decimal(14,2)")).alias("__qty"))
         .filter(F.col("__qty") > 50)
         .select("l_suppkey")
     )
@@ -2238,14 +2266,31 @@ def q_doc_preview(spark, sf_dir):
 
 
 def q_doc_token_stats(spark, sf_dir):
+    # Half-up 4dp means via pure integer arithmetic (the _avg4_cents
+    # class): ROUND(AVG(int),4) lands on the engine-dependent ...5
+    # boundary whenever the group count has only 2/5 factors.
     docs = _t(spark, sf_dir, "documents")
+
+    def avg4(sum_col: str, n_col: str):
+        return (
+            F.expr(f"(2 * {sum_col} * 10000 + {n_col}) div (2 * {n_col})")
+            .cast("double")
+            / 10000.0
+        )
+
     return (
         docs.withColumn("toks", token_count("text"))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("toks"), 4).alias("avg_tokens"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum("toks").alias("__st"),
+            F.sum("n_chars").alias("__sc"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            avg4("__st", "n_docs").alias("avg_tokens"),
+            avg4("__sc", "n_docs").alias("avg_chars"),
         )
     )
 
@@ -2345,7 +2390,11 @@ def q_decontamination_overlap(spark, sf_dir):
     # only join is eval-grams x that set.
     from projet_5spar_sparkstreaming_spark.operators.dedup import ngram_overlap_join
 
-    docs = _t(spark, sf_dir, "documents")
+    # NULL-text docs are excluded on BOTH sides (builder filter +
+    # oracle WHERE): a NULL doc has no shingle set to decontaminate and
+    # the per-doc LEFT-JOIN output shape would otherwise diverge
+    # between engines (NULL vs 0 sizes)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     evals = docs.filter(F.col("doc_id") % 5 == 0)
     train = docs.filter(F.col("doc_id") % 5 != 0)
     return ngram_overlap_join(evals, train, "doc_id", "text", n=13)
@@ -2613,11 +2662,26 @@ def q_doc_lang_id(spark, sf_dir):
 
 
 def q_doc_quality(spark, sf_dir):
+    # quality_score is an exact 6dp value: sum it as integer MICROS and
+    # divide once half-up — a double sum + ROUND(AVG, 4) is
+    # partial-agg-order-dependent at the 4dp boundary.
     docs = _t(spark, sf_dir, "documents")
+    micros = (quality_score("text").cast("decimal(10,6)") * 1000000).cast(
+        "long"
+    )
     return (
-        docs.withColumn("q", quality_score("text"))
+        docs.withColumn("__qm", micros)
         .groupBy("source")
-        .agg(F.count("*").alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_quality"))
+        .agg(F.count("*").alias("n_docs"), F.sum("__qm").alias("__sm"))
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.expr("(2 * __sm + 100 * n_docs) div (200 * n_docs)")
+                .cast("double")
+                / 10000.0
+            ).alias("avg_quality"),
+        )
     )
 
 
@@ -2953,9 +3017,12 @@ def _oracles() -> dict[str, str | None]:
             "COUNT(*) AS cnt FROM events GROUP BY 1, 2"
         ),
         "json_k_stats": (
-            "SELECT CAST(props->>'$.k' AS BIGINT) AS k_value, COUNT(*) AS cnt, "
-            "ROUND(SUM(value), 2) AS total_value FROM events "
-            "WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL GROUP BY 1"
+            "WITH kv AS (SELECT CASE WHEN regexp_matches(props->>'$.k', "
+            "'^-?[0-9]{1,18}$') THEN CAST(props->>'$.k' AS BIGINT) END "
+            "AS k_value, value FROM events) "
+            "SELECT k_value, COUNT(*) AS cnt, "
+            "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value "
+            "FROM kv WHERE k_value IS NOT NULL GROUP BY 1"
         ),
         "distinct_users_by_type": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS cnt "
@@ -3007,7 +3074,7 @@ def _oracles() -> dict[str, str | None]:
         ),
         "q3_top_orders": (
             "SELECT l_orderkey, o_orderdate, "
-            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue "
             "FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
@@ -3019,7 +3086,7 @@ def _oracles() -> dict[str, str | None]:
         ),
         "q5_region_revenue": (
             "SELECT n_name, "
-            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue "
             "FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
@@ -3098,7 +3165,7 @@ def _oracles() -> dict[str, str | None]:
             "FROM orders GROUP BY 1, 2"
         ),
         "q6_forecast_revenue": (
-            "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue, "
+            "SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue, "
             "COUNT(*) AS n_items FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1998-01-01' "
             "AND l_shipdate < TIMESTAMP '1999-01-01' "
@@ -3106,7 +3173,7 @@ def _oracles() -> dict[str, str | None]:
         ),
         "q10_returned_items": (
             "SELECT c_custkey, c_name, n_name, ROUND(c_acctbal, 2) AS acctbal, "
-            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey "
@@ -3463,7 +3530,7 @@ def _oracles() -> dict[str, str | None]:
             "  WHERE p_name LIKE 'small%' "
             "  AND l_shipdate >= TIMESTAMP '1998-01-01' "
             "  AND l_shipdate < TIMESTAMP '1999-01-01' "
-            "  GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 50)"
+            "  GROUP BY l_suppkey, l_partkey HAVING SUM(CAST(l_quantity AS DECIMAL(14,2))) > 50)"
         ),
         "q21_waiting_suppliers": (
             "SELECT s_name, COUNT(*) AS numwait "
@@ -3499,10 +3566,14 @@ def _oracles() -> dict[str, str | None]:
             "AS first_preview FROM documents GROUP BY source"
         ),
         "doc_token_stats": (
-            f"SELECT lang, COUNT(*) AS n_docs, "
-            f"ROUND(AVG(len({tok})), 4) AS avg_tokens, "
-            f"ROUND(AVG(n_chars), 4) AS avg_chars "
-            f"FROM documents GROUP BY lang"
+            # integer-exact half-up 4dp means (the _avg4_sql class)
+            f"SELECT lang, n_docs, "
+            f"CAST((2 * st * 10000 + n_docs) // (2 * n_docs) AS DOUBLE) "
+            f"/ 10000.0 AS avg_tokens, "
+            f"CAST((2 * sc * 10000 + n_docs) // (2 * n_docs) AS DOUBLE) "
+            f"/ 10000.0 AS avg_chars FROM ("
+            f"SELECT lang, COUNT(*) AS n_docs, SUM(len({tok})) AS st, "
+            f"SUM(n_chars) AS sc FROM documents GROUP BY lang)"
         ),
         "doc_lang_id": None,  # replicated below after marker-set SQL is built
         "doc_quality": None,  # replicated below
@@ -3636,11 +3707,17 @@ def _oracles() -> dict[str, str | None]:
             "AND e.ts <= p.ts + INTERVAL 3600 SECOND"
         ),
         "asof_last_signup": (
+            # deterministic as-of (DuckDB's native ASOF JOIN picks an
+            # arbitrary row among right rows tied on ts): max ts, then
+            # max event_id — mirroring the operator's tie_break
+            "SELECT user_id, event_id, signup_event_id, signup_value FROM ("
             "SELECT p.user_id, p.event_id, s.event_id AS signup_event_id, "
-            "ROUND(s.value, 2) AS signup_value "
+            "ROUND(s.value, 2) AS signup_value, ROW_NUMBER() OVER ("
+            "PARTITION BY p.event_id ORDER BY s.ts DESC NULLS LAST, "
+            "s.event_id DESC NULLS LAST) AS rn "
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
-            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
-            "ON p.user_id = s.user_id AND p.ts >= s.ts"
+            "LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
+            "ON p.user_id = s.user_id AND s.ts <= p.ts) WHERE rn = 1"
         ),
         "pivot_type_day": (
             "SELECT CAST(ts AS DATE) AS day, "
@@ -3683,26 +3760,39 @@ def _oracles() -> dict[str, str | None]:
             "COUNT(*) AS cnt FROM events GROUP BY 1, 2"
         ),
         "knn_bruteforce": (
+            # explicit dot/(na*nb) with a zero-norm guard, mirroring
+            # cosine_from_norms: DuckDB's list_cosine_similarity returns
+            # -1.0 for a zero vector where the engine defines 0.0
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+            "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), "
+            "x -> x * x))) AS nrm FROM embeddings) "
             "SELECT query_id, neighbor_id, cosine, rank FROM ("
             "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
-            "  ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
-            "        CAST(c.embedding AS DOUBLE[])), 6) AS cosine, "
+            "  ROUND(CASE WHEN q.nrm * c.nrm > 0 THEN "
+            "    list_inner_product(q.v, c.v) / (q.nrm * c.nrm) "
+            "    ELSE 0.0 END, 6) AS cosine, "
             "  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
-            "    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
-            "          CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id ASC) AS rank "
-            "  FROM embeddings q CROSS JOIN embeddings c "
+            "    ROUND(CASE WHEN q.nrm * c.nrm > 0 THEN "
+            "      list_inner_product(q.v, c.v) / (q.nrm * c.nrm) "
+            "      ELSE 0.0 END, 6) DESC, c.vec_id ASC) AS rank "
+            "  FROM e q CROSS JOIN e c "
             "  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id"
             ") WHERE rank <= 5"
         ),
         "knn_lsh": None,  # approximate: rows-only check
         "embedding_pair_sims": (
+            # zero-norm-guarded explicit cosine — see knn_bruteforce
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+            "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), "
+            "x -> x * x))) AS nrm FROM embeddings) "
+            "SELECT id_a, id_b, cosine FROM ("
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-            "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-            "      CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
-            "FROM embeddings a CROSS JOIN embeddings b "
-            "WHERE a.vec_id % 10 = 0 AND a.vec_id < b.vec_id "
-            "AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-            "    CAST(b.embedding AS DOUBLE[])), 6) >= 0.3"
+            "ROUND(CASE WHEN a.nrm * b.nrm > 0 THEN "
+            "  list_inner_product(a.v, b.v) / (a.nrm * b.nrm) "
+            "  ELSE 0.0 END, 6) AS cosine "
+            "FROM e a CROSS JOIN e b "
+            "WHERE a.vec_id % 10 = 0 AND a.vec_id < b.vec_id) "
+            "WHERE cosine >= 0.3"
         ),
     }
 
@@ -3771,18 +3861,18 @@ def _quality_sql() -> str:
     n_chars = "CAST(length(text) AS DOUBLE)"
     n_alpha = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
     n_toks = f"CAST({tok_n} AS DOUBLE)"
-    expr = (
-        "ROUND(least(1.0, CASE WHEN nc >= 2000 THEN 1.0 "
-        "WHEN nc >= 50 THEN nc / 2000.0 ELSE nc / 200.0 END) * 0.4 "
-        "+ (CASE WHEN nc > 0 THEN na / nc ELSE 0.0 END) * 0.4 "
-        "+ (CASE WHEN nt > 0 AND na / nt >= 3.0 AND na / nt <= 12.0 "
-        "   THEN 1.0 ELSE 0.5 END) * 0.2, 6)"
-    )
+    expr = _quality_expr_sql()  # the ONE quality formula (no drift)
     return (
-        f"SELECT source, COUNT(*) AS n_docs, ROUND(AVG(q), 4) AS avg_quality FROM ("
+        # integer-micros mean (see q_doc_quality): exact and half-up on
+        # both engines
+        f"SELECT source, n_docs, "
+        f"CAST((2 * sm + 100 * n_docs) // (200 * n_docs) AS DOUBLE) "
+        f"/ 10000.0 AS avg_quality FROM ("
+        f"SELECT source, COUNT(*) AS n_docs, "
+        f"SUM(CAST(CAST(q AS DECIMAL(10,6)) * 1000000 AS BIGINT)) AS sm FROM ("
         f"SELECT source, {expr} AS q FROM ("
         f"SELECT source, {n_chars} AS nc, {n_alpha} AS na, {n_toks} AS nt "
-        f"FROM documents)) GROUP BY source"
+        f"FROM documents)) GROUP BY source)"
     )
 
 
@@ -4027,7 +4117,8 @@ def catalog() -> list[CatalogQuery]:
         # shingles with the same truncation convention as the jaccard
         # oracles (short docs -> one truncated shingle, empty -> '')
         f"WITH toks AS (SELECT doc_id, "
-        f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS t FROM documents), "
+        f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS t "
+        "FROM documents WHERE text IS NOT NULL), "
         "sh AS (SELECT doc_id, list_distinct(list_transform("
         "  range(0, greatest(len(t) - 13, 0) + 1), "
         "  i -> array_to_string(t[i + 1 : i + 13], ' '))) AS s FROM toks), "
@@ -4169,8 +4260,15 @@ def catalog() -> list[CatalogQuery]:
         # filtered maxima minus the 1h delay — not max(all events).
         "WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'), "
         "s AS (SELECT * FROM events WHERE event_type = 'signup'), "
-        "wm AS (SELECT LEAST((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM s)) "
-        "- INTERVAL 1 HOUR AS w) "
+        # CASE, not bare LEAST: DuckDB's LEAST ignores NULLs, so an
+        # EMPTY side would silently collapse to the other side's max —
+        # but Spark's min-across-nodes watermark stays at epoch when a
+        # side never sees data, emitting NO expired rows. NULL w makes
+        # the expiry comparison below false for every row, matching.
+        "wm AS (SELECT CASE WHEN (SELECT MAX(ts) FROM p) IS NULL "
+        "OR (SELECT MAX(ts) FROM s) IS NULL THEN NULL "
+        "ELSE LEAST((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM s)) "
+        "- INTERVAL 1 HOUR END AS w) "
         "SELECT p.user_id, p.event_id AS purchase_id, s.event_id AS signup_id, "
         "p.ts AS purchase_ts, s.ts AS signup_ts, p.value "
         "FROM p JOIN s ON p.user_id = s.user_id "
@@ -4194,7 +4292,8 @@ def catalog() -> list[CatalogQuery]:
     oracles["stream_first_event_per_user"] = (
         "SELECT user_id, event_id, ts FROM ("
         "SELECT user_id, event_id, ts, ROW_NUMBER() OVER ("
-        "PARTITION BY user_id ORDER BY ts) AS rn FROM events) WHERE rn = 1"
+        "PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+        "WHERE rn = 1"
     )
     oracles["stream_running_key_stats"] = (
         "SELECT CAST(user_id AS VARCHAR) AS key, "

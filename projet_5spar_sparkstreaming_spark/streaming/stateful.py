@@ -80,7 +80,7 @@ def running_key_stats(
 def stream_first_seen(
     stream: DataFrame,
     key_cols: Sequence[str],
-    order_col: str | None = None,
+    order_col: str | Sequence[str] | None = None,
     ttl_ms: int | None = None,
 ) -> DataFrame:
     """Exact streaming dedup: emit only the first row ever observed per
@@ -95,8 +95,10 @@ def stream_first_seen(
     dedup of src/batch_clean_historical.py:34-37, incrementalized).
 
     Within the first batch a key appears in, the kept row is the
-    minimum of ``order_col`` (deterministic); with no ``order_col`` it
-    is the first row Spark hands us.
+    lexicographic minimum of ``order_col`` (a column name or a sequence
+    of names — pass a tie-break column when the primary order can
+    repeat per key, or the kept row is batch-order-dependent); with no
+    ``order_col`` it is the first row Spark hands us.
 
     Built on ``applyInPandasWithState`` — Spark 4.x also offers
     ``transformWithStateInPandas`` (named TTL state variables), but its
@@ -106,6 +108,9 @@ def stream_first_seen(
     (RocksDB), sharded by the groupBy hash — executors scale state and
     probe work together.
     """
+    order_cols = (
+        [order_col] if isinstance(order_col, str) else list(order_col or [])
+    )
     out_schema = T.StructType([stream.schema[c] for c in stream.columns])
     state_schema = T.StructType([T.StructField("seen", T.BooleanType(), False)])
     out_cols = list(stream.columns)
@@ -133,9 +138,11 @@ def stream_first_seen(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            cand = pdf.nsmallest(1, order_col) if order_col else pdf.head(1)
+            cand = pdf.nsmallest(1, order_cols) if order_cols else pdf.head(1)
             if best is None or (
-                order_col and cand[order_col].iloc[0] < best[order_col].iloc[0]
+                order_cols
+                and tuple(cand[c].iloc[0] for c in order_cols)
+                < tuple(best[c].iloc[0] for c in order_cols)
             ):
                 best = cand
         state.update((True,))
