@@ -140,9 +140,15 @@ def q_json_k_stats(spark, sf_dir):
     # non-integer k (and DuckDB's CAST('1.5') rounds to 2 — a third
     # behavior). total_value sums in decimal, not double: a 2dp double
     # sum rounded to 2dp is partial-agg-order-dependent at the cent.
-    raw = F.get_json_object("props", "$.k")
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "k_value", F.when(raw.rlike(r"^-?[0-9]{1,18}$"), raw.cast("long"))
+    raw = F.col("__raw")
+    ev = (
+        _t(spark, sf_dir, "events")
+        # extract once, guard+cast in a second select: the JSON parse
+        # is the expensive half and must not run per reference
+        .withColumn("__raw", F.get_json_object("props", "$.k"))
+        .withColumn(
+            "k_value", F.when(raw.rlike(r"^-?[0-9]{1,18}$"), raw.cast("long"))
+        )
     )
     return (
         ev.filter(F.col("k_value").isNotNull())
