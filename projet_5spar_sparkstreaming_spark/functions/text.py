@@ -41,6 +41,15 @@ def extract_hashtags(col: Column | str) -> Column:
     )
 
 
+def keywords_rlike_pattern(keywords: Sequence[str]) -> str:
+    """Case-insensitive escaped-alternation pattern for a keyword set —
+    the ONE place the escaping contract lives ('c++' must match "c++"
+    as a literal, never raise as a pattern)."""
+    import re
+
+    return "(?i)(" + "|".join(re.escape(k) for k in keywords) + ")"
+
+
 def keyword_filter(col: Column | str, keywords: Sequence[str]) -> Column:
     """Case-insensitive OR-of-keywords predicate (reference:
     src/spark_stream.py:100-104 rlike over text).
@@ -49,11 +58,8 @@ def keyword_filter(col: Column | str, keywords: Sequence[str]) -> Column:
     API, so 'c++' must match "c++" rather than raise a pattern error
     (the reference's raw-regex behavior is not reproduced).
     """
-    import re
-
     c = F.col(col) if isinstance(col, str) else col
-    pattern = "(?i)(" + "|".join(re.escape(k) for k in keywords) + ")"
-    return c.rlike(pattern)
+    return c.rlike(keywords_rlike_pattern(keywords))
 
 
 def hashtags_contain(col: Column | str, keywords: Sequence[str]) -> Column:

@@ -87,7 +87,10 @@ def produce_topic(
         part = F.pmod(F.col("_gid"), F.lit(n_partitions)).cast("int")
         key_bin = F.lit(None).cast("binary")
     ts = (
-        F.col(timestamp_col)
+        # explicit cast: producing from a string column (e.g. raw
+        # ISO-8601 created_at) must not record a string-typed segment
+        # that poisons every later KAFKA_SCHEMA read
+        F.col(timestamp_col).cast("timestamp")
         if timestamp_col is not None
         else F.current_timestamp()
     )
@@ -149,6 +152,14 @@ def expire_segments(path: str, keep_min_offset: int) -> None:
         ]
     ).to_table()
     kept = table.filter(ds.field("offset") >= keep_min_offset)
+    # persist the retention floor: a FULLY expired partition leaves no
+    # rows to derive its earliest offset from, and failOnDataLoss must
+    # still fire for it (the real broker reports log-start-offset even
+    # for empty partitions)
+    import json
+
+    with open(os.path.join(path, "_retention.json"), "w") as fh:
+        json.dump({"earliest_floor": keep_min_offset}, fh)
     for root, _, fs in os.walk(path):
         for f in fs:
             if f.endswith(".parquet"):
@@ -177,20 +188,38 @@ def read_fake_kafka_batch(
     requested start below the earliest retained offset raises; with
     False it clamps to what is still recorded (the connector's
     warn-and-continue behavior).
+
+    DOCUMENTED DIVERGENCE from spark-sql-kafka: partitions absent from
+    an offsets dict are EXCLUDED here (a convenient partition filter
+    for fixtures), while the real connector REFUSES partial offset maps
+    ("you must specify all TopicPartitions"). Code that will run
+    against the real connector must list every partition (sentinels:
+    the connector's -2 = earliest / -1 = latest).
     """
     raw = spark.read.schema(KAFKA_SCHEMA).parquet(path)
     if isinstance(starting_offsets, dict):
         if fail_on_data_loss:
+            import json
+
+            floor = 0
+            ret = os.path.join(path, "_retention.json")
+            if os.path.exists(ret):
+                with open(ret) as fh:
+                    floor = json.load(fh)["earliest_floor"]
             earliest = {
                 r["partition"]: r["m"]
                 for r in raw.groupBy("partition").agg(F.min("offset").alias("m")).collect()
             }
             for p, off in starting_offsets.items():
-                if off < earliest.get(p, 0):
+                # a partition with NO surviving rows falls back to the
+                # retention floor — without it, total expiry of a
+                # partition would silently PASS the very check that
+                # exists to catch expiry
+                eff = earliest.get(p, floor)
+                if off < eff:
                     raise ValueError(
                         f"data loss: partition {p} requested offset {off} "
-                        f"< earliest retained {earliest.get(p, 0)} "
-                        "(failOnDataLoss=true)"
+                        f"< earliest retained {eff} (failOnDataLoss=true)"
                     )
         cond = None
         for p, off in starting_offsets.items():

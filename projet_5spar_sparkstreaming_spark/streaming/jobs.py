@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projet_5spar_sparkstreaming_spark.functions.timestamps import normalize_timestamp
-from projet_5spar_sparkstreaming_spark.functions.text import keyword_filter
+from projet_5spar_sparkstreaming_spark.functions.text import (
+    keyword_filter,
+    keywords_rlike_pattern,
+)
 from projet_5spar_sparkstreaming_spark.schema import TOOT_SCHEMA
 from projet_5spar_sparkstreaming_spark.streaming.windows import windowed_counts
 
@@ -55,9 +58,8 @@ def clean_toot_stream(
     if language:
         out = out.filter(F.col("language") == language)
     if keywords:
-        import re
-
-        tag_pattern = "(?i)(" + "|".join(re.escape(k) for k in keywords) + ")"
+        # same escaping contract as keyword_filter — one shared builder
+        tag_pattern = keywords_rlike_pattern(keywords)
         out = out.filter(
             keyword_filter("text", keywords)
             | F.exists("hashtags", lambda h: F.lower(h).rlike(tag_pattern))
@@ -95,7 +97,14 @@ def enrich_with_dim(
 
 def avg_length_by_user(clean: DataFrame) -> DataFrame:
     """avg_toot_length_by_user shape (reference: src/spark_stream.py:133-144).
-    Streaming aggregation without windows -> complete/update output mode."""
+    Streaming aggregation without windows -> complete/update output mode.
+
+    State-growth caveat: an unwindowed global aggregation holds one
+    state row per distinct username FOREVER (reference semantics,
+    reproduced deliberately). On an unbounded high-cardinality stream
+    prefer the windowed form (windows.py, extra_keys=["username"]) or a
+    TTL'd stateful op (stateful.py) — see SCALE.md.
+    """
     return (
         clean.withColumn("__len", F.length("text"))
         .groupBy("username")

@@ -38,8 +38,10 @@ def interval_join(
     of one stream) resolve correctly: with ``lw[k] == rw[k]`` on a
     shared lineage Spark's ambiguity resolution can silently bind both
     references to one side, and on outer joins the kept key column can
-    be the null-padded one. The output key columns are always taken
-    from the LEFT side (non-null on left-outer).
+    be the null-padded one. Output key columns coalesce left-then-right
+    so unmatched rows keep their real key under EVERY outer type (a
+    left-only projection would null the keys of right-outer's unmatched
+    right rows).
     """
     lw = left.withWatermark(left_ts, watermark).alias("__ij_l")
     rw = right.withWatermark(right_ts, watermark).alias("__ij_r")
@@ -51,7 +53,10 @@ def interval_join(
         <= F.col(f"__ij_l.{left_ts}") + F.expr(f"INTERVAL {upper_bound}"),
     ]
     joined = lw.join(rw, key_cond + time_cond, how)
-    out = [F.col(f"__ij_l.{k}").alias(k) for k in on]
+    out = [
+        F.coalesce(F.col(f"__ij_l.{k}"), F.col(f"__ij_r.{k}")).alias(k)
+        for k in on
+    ]
     out += [F.col(f"__ij_l.{c}").alias(c) for c in left.columns if c not in on]
     out += [F.col(f"__ij_r.{c}").alias(c) for c in right.columns if c not in on]
     return joined.select(*out)

@@ -70,7 +70,23 @@ def incremental_rollup_sink(
 
 def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
     """Merge the partial rollup rows into the final rollup. The merge
-    input is (buckets x batches) rows — tiny next to the raw stream."""
+    input is (buckets x batches) rows — tiny next to the raw stream.
+
+    Before the first micro-batch commits, the sink's pre-created dir is
+    empty and schema inference would raise UNABLE_TO_INFER_SCHEMA; an
+    explicit schema keeps "no data yet" an empty rollup, not an error.
+    """
+    has_files = os.path.isdir(out_dir) and any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(out_dir)
+        for f in fs
+    )
+    if not has_files:
+        return spark.createDataFrame(
+            [], "bucket timestamp, cnt bigint, total double"
+        ).groupBy("bucket").agg(
+            F.sum("cnt").alias("cnt"), F.sum("total").alias("total")
+        )
     partials = spark.read.parquet(out_dir)
     aggs = [F.sum("cnt").alias("cnt")]
     if "total" in partials.columns:

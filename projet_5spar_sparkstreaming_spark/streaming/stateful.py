@@ -134,17 +134,30 @@ def stream_first_seen(
             if ttl_ms is not None:
                 state.setTimeoutDuration(ttl_ms)
             return  # key already emitted; duplicates drop here
-        best: pd.DataFrame | None = None
+        # sort_values, NOT nsmallest: nsmallest rejects object (string)
+        # dtypes outright, and NaN candidates would win cross-chunk
+        # tuple comparisons (NaN < x is False both ways). One per-chunk
+        # sorted head, then one final sort over the <=#chunks heads —
+        # nulls lose consistently (na_position='last') regardless of
+        # Arrow chunk boundaries.
+        heads: list[pd.DataFrame] = []
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            cand = pdf.nsmallest(1, order_cols) if order_cols else pdf.head(1)
-            if best is None or (
-                order_cols
-                and tuple(cand[c].iloc[0] for c in order_cols)
-                < tuple(best[c].iloc[0] for c in order_cols)
-            ):
-                best = cand
+            heads.append(
+                pdf.sort_values(order_cols, na_position="last").head(1)
+                if order_cols
+                else pdf.head(1)
+            )
+        best: pd.DataFrame | None = None
+        if heads:
+            best = (
+                pd.concat(heads)
+                .sort_values(order_cols, na_position="last")
+                .head(1)
+                if order_cols
+                else heads[0]
+            )
         state.update((True,))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)

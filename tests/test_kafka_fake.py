@@ -160,3 +160,35 @@ def test_streaming_read_with_stateful_agg(spark, topic_dir, tmp_path):
         for r in spark.sql("SELECT * FROM kafka_fake_counts").collect()
     }
     assert got == {f"user_{i}": 8 for i in range(5)}
+
+
+def test_fail_on_data_loss_fully_expired_partition(spark, tmp_path):
+    """Total expiry of a partition must still trip failOnDataLoss: with
+    no surviving rows there is no per-partition min(offset), so the
+    check falls back to the persisted retention floor (the real broker
+    reports log-start-offset even for empty partitions)."""
+    d = str(tmp_path / "topic_total_expiry")
+    rows = spark.createDataFrame([(f"m{i}",) for i in range(8)], ["value"])
+    produce_topic(spark, rows, d, topic="t", n_partitions=1)
+    expire_segments(d, keep_min_offset=8)  # nothing survives
+    with pytest.raises(ValueError, match="data loss"):
+        read_fake_kafka_batch(
+            spark, d, starting_offsets={0: 4}, fail_on_data_loss=True
+        )
+
+
+def test_produce_topic_casts_string_timestamp(spark, tmp_path):
+    """Producing with a string timestamp column must record a TIMESTAMP
+    segment — a string-typed column would poison every later
+    KAFKA_SCHEMA read of the topic."""
+    d = str(tmp_path / "topic_str_ts")
+    rows = spark.createDataFrame(
+        [("m0", "2025-10-03 18:14:46"), ("m1", "2025-10-03 18:15:46")],
+        ["value", "created_at"],
+    )
+    produce_topic(
+        spark, rows, d, topic="t", n_partitions=1, timestamp_col="created_at"
+    )
+    got = read_fake_kafka_batch(spark, d)
+    assert got.schema["timestamp"].dataType.typeName() == "timestamp"
+    assert got.count() == 2

@@ -142,3 +142,34 @@ def test_stream_first_seen_with_ttl_executes(spark, tmp_path):
         for r in spark.sql("select * from first_seen_ttl_tbl").collect()
     }
     assert rows == {"x": "x-first", "y": "y-first"}
+
+
+def test_stream_first_seen_string_order_col(spark, tmp_path):
+    """String (object-dtype) order columns must work: pandas nsmallest
+    rejects them, which used to kill the whole streaming query; the
+    sort_values path handles any orderable dtype."""
+    import os
+
+    from projet_5spar_sparkstreaming_spark.streaming.stateful import (
+        stream_first_seen,
+    )
+
+    src = str(tmp_path / "ss_src")
+    chk = str(tmp_path / "ss_chk")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("a", "id2"), ("a", "id1"), ("b", "id9")], ["doc", "sid"]
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc string, sid string").parquet(src)
+    out = stream_first_seen(stream, ["doc"], order_col="sid")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_str_order")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc"]: r["sid"] for r in spark.table("ss_str_order").collect()}
+    assert got == {"a": "id1", "b": "id9"}
