@@ -2275,6 +2275,12 @@ def q_doc_token_stats(spark, sf_dir):
     # Half-up 4dp means via pure integer arithmetic (the _avg4_cents
     # class): ROUND(AVG(int),4) lands on the engine-dependent ...5
     # boundary whenever the group count has only 2/5 factors.
+    #
+    # Convention: means are per-DOCUMENT (SUM/COUNT(*)), not per
+    # non-null value — a NULL-text document counts as 0 tokens in its
+    # language's average, deliberately penalising corpora with empty
+    # docs. (Standard AVG would silently exclude them.) The oracle SQL
+    # encodes the same denominator; doc_quality follows suit.
     docs = _t(spark, sf_dir, "documents")
 
     def avg4(sum_col: str, n_col: str):

@@ -159,11 +159,19 @@ def upsert_parquet(
             if os.path.exists(table_path):
                 old = f"{table_path}__old_{uuid.uuid4().hex[:8]}"
                 os.rename(table_path, old)
-                os.rename(staging, table_path)
+                try:
+                    os.rename(staging, table_path)
+                except BaseException:
+                    # the live table was already moved aside; restore it
+                    # so a failed swap never leaves table_path missing
+                    os.rename(old, table_path)
+                    raise
                 shutil.rmtree(old)
             else:
                 os.rename(staging, table_path)
             return _publish_version(table_path)
     except BaseException:
+        # staging is only deleted while table_path is intact (pre-swap
+        # failures, or post-restore above) — never the sole merged copy
         shutil.rmtree(staging, ignore_errors=True)
         raise

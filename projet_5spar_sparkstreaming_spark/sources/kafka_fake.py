@@ -86,14 +86,25 @@ def produce_topic(
         )
         part = F.pmod(F.col("_gid"), F.lit(n_partitions)).cast("int")
         key_bin = F.lit(None).cast("binary")
-    ts = (
+    if timestamp_col is not None:
         # explicit cast: producing from a string column (e.g. raw
         # ISO-8601 created_at) must not record a string-typed segment
-        # that poisons every later KAFKA_SCHEMA read
-        F.col(timestamp_col).cast("timestamp")
-        if timestamp_col is not None
-        else F.current_timestamp()
-    )
+        # that poisons every later KAFKA_SCHEMA read. Integral columns
+        # are epoch MILLIS (Kafka's CreateTime unit) — a bare cast
+        # would read them as epoch seconds, ~50,000 years out.
+        dt = dict(records.dtypes)[timestamp_col]
+        if dt in ("int", "bigint", "smallint", "tinyint"):
+            ts = F.timestamp_millis(F.col(timestamp_col))
+        elif dt == "string" or dt.startswith(("timestamp", "date")):
+            ts = F.col(timestamp_col).cast("timestamp")
+        else:
+            raise TypeError(
+                f"produce_topic: timestamp_col {timestamp_col!r} has "
+                f"unsupported type {dt}; pass a timestamp/date, an "
+                "ISO-8601 string, or integral epoch-milliseconds"
+            )
+    else:
+        ts = F.current_timestamp()
     staged = rec.select(
         key_bin.alias("key"),
         F.col(value_col).cast("binary").alias("value"),
@@ -158,7 +169,16 @@ def expire_segments(path: str, keep_min_offset: int) -> None:
     # for empty partitions)
     import json
 
-    with open(os.path.join(path, "_retention.json"), "w") as fh:
+    # monotonic, like a real broker's log-start-offset: a later call
+    # with a lower floor must not regress the persisted retention and
+    # re-weaken the failOnDataLoss check
+    retention_file = os.path.join(path, "_retention.json")
+    if os.path.exists(retention_file):
+        with open(retention_file) as fh:
+            keep_min_offset = max(
+                keep_min_offset, json.load(fh).get("earliest_floor", 0)
+            )
+    with open(retention_file, "w") as fh:
         json.dump({"earliest_floor": keep_min_offset}, fh)
     for root, _, fs in os.walk(path):
         for f in fs:

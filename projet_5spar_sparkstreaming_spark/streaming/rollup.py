@@ -68,13 +68,20 @@ def incremental_rollup_sink(
     return foreach_batch_sink(stream, _write, checkpoint_dir, trigger)
 
 
-def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_rollup(
+    spark: SparkSession, out_dir: str, total_type: str | None = "double"
+) -> DataFrame:
     """Merge the partial rollup rows into the final rollup. The merge
     input is (buckets x batches) rows — tiny next to the raw stream.
 
     Before the first micro-batch commits, the sink's pre-created dir is
     empty and schema inference would raise UNABLE_TO_INFER_SCHEMA; an
     explicit schema keeps "no data yet" an empty rollup, not an error.
+    ``total_type`` describes the sink's ``total`` column for that
+    fallback — the SQL type of ``sum(value_col)`` ("double" for
+    double/float inputs, "bigint" for integral ones), or ``None`` for a
+    count-only rollup (``value_col=None`` at the sink) — so the no-data
+    and with-data schemas match.
     """
     has_files = os.path.isdir(out_dir) and any(
         f.endswith(".parquet")
@@ -82,11 +89,12 @@ def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
         for f in fs
     )
     if not has_files:
-        return spark.createDataFrame(
-            [], "bucket timestamp, cnt bigint, total double"
-        ).groupBy("bucket").agg(
-            F.sum("cnt").alias("cnt"), F.sum("total").alias("total")
-        )
+        fields = "bucket timestamp, cnt bigint"
+        aggs = [F.sum("cnt").alias("cnt")]
+        if total_type is not None:
+            fields += f", total {total_type}"
+            aggs.append(F.sum("total").alias("total"))
+        return spark.createDataFrame([], fields).groupBy("bucket").agg(*aggs)
     partials = spark.read.parquet(out_dir)
     aggs = [F.sum("cnt").alias("cnt")]
     if "total" in partials.columns:

@@ -252,3 +252,35 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r["id"]: r["score"] for r in df.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_upsert_parquet_failed_swap_restores_live_table(spark, tmp_path, monkeypatch):
+    """If the staging->table rename fails after the live table was
+    already moved aside, the live table must be restored — never left
+    nonexistent with the only merged copy deleted."""
+    import os
+
+    path = str(tmp_path / "tbl_swapfail")
+    base = spark.createDataFrame([("k1", "v1")], ["k", "v"])
+    upsert_parquet(spark, path, base, ["k"])
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if dst == path and "__staging_" in src:
+            raise OSError("simulated swap failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    updates = spark.createDataFrame([("k1", "v1-new")], ["k", "v"])
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="simulated swap failure"):
+        upsert_parquet(spark, path, updates, ["k"])
+    monkeypatch.undo()
+
+    # live table restored with the pre-merge contents, staging cleaned
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"k1": "v1"}
+    leftovers = [d for d in os.listdir(str(tmp_path)) if "__staging_" in d or "__old_" in d]
+    assert leftovers == []

@@ -192,3 +192,40 @@ def test_produce_topic_casts_string_timestamp(spark, tmp_path):
     got = read_fake_kafka_batch(spark, d)
     assert got.schema["timestamp"].dataType.typeName() == "timestamp"
     assert got.count() == 2
+
+
+def test_produce_topic_integral_timestamp_is_epoch_millis(spark, tmp_path):
+    """Integral timestamp columns are epoch MILLISECONDS (Kafka's
+    CreateTime unit); a bare cast would read them as epoch seconds."""
+    d = str(tmp_path / "topic_ms_ts")
+    millis = 1759515286000  # 2025-10-03T18:14:46Z
+    rows = spark.createDataFrame([("m0", millis)], "value string, ts bigint")
+    produce_topic(spark, rows, d, topic="t", n_partitions=1, timestamp_col="ts")
+    got = read_fake_kafka_batch(spark, d).selectExpr(
+        "unix_millis(timestamp) AS ms"
+    ).collect()
+    assert got[0].ms == millis
+
+
+def test_produce_topic_rejects_unsupported_timestamp_type(spark, tmp_path):
+    d = str(tmp_path / "topic_bad_ts")
+    rows = spark.createDataFrame([("m0", 1.5)], "value string, ts double")
+    with pytest.raises(TypeError, match="unsupported type"):
+        produce_topic(
+            spark, rows, d, topic="t", n_partitions=1, timestamp_col="ts"
+        )
+
+
+def test_expire_segments_floor_is_monotonic(spark, tmp_path):
+    """A later expiry call with a LOWER floor must not regress the
+    persisted retention floor (a real broker's log-start-offset is
+    monotonic) — the failOnDataLoss check must keep firing."""
+    d = str(tmp_path / "topic_floor_monotonic")
+    rows = spark.createDataFrame([(f"m{i}",) for i in range(8)], ["value"])
+    produce_topic(spark, rows, d, topic="t", n_partitions=1)
+    expire_segments(d, keep_min_offset=6)
+    expire_segments(d, keep_min_offset=2)  # would regress the floor
+    with pytest.raises(ValueError, match="data loss"):
+        read_fake_kafka_batch(
+            spark, d, starting_offsets={0: 4}, fail_on_data_loss=True
+        )

@@ -438,3 +438,24 @@ def test_windowed_state_on_rocksdb_provider(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, before)
+
+
+def test_read_rollup_empty_schema_matches_sink_shape(spark, tmp_path):
+    """Before the first micro-batch commits, read_rollup's fallback
+    schema must match what the sink will actually write: no `total`
+    column for a count-only rollup, and a caller-declared type (e.g.
+    bigint for an integral value_col) otherwise."""
+    from projet_5spar_sparkstreaming_spark.streaming.rollup import read_rollup
+
+    empty = str(tmp_path / "rollup_nodata")
+    import os
+
+    os.makedirs(empty)
+    count_only = read_rollup(spark, empty, total_type=None)
+    assert count_only.columns == ["bucket", "cnt"]
+    assert count_only.count() == 0
+
+    as_long = read_rollup(spark, empty, total_type="bigint")
+    assert [(f.name, f.dataType.simpleString()) for f in as_long.schema.fields] == [
+        ("bucket", "timestamp"), ("cnt", "bigint"), ("total", "bigint"),
+    ]
