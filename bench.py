@@ -72,6 +72,66 @@ BENCH_QUERIES = [
 ]
 
 
+STREAM_BENCHES = ("stream_minute_counts", "stream_curate_corpus")
+
+
+def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
+    """Throughput of the stateful streaming paths (the batch section
+    never exercises them): replay the sf tables through REAL
+    Structured Streaming queries to completion and report wall time,
+    input rows/s and micro-batch count from the engine's own progress
+    records. Regressions in the stateful/windowed path show up here."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from projet_5spar_sparkstreaming_spark.plans.corpus import curate_corpus_stream
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
+
+    def _minute_counts():
+        stream = read_parquet_stream(spark, sf_dir, "events")
+        agg = stream.groupBy(F.window("ts", "1 minute")).agg(
+            F.count("*").alias("cnt")
+        )
+        return agg.writeStream.format("memory").queryName(
+            "bench_stream_minutes"
+        ).outputMode("complete")
+
+    def _curate():
+        docs = read_parquet_stream(spark, sf_dir, "documents")
+        curated = curate_corpus_stream(
+            docs, min_quality=0.59, min_tokens=10, max_tokens=100_000
+        ).select("doc_id", "quality", "n_tokens")
+        return curated.writeStream.format("memory").queryName(
+            "bench_stream_curate"
+        ).outputMode("append")
+
+    out: dict[str, dict] = {}
+    for name, builder in (
+        ("stream_minute_counts", _minute_counts),
+        ("stream_curate_corpus", _curate),
+    ):
+        chk = tempfile.mkdtemp(prefix=f"chk_bench_{name}_")
+        t0 = time.time()
+        q = (
+            builder()
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        dt = time.time() - t0
+        progress = list(q.recentProgress)
+        rows_in = sum(int(p["numInputRows"]) for p in progress)
+        out[name] = {
+            "sec": round(dt, 3),
+            "rows_in": rows_in,
+            "rows_per_s": round(rows_in / dt) if dt > 0 else None,
+            "micro_batches": len(progress),
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from projet_5spar_sparkstreaming_spark.session import get_spark
@@ -93,6 +153,8 @@ def main() -> None:
             if record:
                 timings[name] = round(time.time() - t0, 3)
 
+    streaming = bench_streaming(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -102,6 +164,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # separate key: keeps the headline total like-for-like
+                # across rounds while making stateful-path regressions
+                # visible (rows/s + micro-batch count per stream)
+                "streaming": streaming,
                 "sf": float(sf) if sf else None,
             }
         )

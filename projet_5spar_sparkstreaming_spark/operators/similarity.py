@@ -44,6 +44,22 @@ def _collect_bounded(df: DataFrame, max_rows: int, what: str) -> list:
     return rows
 
 
+def bounded_broadcast_side(df: DataFrame, max_rows: int, what: str) -> DataFrame:
+    """Assert a DataFrame destined for a broadcast/cross-join side is
+    actually small — the distributed sibling of ``_collect_bounded``:
+    nothing is collected, but a side that silently grew O(corpus) (e.g.
+    a percentage decimation at 100x the data) raises here instead of
+    OOMing the broadcast. The check is a bounded scan
+    (``limit(max_rows+1).count()``), not a full count."""
+    if df.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"{what} side has more than {max_rows} rows; it must be "
+            "small enough to broadcast — use a fixed-count sample or "
+            "raise the cap explicitly if this is intended"
+        )
+    return df
+
+
 def brute_force_top_k(
     queries: DataFrame,
     corpus: DataFrame,
@@ -199,6 +215,96 @@ def brute_force_top_k_arrow(
     )
 
 
+def auto_lsh_params(
+    n_rows: int,
+    dim: int = 64,
+    recall_at: float = 0.99,
+    target_recall: float = 0.95,
+    cand_per_row: float = 0.2,
+    min_planes: int = 4,
+    max_planes: int = 48,
+    min_tables: int = 4,
+    max_tables: int = 16,
+) -> tuple[int, int]:
+    """Corpus-size-aware sign-LSH parameters: (n_planes, n_tables).
+
+    Fixed plane counts do not survive scale: random-pair candidates are
+    ~C(n,2) * n_tables * 2^-n_planes, so any fixed ``n_planes`` goes
+    quadratic once n grows past 2^n_planes — the one measured deviation
+    in the r4 500k stress tier (2.86M candidates for ~10k true pairs).
+    This derives ``n_planes ~ log2(n * n_tables / cand_per_row)`` so
+    expected RANDOM candidates stay <= ``cand_per_row * n`` (linear in
+    the corpus), with a correction for the finite-dim "Jensen boost":
+    random cosines fluctuate ~N(0, 1/dim), and E[(1/2 + c/pi)^p] ~
+    2^-p * exp(2 p^2 / (pi^2 dim)) > 2^-p, so the effective selectivity
+    of p planes is p - 2 p^2 / (pi^2 dim ln 2) bits, not p.
+
+    ``n_tables`` then compensates recall: a pair at cosine
+    ``recall_at`` agrees with a random hyperplane w.p.
+    1 - acos(recall_at)/pi, collides per table w.p. that^n_planes, and
+    needs ceil(ln(1-target_recall)/ln(1-collide)) tables to be caught
+    with probability ``target_recall``. When that many tables exceeds
+    ``max_tables``, planes are cut back until the recall target fits —
+    recall wins over the candidate bound, because for LOW similarity
+    targets (recall_at <~ 0.7) sign bits barely separate matches from
+    the random background and a near-quadratic candidate set is the
+    honest physics, not a tuning failure.
+
+    ``recall_at`` is the cosine at which recall is targeted — for dedup
+    that is the true-duplicate similarity (~0.99+), NOT the admission
+    threshold: LSH recall exactly at the threshold boundary is
+    inherently soft.
+    """
+    import math
+
+    p_keep = 1.0 - math.acos(min(max(recall_at, -1.0), 1.0)) / math.pi
+    if p_keep <= 0.0 or p_keep >= 1.0:
+        return min_planes, min_tables
+
+    def _planes_for_candidates(tables: int) -> int:
+        target_bits = math.log2(
+            max(n_rows, 2) * tables / (2.0 * cand_per_row)
+        )
+        for p in range(min_planes, max_planes + 1):
+            eff = p - 2.0 * p * p / (math.pi**2 * dim * math.log(2))
+            if eff >= target_bits:
+                return p
+        return max_planes
+
+    # largest p whose recall target is reachable within max_tables
+    min_collide = 1.0 - math.exp(math.log(1.0 - target_recall) / max_tables)
+    p_recall_cap = max(
+        min_planes, math.floor(math.log(min_collide) / math.log(p_keep))
+    )
+
+    tables = min_tables
+    planes = min_planes
+    for _ in range(8):  # tiny fixed point: planes need tables, and back
+        p_new = min(_planes_for_candidates(tables), p_recall_cap)
+        collide = p_keep**p_new
+        t_new = max(
+            min_tables,
+            math.ceil(
+                math.log(max(1.0 - target_recall, 1e-12))
+                / math.log(max(1.0 - collide, 1e-12))
+            ),
+        )
+        t_new = min(t_new, max_tables)
+        if (p_new, t_new) == (planes, tables):
+            break
+        planes, tables = p_new, t_new
+    return planes, tables
+
+
+def auto_ivf_centroids(n_rows: int, cap: int = 4096) -> int:
+    """Corpus-size-aware IVF cell count: ~sqrt(n)/4 (cells of ~4*sqrt(n)
+    rows), floored at 16 and capped so the driver-side k-means sample
+    stays cheap. A fixed cell count means cells grow linearly with the
+    corpus and per-query scoring degrades linearly — cells must scale
+    ~sqrt(n) for per-query cost ~sqrt(n)."""
+    return max(16, min(cap, round(n_rows**0.5 / 4)))
+
+
 def ivf_top_k(
     queries: DataFrame,
     corpus: DataFrame,
@@ -207,7 +313,7 @@ def ivf_top_k(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     n_probe: int = 4,
     kmeans_iters: int = 5,
     sample_limit: int = 100_000,
@@ -228,23 +334,34 @@ def ivf_top_k(
     prefix — a ``limit(n)`` sample is whatever rows the first scanned
     files hold, which on a partitioned/sorted 100 TB corpus is a single
     skewed slice and trains centroids that don't cover the space.
+
+    ``n_centroids="auto"`` scales cells ~sqrt(n)/4 with the corpus
+    (``auto_ivf_centroids``) — a fixed cell count degrades linearly as
+    the corpus grows past n_centroids * target_cell_size.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     n_corpus = corpus.count()
+    if n_centroids == "auto":
+        n_centroids = auto_ivf_centroids(n_corpus)
     ids_vecs = corpus.select(
         F.col(corpus_id).alias("i"), F.col(corpus_vec).alias("v")
     )
-    if n_corpus > sample_limit:
-        # keep ~sample_limit rows spread uniformly by id hash; fixed
+    # the k-means TRAIN sample needs ~tens of rows per centroid, not
+    # sample_limit: collecting 100k vectors and iterating k-means on
+    # them driver-side was the measured bottleneck of the 500k stress
+    # tier (the sample matmul is O(sample * centroids * dim * iters))
+    train_limit = min(sample_limit, max(5_000, 64 * n_centroids))
+    if n_corpus > train_limit:
+        # keep ~train_limit rows spread uniformly by id hash; fixed
         # seed (the hash itself) keeps reruns identical
-        modulus = -(-n_corpus // sample_limit)  # ceil
+        modulus = -(-n_corpus // train_limit)  # ceil
         ids_vecs = ids_vecs.filter(
             F.pmod(F.xxhash64(F.col("i")), F.lit(modulus)) == 0
         )
-    sample = ids_vecs.select("v").limit(sample_limit).collect()
+    sample = ids_vecs.select("v").limit(train_limit).collect()
     mat = np.array([r["v"] for r in sample], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
     rng = np.random.RandomState(42)
@@ -404,11 +521,14 @@ def cosine_near_dup_pairs(
     corpus_id: str,
     corpus_vec: str = "embedding",
     threshold: float = 0.9,
-    n_planes: int = 6,
-    n_tables: int = 8,
+    n_planes: int | str = 6,
+    n_tables: int | str = 8,
     dim: int = 64,
     max_bucket_size: int | None = None,
     verify: bool = True,
+    recall_at: float | None = None,
+    target_recall: float = 0.95,
+    cand_per_row: float = 0.2,
 ) -> DataFrame:
     """Embedding-cosine near-dup PAIRS (id_a, id_b, cosine >= threshold)
     — the embedding twin of ``minhash_near_dup_pairs``: sign-LSH buckets
@@ -438,7 +558,26 @@ def cosine_near_dup_pairs(
     ``verify=False`` returns the raw deduped candidate set (id_a, id_b)
     without the exact-cosine verify join — the minhash-parity hook for
     measuring candidate volume at scale.
+
+    ``n_planes="auto"``/``n_tables="auto"`` derive both knobs from the
+    corpus COUNT via ``auto_lsh_params`` (one extra count job — noise
+    next to the pipeline): planes scale ~log2(n) so random-pair
+    candidates stay linear in the corpus, tables compensate recall at
+    ``recall_at`` (default max(threshold, 0.99) — the true-duplicate
+    cosine for dedup thresholds). Fixed plane counts measurably go
+    quadratic at the 500k stress tier; auto is the 100 TB setting.
     """
+    if n_planes == "auto" or n_tables == "auto":
+        n_count = corpus.count()
+        n_planes, n_tables = auto_lsh_params(
+            n_count,
+            dim=dim,
+            recall_at=(
+                recall_at if recall_at is not None else max(threshold, 0.99)
+            ),
+            target_recall=target_recall,
+            cand_per_row=cand_per_row,
+        )
     ids_vecs = corpus.select(
         F.col(corpus_id).alias("__id"), F.col(corpus_vec).alias("__v")
     )

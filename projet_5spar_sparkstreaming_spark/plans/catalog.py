@@ -140,26 +140,31 @@ def q_json_k_stats(spark, sf_dir):
     # non-integer k (and DuckDB's CAST('1.5') rounds to 2 — a third
     # behavior). total_value sums in decimal, not double: a 2dp double
     # sum rounded to 2dp is partial-agg-order-dependent at the cent.
-    raw = F.col("__raw")
-    ev = (
-        _t(spark, sf_dir, "events")
-        # extract once, guard+cast in a second select: the JSON parse
-        # is the expensive half and must not run per reference
-        .withColumn("__raw", F.get_json_object("props", "$.k"))
-        .withColumn(
-            "k_value", F.when(raw.rlike(r"^-?[0-9]{1,18}$"), raw.cast("long"))
-        )
+    # The JSON parse is the expensive half and must run ONCE per row:
+    # the one-element-transform binding evaluates get_json_object a
+    # single time and feeds both the guard and the cast (a plain
+    # when(rlike(raw), raw.cast(...)) carries two parse references that
+    # CSE does not fully collapse — measured 2x at sf0.1).
+    raw = F.get_json_object("props", "$.k")
+    k_bound = F.transform(
+        F.array(raw),
+        lambda r: F.when(r.rlike(r"^-?[0-9]{1,18}$"), r.cast("long")),
+    )[0]
+    ev = _t(spark, sf_dir, "events").select("value", k_bound.alias("k_value"))
+    agg = ev.groupBy("k_value").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("total_value"),
     )
-    return (
-        ev.filter(F.col("k_value").isNotNull())
-        .groupBy("k_value")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(14,2)"))
-            .cast("double")
-            .alias("total_value"),
-        )
-    )
+    # Null-k rows ride the aggregate as one extra group and are dropped
+    # AFTER it: a pre-agg filter on k_value gets its grouping expression
+    # inlined by predicate pushdown and re-parses the JSON per row in
+    # the Filter. The `| cnt < 0` disjunct is always false (count is
+    # never negative) but references the aggregate output, which keeps
+    # Catalyst from splitting and pushing the predicate back down —
+    # measured 0.81s -> 0.42s at sf0.1.
+    return agg.filter(F.col("k_value").isNotNull() | (F.col("cnt") < 0))
 
 
 def q_distinct_users_by_type(spark, sf_dir):
@@ -374,7 +379,12 @@ def q_knn_ivf(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return ivf_top_k(queries, emb, "vec_id", "vec_id", k=5, n_centroids=16, n_probe=6)
+    # "auto" resolves to max(16, sqrt(n)/4): 16 at the pinned test
+    # corpus (unchanged result) and ~sqrt(n) cells at 100 TB so
+    # per-query scoring cost stays ~sqrt(n) instead of linear
+    return ivf_top_k(
+        queries, emb, "vec_id", "vec_id", k=5, n_centroids="auto", n_probe=6
+    )
 
 
 def q_knn_arrow(spark, sf_dir):
@@ -2930,12 +2940,23 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     )
 
     # threshold 0.3 matches the exact sampled join's cut (the synthetic
-    # embeddings are near-orthogonal, so higher cuts yield no pairs);
-    # fewer planes / more tables keeps per-table collision probability
-    # usable at that angular distance
+    # embeddings are near-orthogonal, so higher cuts yield no pairs).
+    # auto params: at this LOW similarity target the recall constraint
+    # pins planes to the floor (~4, tables ~11 — sign bits barely
+    # separate cosine-0.5 pairs from background, so few planes is the
+    # honest setting), while on a dedup-grade threshold the same auto
+    # mode scales planes ~log2(n) to keep candidates linear at 100 TB
+    # (auto_lsh_params; measured in SCALE_STRESS_r05).
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.3, n_planes=4, n_tables=12
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.3,
+        n_planes="auto",
+        n_tables="auto",
+        recall_at=0.5,
+        target_recall=0.9,
     )
 
 
@@ -2949,9 +2970,19 @@ def q_embedding_pair_sims(spark, sf_dir):
         cosine_from_norms,
         l2_norm,
     )
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        bounded_broadcast_side,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("vec_id") % 10 == 0).select(
+    # the 10% decimation is oracle-expressible but grows O(corpus): the
+    # guard turns a would-be 8GB+ broadcast at 100x into an explicit
+    # error steering callers to the LSH path / a fixed-count sample
+    a = bounded_broadcast_side(
+        emb.filter(F.col("vec_id") % 10 == 0),
+        100_000,
+        "embedding_pair_sims sampled a",
+    ).select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
         l2_norm("embedding").alias("__na"),

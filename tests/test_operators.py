@@ -540,3 +540,110 @@ def test_snapshot_diff_classification_and_nulls(spark):
     assert got == {1: "removed", 3: "changed", 5: "added"}
     kept = snapshot_diff(old, new, "id", ["v"], keep_unchanged=True)
     assert kept.count() == 5
+
+
+def test_auto_lsh_params_scale_properties():
+    """The 100 TB contract of auto_lsh_params: planes grow ~log2(n) so
+    EXPECTED random-pair candidates stay linear in the corpus, tables
+    stay bounded while meeting the recall target at recall_at."""
+    import math
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        auto_lsh_params,
+    )
+
+    prev_p = 0
+    for n in (2_000, 5_000, 50_000, 500_000, 5_000_000, 50_000_000):
+        p, t = auto_lsh_params(n, dim=64, recall_at=0.99)
+        assert 4 <= p <= 48 and 4 <= t <= 16
+        assert p >= prev_p, "planes must be nondecreasing in corpus size"
+        prev_p = p
+        # closed-form expected random candidates (the formula the planes
+        # are derived from): C(n,2) * T * 2^-p * Jensen boost
+        boost = math.exp(2 * p * p / (math.pi**2 * 64))
+        cand_per_row = (n - 1) / 2 * t * 2.0**-p * boost
+        assert cand_per_row <= 0.25, (n, p, t, cand_per_row)
+        # recall model at recall_at: 1 - (1 - p_keep^p)^t >= target
+        p_keep = 1 - math.acos(0.99) / math.pi
+        recall = 1 - (1 - p_keep**p) ** t
+        assert recall >= 0.95, (n, p, t, recall)
+
+
+def test_auto_lsh_params_low_similarity_pins_planes():
+    """At a low similarity target sign bits barely separate matches
+    from background: the recall constraint must win and pin planes near
+    the floor with more tables, at ANY corpus size."""
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        auto_lsh_params,
+    )
+
+    small = auto_lsh_params(2_000, recall_at=0.5, target_recall=0.9)
+    large = auto_lsh_params(500_000, recall_at=0.5, target_recall=0.9)
+    assert small == large  # recall-capped: corpus size cannot move it
+    assert small[0] <= 6 and small[1] >= 8
+
+
+def test_auto_ivf_centroids_sqrt_scaling():
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        auto_ivf_centroids,
+    )
+
+    assert auto_ivf_centroids(2_000) == 16  # floor: pinned test corpus
+    assert auto_ivf_centroids(500_000) == 177
+    assert auto_ivf_centroids(10**12) == 4096  # cap
+
+
+def test_cosine_near_dup_auto_matches_explicit(spark):
+    """n_planes="auto" must produce exactly the result of passing the
+    resolved (planes, tables) explicitly — auto is parameter
+    derivation, not a different algorithm."""
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        auto_lsh_params,
+        cosine_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(300):
+        if i % 10 == 1:
+            v = np.array(rows[-1][1]) + 0.01 * rng.randn(64)
+        else:
+            v = rng.randn(64)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    auto = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in cosine_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.95,
+            n_planes="auto", n_tables="auto",
+        ).collect()
+    }
+    p, t = auto_lsh_params(300, dim=64, recall_at=0.99)
+    explicit = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in cosine_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.95,
+            n_planes=p, n_tables=t,
+        ).collect()
+    }
+    assert auto == explicit
+    planted = {(i - 1, i) for i in range(1, 300) if i % 10 == 1}
+    got_pairs = {(a, b) for a, b, _ in auto}
+    assert len(got_pairs & planted) / len(planted) >= 0.95
+
+
+def test_bounded_broadcast_side_guard(spark):
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        bounded_broadcast_side,
+    )
+
+    df = spark.range(50)
+    assert bounded_broadcast_side(df, 100, "x").count() == 50
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="more than 10 rows"):
+        bounded_broadcast_side(df, 10, "x").count()

@@ -206,9 +206,14 @@ def run_tier(spark, n: int) -> dict:
     # cache instead of recomputing (the matmul path is already warm from
     # the python workers the generators spun up)
     res["knn_arrow_rows"], res["knn_arrow_s"] = timed(exact.count)
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        auto_ivf_centroids,
+    )
+
+    res["ivf_centroids"] = auto_ivf_centroids(n)
     ivf = ivf_top_k(
         queries, embs, "vec_id", "vec_id", k=K,
-        n_centroids=max(16, int(n ** 0.5)), n_probe=4, kmeans_iters=10,
+        n_centroids="auto", n_probe=4, kmeans_iters=10,
     ).cache()
     res["knn_ivf_rows"], res["knn_ivf_s"] = timed(ivf.count)
 
@@ -262,14 +267,16 @@ def gen_twin_embeddings(spark, n: int, path: str) -> None:
 
 
 def run_embed_neardup(spark, n: int) -> dict:
-    """Embedding-cosine near-dup at scale: sign-LSH candidates (20
-    planes x 8 tables: random-pair collision ~8 * 0.5^20 while
-    twin-pair collision ~1) + exact verify, with the mega-bucket cap
+    """Embedding-cosine near-dup at scale: corpus-size-derived sign-LSH
+    params (auto_lsh_params: planes ~log2(n) keep random-pair
+    candidates linear in the corpus, tables compensate recall at the
+    true-duplicate cosine) + exact verify, with the mega-bucket cap
     armed. Twin recall is exact-checkable without an all-pairs join
     because twins are planted at known ids."""
     from pyspark.sql import functions as F
 
     from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        auto_lsh_params,
         cosine_near_dup_pairs,
     )
 
@@ -277,8 +284,12 @@ def run_embed_neardup(spark, n: int) -> dict:
     res: dict = {"kind": "embed_neardup", "n": n}
     _, res["gen_s"] = timed(lambda: gen_twin_embeddings(spark, n, path))
     embs = spark.read.parquet(path)
+    # resolved explicitly (same values "auto" would pick) so the tier
+    # record shows which knobs were measured
+    planes, tables = auto_lsh_params(n, dim=DIM, recall_at=0.99)
+    res["n_planes"], res["n_tables"] = planes, tables
     kw = dict(
-        threshold=0.95, n_planes=20, n_tables=8, max_bucket_size=100
+        threshold=0.95, n_planes=planes, n_tables=tables, max_bucket_size=100
     )
     cand = cosine_near_dup_pairs(embs, "vec_id", "embedding", verify=False, **kw)
     res["candidates"], res["cand_s"] = timed(cand.count, warm=True)
@@ -353,6 +364,57 @@ def run_incremental(spark, index_n: int, batch_n: int = 5_000) -> dict:
     return res
 
 
+def run_curation(spark, n: int) -> dict:
+    """The full curation pipeline at the biggest tier — quality/length
+    filter -> fingerprint dedup (curate_corpus, the exact definition the
+    sf oracle checks) -> minhash near-dup pairs -> connected components
+    -> keep-best-per-cluster — end to end on the generated corpus, no
+    driver-side step. Survivor counts make silent stage regressions
+    visible (e.g. a filter that starts dropping everything)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from projet_5spar_sparkstreaming_spark.functions.textstats import quality_score
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_near_dup_pairs,
+    )
+    from projet_5spar_sparkstreaming_spark.plans.corpus import curate_corpus
+
+    docs = spark.read.parquet(f"{WORK}/docs_{n}")
+    res: dict = {"kind": "curation", "n": n}
+
+    curated = curate_corpus(docs, min_quality=0.1, min_tokens=10).cache()
+    res["curated_docs"], res["curate_s"] = timed(curated.count, warm=True)
+
+    pairs = minhash_near_dup_pairs(curated, "doc_id", "text").cache()
+    res["neardup_pairs"], res["pairs_s"] = timed(pairs.count)
+    clusters = dedup_clusters(pairs).cache()
+    res["cluster_members"], res["clusters_s"] = timed(clusters.count)
+
+    # keep the highest-quality member per near-dup cluster (ties: min
+    # id), then drop every non-representative member from the corpus —
+    # same decision rule as the sf-oracle-checked dedup_keep_best
+    quality = curated.select("doc_id", quality_score("text").alias("__q"))
+    members = clusters.join(quality, "doc_id").select(
+        "doc_id", "cluster_id", "__q"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("__q"), F.asc("doc_id"))
+    drop = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select("doc_id")
+    )
+    survivors = curated.join(drop, "doc_id", "left_anti")
+    res["final_docs"], res["keep_best_s"] = timed(survivors.count)
+    res["total_s"] = round(
+        res["curate_s"] + res["pairs_s"] + res["clusters_s"] + res["keep_best_s"], 2
+    )
+    for df in (clusters, pairs, curated):
+        df.unpersist()
+    return res
+
+
 def main() -> None:
     tiers = [int(x) for x in sys.argv[1:]] or [5_000, 50_000, 500_000]
     from projet_5spar_sparkstreaming_spark.session import get_spark
@@ -371,13 +433,16 @@ def main() -> None:
         en = run_embed_neardup(spark, n)
         results.append(en)
         print(json.dumps(en), flush=True)
+    cur = run_curation(spark, max(tiers))
+    results.append(cur)
+    print(json.dumps(cur), flush=True)
     with open(f"{WORK}/results.json", "w") as f:
         json.dump(results, f, indent=2)
     print("\n| n | gen | mh cand (n, s) | mh full (n, s) | verify (n, s) | "
           "clusters (n, s) | knn_arrow s | knn_ivf s | ivf recall |")
     print("|---|---|---|---|---|---|---|---|---|")
     for r in results:
-        if "n" not in r:  # the incremental entry has its own shape
+        if "gen_docs_s" not in r:  # only base tiers fit this table
             continue
         print(
             f"| {r['n']} | {r['gen_docs_s'] + r['gen_embs_s']}s "
