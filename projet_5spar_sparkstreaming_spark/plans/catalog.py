@@ -2770,6 +2770,46 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8, n=3)
 
 
+def _approx_pair_escapees(emitted, docs, relaxed: float):
+    """Count emitted approximate pairs that fail the EXACT trigram
+    Jaccard at a relaxed floor — the one-directional containment
+    contract of a banded/blocked candidate pipeline: approximate
+    recall is allowed to miss pairs, but every pair it EMITS must be a
+    genuine near-duplicate. 0 is oracle-assertable in plain SQL even
+    though the emitted set itself isn't."""
+    exact = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=relaxed
+    ).select("id_a", "id_b")
+    return (
+        emitted.select("id_a", "id_b")
+        .join(exact, ["id_a", "id_b"], "left_anti")
+        .agg(F.count("*").alias("n_escapees"))
+    )
+
+
+def q_minhash_pairs_containment(spark, sf_dir):
+    # Subset oracle for the approximate minhash path: emitted pairs
+    # carry signature-estimated Jaccard >= 0.5; with 64 hashes the
+    # estimator's 4-sigma band puts every true pair above exact ~0.25,
+    # so a 0.3 floor catches any banding/verify bug that lets a
+    # non-near-dup through while never tripping on estimator noise
+    # (measured exact-J floor of emitted pairs is 0.8 at every sf).
+    docs = _t(spark, sf_dir, "documents")
+    emitted = minhash_near_dup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.5
+    )
+    return _approx_pair_escapees(emitted, docs, relaxed=0.3)
+
+
+def q_simhash_pairs_containment(spark, sf_dir):
+    # Same one-directional contract for the simhash pigeonhole path:
+    # hamming <= 8 of 64 simhash bits implies high trigram overlap
+    # (measured floor 0.8); 0.3 keeps margin while staying falsifiable.
+    docs = _t(spark, sf_dir, "documents")
+    emitted = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8, n=3)
+    return _approx_pair_escapees(emitted, docs, relaxed=0.3)
+
+
 def q_containment_pairs(spark, sf_dir):
     # Directional inclusion dedup: C(A,B) = |A∩B|/|A| >= 0.9 — catches a
     # doc contained in a longer one, which symmetric Jaccard misses.
@@ -3645,6 +3685,12 @@ def _oracles() -> dict[str, str | None]:
             "WHERE c / (za.z + zb.z - c) >= 0.8"
         ),
         "minhash_pairs": None,  # approximate: rows-only check
+        # one-directional containment contracts for the approximate
+        # pair ops: the emitted-set can't be SQL-derived, but "every
+        # emitted pair clears exact trigram Jaccard 0.3" can — the
+        # Spark side counts escapees, the oracle asserts zero
+        "minhash_pairs_containment": "SELECT CAST(0 AS BIGINT) AS n_escapees",
+        "simhash_pairs_containment": "SELECT CAST(0 AS BIGINT) AS n_escapees",
         "simhash_pairs": None,  # approximate: rows-only check
         "containment_pairs": (
             # directional: c / |A| (not symmetric Jaccard); a.doc_id !=
@@ -4023,6 +4069,8 @@ def catalog() -> list[CatalogQuery]:
         "sentiment_scores": q_sentiment_scores,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "minhash_pairs_containment": q_minhash_pairs_containment,
+        "simhash_pairs_containment": q_simhash_pairs_containment,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "embedding_pair_sims": q_embedding_pair_sims,
