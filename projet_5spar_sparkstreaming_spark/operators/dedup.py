@@ -629,7 +629,8 @@ def minhash_signature_arrow(
     with a handful of numpy outer products per Arrow batch.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
     from pyspark.sql import types as T
 
     salts = np.array(_HASH_SALTS[:num_hashes], dtype=np.uint64) * np.uint64(2) + np.uint64(1)
@@ -644,46 +645,46 @@ def minhash_signature_arrow(
     )
 
     def _sig(batches):
-        for pdf in batches:
-            lens = pdf["__h"].map(len).to_numpy()
+        # mapInArrow, not mapInPandas: the list<int64> shingle column
+        # flattens zero-copy and the output signatures assemble from
+        # one contiguous buffer — the pandas round-trip (object-dtype
+        # cells, a per-document .iloc/.tolist loop each way) was the
+        # measured bottleneck of the 500k signature stage, costing more
+        # than the hashing itself.
+        for batch in batches:
+            i_id = batch.schema.get_field_index("__id")
+            h = batch.column(batch.schema.get_field_index("__h"))
+            if isinstance(h, pa.ChunkedArray):
+                h = h.combine_chunks()
+            lens = pc.list_value_length(h).to_numpy(zero_copy_only=False)
             n_docs = len(lens)
-            sigs: list[list[int] | None] = [None] * n_docs
-            # Vectorize ACROSS documents: flatten all shingle hashes,
-            # one wrapped-uint64 outer product per chunk, then a
-            # minimum.reduceat at document boundaries — replaces a
-            # per-document python/numpy loop (~50us of dispatch per doc)
-            # with a handful of large array ops per Arrow batch.
+            # zeros for empty-shingle docs (shorter than one n-gram)
+            out = np.zeros((n_docs, num_hashes), dtype=np.int64)
             nonempty = np.nonzero(lens > 0)[0]
-            for i in np.nonzero(lens == 0)[0]:
-                sigs[i] = [0] * num_hashes
             if len(nonempty):
-                flat = np.concatenate(
-                    [np.asarray(pdf["__h"].iloc[i], dtype=np.int64) for i in nonempty]
-                ).astype(np.uint64)
-                bounds = np.concatenate([[0], np.cumsum(lens[nonempty])])
-                # chunk docs so the (num_hashes x flat) product stays ~100MB
-                max_elems = max(1, 200_000_000 // (8 * num_hashes))
-                start_doc = 0
-                while start_doc < len(nonempty):
-                    end_doc = start_doc
-                    while (
-                        end_doc < len(nonempty)
-                        and bounds[end_doc + 1] - bounds[start_doc] <= max_elems
-                    ):
-                        end_doc += 1
-                    end_doc = max(end_doc, start_doc + 1)
-                    seg = flat[bounds[start_doc] : bounds[end_doc]]
-                    offs = (bounds[start_doc : end_doc] - bounds[start_doc]).astype(
-                        np.intp
-                    )
-                    with np.errstate(over="ignore"):
-                        prod = salts[:, None] * seg[None, :]  # wrapped uint64 mul
-                    mins = np.minimum.reduceat(prod, offs, axis=1)  # (H, docs)
-                    mins = mins.astype(np.int64)
-                    for j, doc_i in enumerate(nonempty[start_doc:end_doc]):
-                        sigs[doc_i] = mins[:, j].tolist()
-                    start_doc = end_doc
-            yield pd.DataFrame({"__id": pdf["__id"], "__sig": sigs})
+                flat = h.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+                offs = np.concatenate(
+                    [[0], np.cumsum(lens[nonempty], dtype=np.int64)]
+                )[:-1].astype(np.intp)
+                # one salt at a time: the per-salt product is a
+                # flat-sized temporary (~10MB/batch) instead of the
+                # (num_hashes x flat) matrix — the big-matrix variant
+                # is memory-bandwidth-bound and measured 30x slower
+                mins = np.empty((num_hashes, len(nonempty)), dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    for s_i in range(num_hashes):
+                        mins[s_i] = np.minimum.reduceat(salts[s_i] * flat, offs)
+                out[nonempty] = mins.T.astype(np.int64)
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n_docs + 1) * num_hashes, num_hashes),
+                    type=pa.int32(),
+                ),
+                pa.array(out.reshape(-1), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i_id), sig_arr], ["__id", "__sig"]
+            )
 
     schema = T.StructType(
         [
@@ -691,7 +692,7 @@ def minhash_signature_arrow(
             T.StructField("__sig", T.ArrayType(T.LongType()), False),
         ]
     )
-    return hashed.mapInPandas(_sig, schema=schema)
+    return hashed.mapInArrow(_sig, schema=schema)
 
 
 def _banded_buckets(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:

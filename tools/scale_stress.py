@@ -374,7 +374,6 @@ def run_curation(spark, n: int) -> dict:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from projet_5spar_sparkstreaming_spark.functions.textstats import quality_score
     from projet_5spar_sparkstreaming_spark.operators.dedup import (
         dedup_clusters,
         minhash_near_dup_pairs,
@@ -387,15 +386,20 @@ def run_curation(spark, n: int) -> dict:
     curated = curate_corpus(docs, min_quality=0.1, min_tokens=10).cache()
     res["curated_docs"], res["curate_s"] = timed(curated.count, warm=True)
 
-    pairs = minhash_near_dup_pairs(curated, "doc_id", "text").cache()
+    # project id+text BEFORE the dedup pipeline: the signature stage
+    # must not drag quality/n_tokens through its shuffles/cache
+    pairs = minhash_near_dup_pairs(
+        curated.select("doc_id", "text"), "doc_id", "text"
+    ).cache()
     res["neardup_pairs"], res["pairs_s"] = timed(pairs.count)
     clusters = dedup_clusters(pairs).cache()
     res["cluster_members"], res["clusters_s"] = timed(clusters.count)
 
     # keep the highest-quality member per near-dup cluster (ties: min
     # id), then drop every non-representative member from the corpus —
-    # same decision rule as the sf-oracle-checked dedup_keep_best
-    quality = curated.select("doc_id", quality_score("text").alias("__q"))
+    # same decision rule as the sf-oracle-checked dedup_keep_best;
+    # quality rides the curated cache (curate_corpus already scored it)
+    quality = curated.select("doc_id", F.col("quality").alias("__q"))
     members = clusters.join(quality, "doc_id").select(
         "doc_id", "cluster_id", "__q"
     )
