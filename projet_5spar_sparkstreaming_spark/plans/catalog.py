@@ -686,6 +686,35 @@ def q_stream_curate_corpus(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_neardup_ingest(spark, sf_dir):
+    # Streaming NEAR-dup ingest guard (streaming/dedup.py:
+    # stream_neardup_ingest): each micro-batch checks against the
+    # accumulated index of everything previously seen (banded cross
+    # join, index never self-joined) and drops near-dup arrivals.
+    # Approximate admission (minhash) — rows-only; the drop/keep
+    # semantics incl. cross-batch, within-batch min-id, and
+    # dropped-doc-still-indexes cases are pinned by
+    # tests/test_streaming.py::test_stream_neardup_ingest_guard.
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
+    from projet_5spar_sparkstreaming_spark.streaming.dedup import (
+        stream_neardup_ingest,
+    )
+
+    docs = read_parquet_stream(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="neardup_ingest_")
+    q = stream_neardup_ingest(
+        docs,
+        f"{base}/out",
+        f"{base}/idx",
+        f"{base}/chk",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{base}/out").select("doc_id")
+
+
 def q_stream_enriched_segment_counts(spark, sf_dir):
     # STREAM-STATIC broadcast join executed with a SQL oracle: the
     # events stream enriches against the static customer dim (no
@@ -2237,6 +2266,59 @@ def q_doc_split_assignment(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    # Pretraining chunker: sliding token windows (64 tokens, stride 48)
+    # per document — the standard "split long docs into model-context
+    # pieces" op. Pure projection + posexplode: zero shuffle, chunk
+    # boundaries derive from each row alone, so at 100 TB it runs
+    # entirely inside the scan stage. The token array is BOUND once via
+    # the one-element-transform trick (interpreted HOFs re-evaluate
+    # captured subtrees per reference otherwise); trailing partial
+    # windows are emitted (sliding-window convention: the suffix keeps
+    # context). Tokenization is single-space split on BOTH engines.
+    size, step = 64, 48
+    bound = F.transform(
+        F.array(F.split(F.col("text"), " ")),
+        lambda tk: F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size(tk) - 1, F.lit(0)), F.lit(step)
+            ),
+            lambda s: F.struct(
+                F.concat_ws(" ", F.slice(tk, s + 1, size)).alias("chunk_text"),
+                F.least(F.lit(size), F.size(tk) - s).alias("chunk_tokens"),
+            ),
+        ),
+    )[0]
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id", F.posexplode(bound).alias("chunk_id", "__c")
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.chunk_tokens").alias("chunk_tokens"),
+    )
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    # Deterministic per-stratum quota sampling: keep 20 docs per lang,
+    # chosen by md5-of-id order — reproducible under repartitioning and
+    # appends (no rand()), and md5 is bit-identical on both engines so
+    # the SAMPLE ITSELF is oracle-checked, not just its size. One hash
+    # shuffle on the stratum key; the window touches only per-stratum
+    # rows. The 100 TB shape for "balance the training mix per
+    # language/source".
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("pick_rank"))
+        .filter(F.col("pick_rank") <= 20)
+    )
+
+
 def q_pack_documents(spark, sf_dir):
     # Context packing: assign documents to fixed token-budget packs.
     # Packing is inherently sequential, so it is done per shard (hash
@@ -3336,6 +3418,25 @@ def _oracles() -> dict[str, str | None]:
             "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) "
             "% 100 AS bucket FROM documents)"
         ),
+        "chunk_documents": (
+            # same sliding-window rule: starts at every multiple of 48
+            # while start < n_tokens; single-space split on both engines
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+            "len(string_split(text, ' ')) AS n FROM documents "
+            "WHERE text IS NOT NULL), "
+            "s AS (SELECT doc_id, toks, n, "
+            "unnest(generate_series(0, n - 1, 48)) AS s FROM t) "
+            "SELECT doc_id, CAST(s // 48 AS INT) AS chunk_id, "
+            "array_to_string(list_slice(toks, s + 1, least(s + 64, n)), ' ') "
+            "AS chunk_text, "
+            "CAST(least(64, n - s) AS INT) AS chunk_tokens FROM s"
+        ),
+        "stratified_sample_docs": (
+            "SELECT doc_id, lang, pick_rank FROM ("
+            "SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) "
+            "AS pick_rank FROM documents) WHERE pick_rank <= 20"
+        ),
         "pack_documents": (
             f"SELECT doc_id, doc_id % 8 AS shard, n_tokens, "
             "CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY doc_id % 8 "
@@ -4079,6 +4180,8 @@ def catalog() -> list[CatalogQuery]:
         "embedding_pos_norms": q_embedding_pos_norms,
         "doc_split_assignment": q_doc_split_assignment,
         "pack_documents": q_pack_documents,
+        "chunk_documents": q_chunk_documents,
+        "stratified_sample_docs": q_stratified_sample_docs,
         "containment_pairs": q_containment_pairs,
         "bigram_counts": q_bigram_counts,
         "balance_per_lang": q_balance_per_lang,
@@ -4091,6 +4194,7 @@ def catalog() -> list[CatalogQuery]:
         "stream_first_event_per_user": q_stream_first_event_per_user,
         "stream_running_key_stats": q_stream_running_key_stats,
         "stream_curate_corpus": q_stream_curate_corpus,
+        "stream_neardup_ingest": q_stream_neardup_ingest,
         "stream_enriched_segment_counts": q_stream_enriched_segment_counts,
         "stream_decontamination": q_stream_decontamination,
         "stream_pii_scan": q_stream_pii_scan,
@@ -4378,6 +4482,9 @@ def catalog() -> list[CatalogQuery]:
     )
     # stream/batch parity: the streaming ingest guard converges to the
     # batch decontamination query, so it shares that oracle verbatim
+    # approximate (minhash) admission decisions: rows-only; semantics
+    # pinned by tests/test_streaming.py::test_stream_neardup_ingest_guard
+    oracles["stream_neardup_ingest"] = None
     oracles["stream_decontamination"] = oracles["decontamination_overlap"]
     oracles["stream_pii_scan"] = oracles["doc_pii_scan"]
     oracles["stream_first_event_per_user"] = (

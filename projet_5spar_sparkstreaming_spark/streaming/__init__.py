@@ -3,7 +3,10 @@ from projet_5spar_sparkstreaming_spark.streaming.windows import (
     sliding_window_counts,
     windowed_counts,
 )
-from projet_5spar_sparkstreaming_spark.streaming.dedup import stream_dedup
+from projet_5spar_sparkstreaming_spark.streaming.dedup import (
+    stream_dedup,
+    stream_neardup_ingest,
+)
 from projet_5spar_sparkstreaming_spark.streaming.stateful import stream_first_seen
 from projet_5spar_sparkstreaming_spark.streaming.rollup import (
     incremental_rollup_sink,
@@ -19,6 +22,7 @@ __all__ = [
     "sliding_window_counts",
     "windowed_counts",
     "stream_dedup",
+    "stream_neardup_ingest",
     "stream_first_seen",
     "incremental_rollup_sink",
     "read_rollup",

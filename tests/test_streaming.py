@@ -459,3 +459,62 @@ def test_read_rollup_empty_schema_matches_sink_shape(spark, tmp_path):
     assert [(f.name, f.dataType.simpleString()) for f in as_long.schema.fields] == [
         ("bucket", "timestamp"), ("cnt", "bigint"), ("total", "bigint"),
     ]
+
+
+def test_stream_neardup_ingest_guard(spark, tmp_path):
+    """Streaming near-dup ingest: a doc is dropped iff it near-dups an
+    earlier-batch doc OR a smaller-id doc of its own batch; near-dups
+    of DROPPED docs are still dropped (index = everything seen); a
+    checkpoint-restart replays nothing."""
+    import json as _json
+    import os
+    import time
+
+    from projet_5spar_sparkstreaming_spark.streaming.dedup import (
+        stream_neardup_ingest,
+    )
+
+    def _doc(i, seed, mutate=0):
+        toks = [f"tok{seed}_{j}" for j in range(30)]
+        for m in range(mutate):
+            toks[m] = f"mut{i}_{m}"
+        return {"doc_id": i, "text": " ".join(toks)}
+
+    # batch 0: doc0 original, doc1 near-dup of doc0 (within-batch ->
+    # dropped), doc2 distinct
+    # batch 1: doc10 near-dup of doc0 (cross-batch -> dropped), doc11
+    # near-dup of doc1 (a DROPPED doc -> still dropped), doc12 distinct
+    b0 = [_doc(0, "a"), _doc(1, "a", mutate=1), _doc(2, "b")]
+    b1 = [_doc(10, "a", mutate=2), _doc(11, "a", mutate=1), _doc(12, "c")]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(_json.dumps(d) for d in b0))
+    (src / "b1.json").write_text("\n".join(_json.dumps(d) for d in b1))
+    now = time.time()
+    os.utime(src / "b0.json", (now - 60, now - 60))
+    os.utime(src / "b1.json", (now, now))
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    chk = str(tmp_path / "chk")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        q = stream_neardup_ingest(
+            stream, out, idx, chk, trigger={"availableNow": True}
+        )
+        q.awaitTermination(180)
+
+    run()
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [0, 2, 12]
+    indexed = sorted(r["doc_id"] for r in spark.read.parquet(idx).collect())
+    assert indexed == [0, 1, 2, 10, 11, 12]  # everything seen
+
+    run()  # restart: checkpoint says no new files -> nothing changes
+    again = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert again == [0, 2, 12]
