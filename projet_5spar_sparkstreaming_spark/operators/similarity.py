@@ -516,6 +516,57 @@ def _lsh_buckets_arrow(
     )
 
 
+def _cosine_verify_arrow(joined: DataFrame, threshold: float) -> DataFrame:
+    """Score (id_a, id_b, __va, __vb) candidate rows with one numpy
+    pass per Arrow batch: cosine rounded to 6, filtered by threshold.
+    Zero-norm vectors guard to 1e-300 like ``l2_norm``-based scoring
+    (cosine 0 against anything)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", joined.schema["id_a"].dataType, False),
+            T.StructField("id_b", joined.schema["id_b"].dataType, False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def _score(batches):
+        for batch in batches:
+            names = batch.schema.names
+            cols = {n: batch.column(i) for i, n in enumerate(names)}
+
+            def _mat(arr):
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                n_rows = len(arr)
+                flat = arr.flatten().to_numpy(zero_copy_only=False)
+                return np.asarray(flat, dtype=np.float64).reshape(n_rows, -1)
+
+            va = _mat(cols["__va"])
+            vb = _mat(cols["__vb"])
+            dots = np.einsum("ij,ij->i", va, vb)
+            na = np.maximum(np.linalg.norm(va, axis=1), 1e-300)
+            nb = np.maximum(np.linalg.norm(vb, axis=1), 1e-300)
+            cos = np.round(dots / (na * nb), 6)
+            keep = np.nonzero(cos >= threshold)[0]
+            idx = pa.array(keep, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["id_a"].take(idx),
+                    cols["id_b"].take(idx),
+                    pa.array(cos[keep], type=pa.float64()),
+                ],
+                ["id_a", "id_b", "cosine"],
+            )
+
+    return joined.select("id_a", "id_b", "__va", "__vb").mapInArrow(
+        _score, schema=schema
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     corpus_id: str,
@@ -625,6 +676,24 @@ def cosine_near_dup_pairs(
     )
     if not verify:
         return cand
+    try:
+        import numpy  # noqa: F401
+
+        # Arrow verify: candidate volume at permissive thresholds is
+        # O(n^2 / 2^planes) and each interpreted zip_with dot costs
+        # ~100x a numpy row — one (N, dim) elementwise product per
+        # Arrow batch scores every candidate at once. The joins still
+        # run on the DEDUPED pair set, so shuffle bytes are unchanged.
+        joined = cand.join(
+            ids_vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")),
+            "id_a",
+        ).join(
+            ids_vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")),
+            "id_b",
+        )
+        return _cosine_verify_arrow(joined, threshold)
+    except ImportError:
+        pass
     # Norms ride the side tables (computed once per row, not per
     # candidate pair): the verify stage pays one dot product per
     # candidate — same doubles as cosine_similarity, 4x fewer

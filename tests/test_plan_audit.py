@@ -74,3 +74,31 @@ def test_banding_shuffles_carry_ids_not_payloads(spark, query):
         assert "__sig" not in block and "__v" not in block and "__emb" not in block, (
             f"{query}: payload column shuffled with candidate pairs:\n{block}"
         )
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """SCALE.md claim for the pretraining chunker: chunk boundaries
+    derive from each row alone — the whole plan must run inside the
+    scan stage (no Exchange), reading only the two needed columns."""
+    from projet_5spar_sparkstreaming_spark.plans.catalog import catalog
+
+    q = {c.name: c for c in catalog()}["chunk_documents"]
+    plan = _formatted_plan(q.build(spark, SF_DIR))
+    assert "Exchange" not in plan, "chunker must not shuffle"
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_stratified_sample_prefilters_rank_below_shuffle(spark):
+    """The per-stratum quota sample must shuffle once on the stratum
+    key and pre-filter the rank limit per partition before the
+    exchange (WindowGroupLimit) — at 100 TB the exchange then carries
+    ~quota rows per (stratum, task), not the corpus."""
+    from projet_5spar_sparkstreaming_spark.plans.catalog import catalog
+
+    q = {c.name: c for c in catalog()}["stratified_sample_docs"]
+    plan = _formatted_plan(q.build(spark, SF_DIR))
+    assert len(_exchange_blocks(plan)) == 1
+    assert "hashpartitioning(lang" in plan
+    # the PARTIAL group limit runs before the exchange: each map task
+    # forwards at most `quota` rows per stratum
+    assert "row_number(), 20, Partial" in plan
