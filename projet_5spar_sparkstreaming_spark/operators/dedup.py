@@ -619,14 +619,27 @@ def _ensure_min_parallelism(df: DataFrame, key_col: str) -> DataFrame:
 def minhash_signature_arrow(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
-    """(id, sig array<bigint>) via Arrow-batched numpy multiply-shift.
+    """(id, sig array<bigint>) computed in ONE Arrow kernel from raw
+    text: whitespace split (pyarrow C), vectorized 64-bit token/n-gram
+    mixing, then a per-salt multiply-shift min reduction — no
+    interpreted HOF anywhere on this path (the JVM shingle expression
+    cost ~1ms/doc and dominated the cold 500k signature stage).
 
-    Shingle hashing stays JVM-side (tokens -> n-grams -> xxhash64, native
-    expressions); only the num_hashes-way min reduction crosses to numpy:
-    sig_i = min over shingles of uint64-wrapped (a_i * h) — the
-    multiply-shift universal family (public literature), fully
-    vectorized. At 5k docs this replaces ~100M interpreted lambda evals
-    with a handful of numpy outer products per Arrow batch.
+    The shingle hash family here is INTERNAL to the minhash estimate:
+    signature positions are compared for EQUALITY only, so any
+    deterministic 64-bit family estimates the same n-gram-set Jaccard
+    (collisions aside — both families are 64-bit). It deliberately does
+    NOT share ``_shingle_hashes``' xxhash64-over-slices family, which
+    remains the shingle identity for the exact join paths. Minhash over
+    the n-gram MULTISET equals minhash over the SET (duplicates never
+    change a min), so no distinct pass is needed.
+
+    Count semantics match the JVM expression: a doc with >= n tokens
+    yields len-n+1 n-grams; shorter docs one zero-padded shingle; the
+    empty string one ['']-token shingle. Token hashes mix the first 24
+    bytes plus the byte length (longer tokens sharing a 24-byte prefix
+    and length alias — a 64-bit-family tradeoff on par with hash
+    collisions). NULL-text docs are dropped (no dedup identity).
     """
     import numpy as np
     import pyarrow as pa
@@ -634,47 +647,80 @@ def minhash_signature_arrow(
     from pyspark.sql import types as T
 
     salts = np.array(_HASH_SALTS[:num_hashes], dtype=np.uint64) * np.uint64(2) + np.uint64(1)
-    hashed = (
+    # fixed odd mixing constants per n-gram position (splitmix64 steps)
+    mix_c = np.array(
+        [(0x9E3779B97F4A7C15 * (2 * k + 1)) & 0xFFFFFFFFFFFFFFFF for k in range(n)],
+        dtype=np.uint64,
+    )
+    C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    C3 = np.uint64(0x165667B19E3779F9)
+    rows = (
         _ensure_min_parallelism(df, id_col)
-        .select(
-            F.col(id_col).alias("__id"), _shingle_hashes(text_col, n).alias("__h")
-        )
-        # NULL-text docs carry NULL shingles (no dedup identity) — drop
-        # them here; len(None) would also break the batch vectorization
-        .filter(F.col("__h").isNotNull())
+        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .filter(F.col("__t").isNotNull())
     )
 
     def _sig(batches):
-        # mapInArrow, not mapInPandas: the list<int64> shingle column
-        # flattens zero-copy and the output signatures assemble from
-        # one contiguous buffer — the pandas round-trip (object-dtype
-        # cells, a per-document .iloc/.tolist loop each way) was the
-        # measured bottleneck of the 500k signature stage, costing more
-        # than the hashing itself.
         for batch in batches:
             i_id = batch.schema.get_field_index("__id")
-            h = batch.column(batch.schema.get_field_index("__h"))
-            if isinstance(h, pa.ChunkedArray):
-                h = h.combine_chunks()
-            lens = pc.list_value_length(h).to_numpy(zero_copy_only=False)
+            t = batch.column(batch.schema.get_field_index("__t"))
+            if isinstance(t, pa.ChunkedArray):
+                t = t.combine_chunks()
+            toks = pc.split_pattern(t, " ")
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
             n_docs = len(lens)
-            # zeros for empty-shingle docs (shorter than one n-gram)
-            out = np.zeros((n_docs, num_hashes), dtype=np.int64)
-            nonempty = np.nonzero(lens > 0)[0]
-            if len(nonempty):
-                flat = h.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-                offs = np.concatenate(
-                    [[0], np.cumsum(lens[nonempty], dtype=np.int64)]
-                )[:-1].astype(np.intp)
+            flat = toks.flatten()
+            total = len(flat)
+            with np.errstate(over="ignore"):
+                # token hash: first 24 bytes as 3 uint64 words + length
+                w = np.frombuffer(
+                    flat.to_numpy(zero_copy_only=False).astype("S24").tobytes(),
+                    dtype=np.uint64,
+                ).reshape(-1, 3)
+                tlen = pc.binary_length(flat).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.uint64)
+                th = (w[:, 0] * mix_c[0]) ^ (w[:, 1] * C2) ^ (w[:, 2] * C3)
+                th ^= tlen * C2
+                th ^= th >> np.uint64(33)
+                th *= C2
+                th ^= th >> np.uint64(29)
+                # n-gram hash at EVERY token position, neighbors beyond
+                # the doc's end contributing 0 — deterministic under any
+                # batching/partitioning (no cross-doc bleed)
+                starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+                pos = np.arange(total) - np.repeat(starts, lens)
+                doc_len = np.repeat(lens, lens)
+                gram = th * mix_c[0]
+                for k in range(1, n):
+                    # [:total] guards batches with fewer than n tokens
+                    shifted = np.concatenate(
+                        [th[k:], np.zeros(k, dtype=np.uint64)]
+                    )[:total]
+                    gram ^= np.where(pos + k < doc_len, shifted, np.uint64(0)) * mix_c[k]
+                gram ^= gram >> np.uint64(31)
+                gram *= mix_c[0]
+                # each doc owns n-gram positions [start, start+glen):
+                # glen = max(len-(n-1), 1) — tail positions whose
+                # windows run past the doc are excluded (except the
+                # degenerate short-doc single shingle)
+                glens = np.maximum(lens - (n - 1), 1)
+                goffs = np.concatenate([[0], np.cumsum(glens)])[:-1]
+                idx = np.repeat(starts, glens) + (
+                    np.arange(int(glens.sum())) - np.repeat(goffs, glens)
+                )
+                gflat = gram[idx]
                 # one salt at a time: the per-salt product is a
-                # flat-sized temporary (~10MB/batch) instead of the
-                # (num_hashes x flat) matrix — the big-matrix variant
-                # is memory-bandwidth-bound and measured 30x slower
-                mins = np.empty((num_hashes, len(nonempty)), dtype=np.uint64)
-                with np.errstate(over="ignore"):
-                    for s_i in range(num_hashes):
-                        mins[s_i] = np.minimum.reduceat(salts[s_i] * flat, offs)
-                out[nonempty] = mins.T.astype(np.int64)
+                # flat-sized temporary instead of a (num_hashes x flat)
+                # matrix — the big-matrix variant is memory-bandwidth-
+                # bound and measured 30x slower
+                mins = np.empty((num_hashes, n_docs), dtype=np.uint64)
+                roffs = goffs.astype(np.intp)
+                for s_i in range(num_hashes):
+                    mins[s_i] = np.minimum.reduceat(salts[s_i] * gflat, roffs)
+            out = mins.T.astype(np.int64)
             sig_arr = pa.ListArray.from_arrays(
                 pa.array(
                     np.arange(0, (n_docs + 1) * num_hashes, num_hashes),
@@ -688,11 +734,11 @@ def minhash_signature_arrow(
 
     schema = T.StructType(
         [
-            T.StructField("__id", hashed.schema["__id"].dataType, False),
+            T.StructField("__id", rows.schema["__id"].dataType, False),
             T.StructField("__sig", T.ArrayType(T.LongType()), False),
         ]
     )
-    return hashed.mapInArrow(_sig, schema=schema)
+    return rows.mapInArrow(_sig, schema=schema)
 
 
 def _banded_buckets(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
