@@ -778,6 +778,13 @@ def lsh_bucketed_top_k(
     cand = cand.select("query_id", "neighbor_id").dropDuplicates(
         ["query_id", "neighbor_id"]
     )
+    # scoring stays interpreted-expression here ON PURPOSE: per-query
+    # candidates are bounded by bucket occupancy x tables (small by
+    # design), and the Arrow batch-scoring path was MEASURED slower at
+    # this volume (1.28s -> 1.62s at sf0.1) — the python stage
+    # round-trip costs more than the interpreted dots it replaces. The
+    # near-dup verify (_cosine_verify_arrow) is the opposite regime:
+    # its candidate volume is O(n^2/2^planes).
     # norms once per row, not per candidate — see cosine_from_norms
     qv = queries.select(
         F.col(query_id).alias("query_id"),
