@@ -2319,6 +2319,30 @@ def q_stratified_sample_docs(spark, sf_dir):
     )
 
 
+def q_quality_percentile_filter(spark, sf_dir):
+    # Keep the top-40% quality documents PER LANGUAGE — percentile
+    # cutoffs must be per-stratum or high-resource languages eat the
+    # whole budget. cume_dist (not percent_rank) so the kept fraction
+    # is exact under ties; one shuffle on the stratum key, the window
+    # touches per-stratum rows only. Quality is the engine's own
+    # surface score, rounded to 6dp on both engines BEFORE ranking so
+    # tie-handling agrees bit-for-bit.
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", F.round(quality_score("text"), 6).alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("q_rank", F.cume_dist().over(w))
+        .filter(F.col("q_rank") <= 0.4)
+        .select("doc_id", "lang", "quality", F.round("q_rank", 6).alias("q_rank"))
+    )
+
+
 def q_pack_documents(spark, sf_dir):
     # Context packing: assign documents to fixed token-budget packs.
     # Packing is inherently sequential, so it is done per shard (hash
@@ -3418,6 +3442,19 @@ def _oracles() -> dict[str, str | None]:
             "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) "
             "% 100 AS bucket FROM documents)"
         ),
+        "quality_percentile_filter": (
+            "WITH scored AS (SELECT doc_id, lang, "
+            + _quality_expr_sql()
+            + " AS quality FROM (SELECT doc_id, lang, "
+            "CAST(length(text) AS DOUBLE) AS nc, "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS na, "
+            "CAST(len(regexp_extract_all(lower(text), '" + _TOKEN_RE_SQL + "')) AS DOUBLE) AS nt "
+            "FROM documents)) "
+            "SELECT doc_id, lang, quality, ROUND(q_rank, 6) AS q_rank FROM ("
+            "SELECT doc_id, lang, quality, cume_dist() OVER ("
+            "PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS q_rank "
+            "FROM scored) WHERE q_rank <= 0.4"
+        ),
         "chunk_documents": (
             # same sliding-window rule: starts at every multiple of 48
             # while start < n_tokens; single-space split on both engines
@@ -4182,6 +4219,7 @@ def catalog() -> list[CatalogQuery]:
         "pack_documents": q_pack_documents,
         "chunk_documents": q_chunk_documents,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "quality_percentile_filter": q_quality_percentile_filter,
         "containment_pairs": q_containment_pairs,
         "bigram_counts": q_bigram_counts,
         "balance_per_lang": q_balance_per_lang,

@@ -175,3 +175,34 @@ def upsert_parquet(
         # failures, or post-restore above) — never the sole merged copy
         shutil.rmtree(staging, ignore_errors=True)
         raise
+
+
+def write_jsonl(
+    df: DataFrame,
+    out_dir: str,
+    partition_by: Sequence[str] | None = None,
+    compression: str | None = "gzip",
+    shards: int | None = None,
+) -> None:
+    """Export a DataFrame as JSON-Lines shards — the delivery format
+    training pipelines actually consume (one JSON object per line,
+    optionally gzip, optionally hive-partitioned by e.g. lang/split).
+
+    ``shards`` repartitions to a fixed file count per partition value;
+    None keeps the upstream partitioning (at 100 TB you want natural
+    partitioning, not a repartition). Struct/array columns serialize as
+    nested JSON; timestamps as ISO-8601 — Spark's native JSON writer,
+    so the scan-side schema round-trips via ``spark.read.json``.
+    """
+    if shards is not None:
+        df = (
+            df.repartition(shards, *partition_by)
+            if partition_by
+            else df.repartition(shards)
+        )
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(out_dir)

@@ -284,3 +284,37 @@ def test_upsert_parquet_failed_swap_restores_live_table(spark, tmp_path, monkeyp
     assert got == {"k1": "v1"}
     leftovers = [d for d in os.listdir(str(tmp_path)) if "__staging_" in d or "__old_" in d]
     assert leftovers == []
+
+
+def test_write_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    """JSONL export: curated docs shard to gzip JSON-lines partitioned
+    by lang, and read back row-identical through spark.read.json (the
+    consumer side of a training-data delivery)."""
+    from projet_5spar_sparkstreaming_spark.sinks import write_jsonl
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "text", "n_chars")
+        .filter(F.col("doc_id") < 200)
+    )
+    out = str(tmp_path / "export")
+    write_jsonl(docs, out, partition_by=["lang"], shards=2)
+
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(out, "lang=*", "*.json.gz"))
+    assert files, "expected gzip jsonl shards under lang= partitions"
+    langs = {p.split("lang=")[1].split(os.sep)[0] for p in files}
+    assert len(langs) > 1
+
+    back = spark.read.json(out)
+    a = {
+        (r["doc_id"], r["lang"], r["text"], r["n_chars"])
+        for r in docs.collect()
+    }
+    b = {
+        (r["doc_id"], r["lang"], r["text"], int(r["n_chars"]))
+        for r in back.collect()
+    }
+    assert a == b
