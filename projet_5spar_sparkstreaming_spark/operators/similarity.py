@@ -722,6 +722,65 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_incremental_pairs(
+    new_vecs: DataFrame,
+    index_vecs: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int | str = "auto",
+    n_tables: int | str = "auto",
+    dim: int = 64,
+    recall_at: float | None = None,
+    target_recall: float = 0.95,
+    verify: bool = True,
+) -> DataFrame:
+    """Embedding near-dup pairs ACROSS two corpora (id_a from
+    ``new_vecs``, id_b from ``index_vecs``) — the daily-crawl shape for
+    embedding dedup, mirroring ``minhash_incremental_pairs``: the index
+    side is never self-joined, so checking a small new batch against a
+    100 TB embedding index costs one bucketize pass per side plus a
+    bucket equi-join. In production the index side's bucket table is
+    precomputed and stored (hyperplanes are seed-deterministic), so a
+    daily run pays only the new batch's bucketize + the join.
+
+    Auto parameters derive from the INDEX size (the side that drives
+    random-collision volume). Equal ids across sides are legitimate
+    matches (different corpora). ``verify=True`` exact-scores
+    candidates with the Arrow batch kernel and filters by threshold.
+    """
+    if n_planes == "auto" or n_tables == "auto":
+        n_planes, n_tables = auto_lsh_params(
+            index_vecs.count(),
+            dim=dim,
+            recall_at=(
+                recall_at if recall_at is not None else max(threshold, 0.99)
+            ),
+            target_recall=target_recall,
+        )
+    a = _lsh_buckets_arrow(new_vecs, id_col, vec_col, "id_a", n_planes, n_tables, dim)
+    b = _lsh_buckets_arrow(
+        index_vecs, id_col, vec_col, "id_b", n_planes, n_tables, dim
+    )
+    cand = (
+        a.join(b, "__bucket")
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        return cand
+    joined = cand.join(
+        new_vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")),
+        "id_a",
+    ).join(
+        index_vecs.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        ),
+        "id_b",
+    )
+    return _cosine_verify_arrow(joined, threshold)
+
+
 def lsh_bucketed_top_k(
     queries: DataFrame,
     corpus: DataFrame,

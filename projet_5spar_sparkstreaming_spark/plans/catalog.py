@@ -3106,6 +3106,32 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     )
 
 
+def q_incremental_embedding_pairs(spark, sf_dir):
+    # Daily-crawl embedding dedup: a small "new batch" slice checked
+    # against the rest of the corpus as the stored index — the index is
+    # never self-joined (operators/similarity.py:
+    # cosine_incremental_pairs, the embedding twin of
+    # incremental_neardup_pairs). Approximate candidates: rows-only;
+    # cross-set recall + no-false-positive semantics pinned by
+    # tests/test_operators.py::test_cosine_incremental_pairs_cross_set.
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        cosine_incremental_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 20 == 0)
+    index = emb.filter(F.col("vec_id") % 20 != 0)
+    return cosine_incremental_pairs(
+        new,
+        index,
+        "vec_id",
+        "embedding",
+        threshold=0.3,
+        recall_at=0.5,
+        target_recall=0.9,
+    )
+
+
 def q_embedding_pair_sims(spark, sf_dir):
     # Exact pairwise cosine above a loose threshold (sampled a-side).
     # Row norms are materialized on each side BEFORE the pair join
@@ -4213,6 +4239,7 @@ def catalog() -> list[CatalogQuery]:
         "knn_lsh": q_knn_lsh,
         "embedding_pair_sims": q_embedding_pair_sims,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "incremental_embedding_pairs": q_incremental_embedding_pairs,
         "neardup_edit_distance": q_neardup_edit_distance,
         "embedding_pos_norms": q_embedding_pos_norms,
         "doc_split_assignment": q_doc_split_assignment,
@@ -4456,6 +4483,7 @@ def catalog() -> list[CatalogQuery]:
     )
     oracles["multimodal_jpeg_stats"] = None  # JPEG payloads: rows-only
     oracles["embedding_neardup_pairs"] = None  # LSH candidates: rows-only
+    oracles["incremental_embedding_pairs"] = None  # LSH candidates: rows-only
     # The video query has an EXACT SQL oracle: the render is
     # byte = least(255, floor(abs(v)*512)) per embedding value, each
     # value tiled 4x into its frame, so mean_luma over the decoded

@@ -647,3 +647,56 @@ def test_bounded_broadcast_side_guard(spark):
 
     with _pytest.raises(ValueError, match="more than 10 rows"):
         bounded_broadcast_side(df, 10, "x").count()
+
+
+def test_cosine_incremental_pairs_cross_set(spark):
+    """Incremental embedding dedup: planted twins of index vectors in
+    the new batch are found (recall floor), emitted pairs are exact-
+    verified (no false positives), equal ids across sides are
+    legitimate matches, and the index is never self-paired."""
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        cosine_incremental_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    idx_vecs = rng.randn(300, 64)
+    idx_vecs /= np.linalg.norm(idx_vecs, axis=1, keepdims=True)
+    index = spark.createDataFrame(
+        [(i, [float(x) for x in idx_vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    # new batch: 30 perturbed copies of index vectors (planted, incl.
+    # one that REUSES an index id) + 20 fresh vectors
+    new_rows = []
+    for j in range(30):
+        src = j * 7 % 300
+        v = idx_vecs[src] + 0.01 * rng.randn(64)
+        v /= np.linalg.norm(v)
+        nid = src if j == 0 else 1000 + j  # j==0 reuses the index id
+        new_rows.append((nid, src, [float(x) for x in v]))
+    fresh = rng.randn(20, 64)
+    fresh /= np.linalg.norm(fresh, axis=1, keepdims=True)
+    for j in range(20):
+        new_rows.append((2000 + j, None, [float(x) for x in fresh[j]]))
+    new = spark.createDataFrame(
+        [(i, v) for i, _, v in new_rows], "vec_id long, embedding array<double>"
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_incremental_pairs(
+            new, index, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    planted = {(i, s) for i, s, _ in new_rows if s is not None}
+    found = planted & set(got)
+    assert len(found) / len(planted) >= 0.93, (len(found), len(planted))
+    assert (0, 0) in got, "equal id across sides is a legitimate match"
+    # exact verification: every emitted cosine truly clears threshold
+    mat_idx = {i: idx_vecs[i] for i in range(300)}
+    mat_new = {i: np.array(v) for i, _, v in new_rows}
+    for (a, b), c in got.items():
+        true_cos = float(mat_new[a] @ mat_idx[b])
+        assert true_cos >= 0.95 and abs(true_cos - c) < 1e-5

@@ -227,6 +227,16 @@ def run_tier(spark, n: int) -> dict:
     return res
 
 
+def _twin_base_vec(i: int):
+    """Per-id deterministic unit Gaussian — the ONE embedding model
+    shared by gen_twin_embeddings and gen_twin_batch so planted
+    cross-set structure can't silently diverge."""
+    import numpy as np
+
+    v = np.random.RandomState(900_001 + int(i)).randn(DIM)
+    return v / max(np.linalg.norm(v), 1e-300)
+
+
 def gen_twin_embeddings(spark, n: int, path: str) -> None:
     """Near-dup embedding corpus: near-orthogonal unit Gaussians with a
     deterministic 2% of rows (id % 50 == 1) perturbed copies of their
@@ -239,9 +249,7 @@ def gen_twin_embeddings(spark, n: int, path: str) -> None:
     import numpy as np
     import pandas as pd
 
-    def _base(i: int) -> "np.ndarray":
-        v = np.random.RandomState(900_001 + int(i)).randn(DIM)
-        return v / max(np.linalg.norm(v), 1e-300)
+    _base = _twin_base_vec
 
     def _gen(batches):
         for pdf in batches:
@@ -364,6 +372,58 @@ def run_incremental(spark, index_n: int, batch_n: int = 5_000) -> dict:
     return res
 
 
+def gen_twin_batch(spark, n: int, index_n: int, path: str) -> None:
+    """A 'daily crawl' embedding batch: 20% perturbed copies of index
+    vectors (cosine ~0.993, deterministic), rest fresh; ids offset by
+    1M to stay disjoint (id-reuse legitimacy is test-covered)."""
+    import numpy as np
+    import pandas as pd
+
+    def _gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = []
+            for i in ids:
+                rng = np.random.RandomState(7_000_003 + int(i))
+                if rng.random() < 0.2:
+                    v = _twin_base_vec((int(i) * 131) % index_n) + 0.015 * rng.randn(DIM)
+                else:
+                    v = rng.randn(DIM)
+                v /= max(np.linalg.norm(v), 1e-300)
+                out.append(v.astype(float).tolist())
+            yield pd.DataFrame({"vec_id": ids + 1_000_000, "embedding": out})
+
+    (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(_gen, "vec_id long, embedding array<double>")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def run_embed_incremental(spark, index_n: int, batch_n: int = 5_000) -> dict:
+    """Daily-crawl embedding dedup: a 5k new batch (20% planted copies)
+    against the biggest twin-embedding tier as the index — the index is
+    never self-joined; auto LSH params derive from the INDEX size."""
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        cosine_incremental_pairs,
+    )
+
+    index = spark.read.parquet(f"{WORK}/twin_emb_{index_n}")
+    batch_path = f"{WORK}/twin_batch_{batch_n}"
+    res: dict = {"kind": "embed_incremental", "index_n": index_n, "batch_n": batch_n}
+    _, res["gen_batch_s"] = timed(
+        lambda: gen_twin_batch(spark, batch_n, index_n, batch_path)
+    )
+    new = spark.read.parquet(batch_path)
+    pairs = cosine_incremental_pairs(
+        new, index, "vec_id", "embedding", threshold=0.95
+    )
+    res["pairs"], res["incremental_s"] = timed(pairs.count, warm=True)
+    return res
+
+
 def run_curation(spark, n: int) -> dict:
     """The full curation pipeline at the biggest tier — quality/length
     filter -> fingerprint dedup (curate_corpus, the exact definition the
@@ -437,6 +497,9 @@ def main() -> None:
         en = run_embed_neardup(spark, n)
         results.append(en)
         print(json.dumps(en), flush=True)
+    ei = run_embed_incremental(spark, max(tiers))
+    results.append(ei)
+    print(json.dumps(ei), flush=True)
     cur = run_curation(spark, max(tiers))
     results.append(cur)
     print(json.dumps(cur), flush=True)
