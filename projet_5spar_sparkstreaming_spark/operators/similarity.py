@@ -305,6 +305,199 @@ def auto_ivf_centroids(n_rows: int, cap: int = 4096) -> int:
     return max(16, min(cap, round(n_rows**0.5 / 4)))
 
 
+def _train_ivf_centroids(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    n_centroids: int | str,
+    kmeans_iters: int,
+    sample_limit: int,
+):
+    """Spherical k-means coarse quantizer trained on a deterministic
+    driver-side hash sample; returns the (n_centroids, dim) unit-row
+    matrix. The sample is a xxhash64-mod pick, never a storage-order
+    prefix, and is capped at ~64 rows/centroid — collecting 100k
+    vectors and iterating k-means on them driver-side was the measured
+    bottleneck of the 500k stress tier."""
+    import numpy as np
+
+    n_corpus = corpus.count()
+    if n_centroids == "auto":
+        n_centroids = auto_ivf_centroids(n_corpus)
+    ids_vecs = corpus.select(
+        F.col(corpus_id).alias("i"), F.col(corpus_vec).alias("v")
+    )
+    train_limit = min(sample_limit, max(5_000, 64 * n_centroids))
+    if n_corpus > train_limit:
+        # keep ~train_limit rows spread uniformly by id hash; fixed
+        # seed (the hash itself) keeps reruns identical
+        modulus = -(-n_corpus // train_limit)  # ceil
+        ids_vecs = ids_vecs.filter(
+            F.pmod(F.xxhash64(F.col("i")), F.lit(modulus)) == 0
+        )
+    sample = ids_vecs.select("v").limit(train_limit).collect()
+    mat = np.array([r["v"] for r in sample], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    rng = np.random.RandomState(42)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(kmeans_iters):  # spherical k-means on the sample
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-300)
+    return cent
+
+
+def _assign_ivf_cells(
+    corpus: DataFrame, cent, corpus_id: str, corpus_vec: str
+) -> DataFrame:
+    """(__cid, __cell, __cv): each corpus row labeled with its nearest
+    centroid — one distributed Arrow pass, the quantizer closed over."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cell_schema = T.StructType(
+        [
+            T.StructField("__cid", corpus.schema[corpus_id].dataType, False),
+            T.StructField("__cell", T.IntegerType(), False),
+            T.StructField("__cv", corpus.schema[corpus_vec].dataType, False),
+        ]
+    )
+    cidc, cvecc = corpus_id, corpus_vec
+
+    def _assign_corpus(batches):
+        for pdf in batches:
+            m = np.array(list(pdf[cvecc]), dtype=np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            cells = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"__cid": pdf[cidc], "__cell": cells, "__cv": pdf[cvecc]}
+            )
+
+    return _ensure_min_parallelism(corpus.select(cidc, cvecc), cidc).mapInPandas(
+        _assign_corpus, cell_schema
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_path: str,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+    n_centroids: int | str = "auto",
+    kmeans_iters: int = 5,
+    sample_limit: int = 100_000,
+) -> int:
+    """Persist an IVF index: the corpus cell-assigned and written as
+    parquet PARTITIONED BY cell, plus the quantizer in
+    ``_centroids.json``. Build once, query many — ``query_ivf_index``
+    reads only the probed cells via static partition pruning, so a
+    query against a 100 TB index scans n_probe cells, not the corpus.
+    Centroids are seed-deterministic: rebuilds produce the identical
+    index. Returns the cell count."""
+    import json
+    import os
+
+    cent = _train_ivf_centroids(
+        corpus, corpus_id, corpus_vec, n_centroids, kmeans_iters, sample_limit
+    )
+    (
+        _assign_ivf_cells(corpus, cent, corpus_id, corpus_vec)
+        .select(
+            F.col("__cid").alias("id"),
+            F.col("__cell").alias("cell"),
+            F.col("__cv").alias("vec"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(index_path)
+    )
+    with open(os.path.join(index_path, "_centroids.json"), "w") as fh:
+        json.dump({"centroids": cent.tolist()}, fh)
+    return len(cent)
+
+
+def query_ivf_index(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    query_id: str,
+    query_vec: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Approximate top-k against a stored IVF index (``build_ivf_index``):
+    probe cells come from the persisted quantizer; the parquet scan
+    carries an ``isin`` filter on the PARTITION column, so only the
+    probed cells' files are listed and read (plan-asserted in tests).
+    Same result contract (and, with identical build parameters, the
+    identical result) as ``ivf_top_k``."""
+    import json
+    import os
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    with open(os.path.join(index_path, "_centroids.json")) as fh:
+        cent = np.array(json.load(fh)["centroids"], dtype=np.float64)
+
+    q_rows = _collect_bounded(
+        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")),
+        max_query_rows,
+        "queries",
+    )
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-300)
+        for c in np.argsort(-(cent @ qv))[:n_probe]:
+            probe_rows.append((r["qid"], int(c), list(map(float, r["qv"]))))
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id].dataType, False),
+            T.StructField("__cell", T.IntegerType(), False),
+            T.StructField("__qv", queries.schema[query_vec].dataType, False),
+        ]
+    )
+    q_probes = spark.createDataFrame(probe_rows, probe_schema)
+
+    probed_cells = sorted({c for _, c, _ in probe_rows})
+    index = (
+        spark.read.parquet(index_path)
+        # static partition pruning: the listing itself skips cells
+        .filter(F.col("cell").isin(probed_cells))
+        .select(
+            F.col("id").alias("__cid"),
+            F.col("cell").cast("int").alias("__cell"),
+            F.col("vec").alias("__cv"),
+        )
+    )
+    cand = F.broadcast(
+        q_probes.withColumn("__qn", l2_norm("__qv"))
+    ).join(index.withColumn("__cn", l2_norm("__cv")), "__cell")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("__cid"))
+    scored = cand.select(
+        "query_id",
+        F.col("__cid").alias("neighbor_id"),
+        F.round(
+            cosine_from_norms("__qv", "__cv", "__qn", "__cn"), 6
+        ).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+
+
 def ivf_top_k(
     queries: DataFrame,
     corpus: DataFrame,
@@ -340,61 +533,12 @@ def ivf_top_k(
     the corpus grows past n_centroids * target_cell_size.
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
-    n_corpus = corpus.count()
-    if n_centroids == "auto":
-        n_centroids = auto_ivf_centroids(n_corpus)
-    ids_vecs = corpus.select(
-        F.col(corpus_id).alias("i"), F.col(corpus_vec).alias("v")
+    cent = _train_ivf_centroids(
+        corpus, corpus_id, corpus_vec, n_centroids, kmeans_iters, sample_limit
     )
-    # the k-means TRAIN sample needs ~tens of rows per centroid, not
-    # sample_limit: collecting 100k vectors and iterating k-means on
-    # them driver-side was the measured bottleneck of the 500k stress
-    # tier (the sample matmul is O(sample * centroids * dim * iters))
-    train_limit = min(sample_limit, max(5_000, 64 * n_centroids))
-    if n_corpus > train_limit:
-        # keep ~train_limit rows spread uniformly by id hash; fixed
-        # seed (the hash itself) keeps reruns identical
-        modulus = -(-n_corpus // train_limit)  # ceil
-        ids_vecs = ids_vecs.filter(
-            F.pmod(F.xxhash64(F.col("i")), F.lit(modulus)) == 0
-        )
-    sample = ids_vecs.select("v").limit(train_limit).collect()
-    mat = np.array([r["v"] for r in sample], dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
-    rng = np.random.RandomState(42)
-    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
-    for _ in range(kmeans_iters):  # spherical k-means on the sample
-        assign = np.argmax(mat @ cent.T, axis=1)
-        for c in range(len(cent)):
-            members = mat[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cent[c] = m / max(np.linalg.norm(m), 1e-300)
-
-    cell_schema = T.StructType(
-        [
-            T.StructField("__cid", corpus.schema[corpus_id].dataType, False),
-            T.StructField("__cell", T.IntegerType(), False),
-            T.StructField("__cv", corpus.schema[corpus_vec].dataType, False),
-        ]
-    )
-    cidc, cvecc = corpus_id, corpus_vec
-
-    def _assign_corpus(batches):
-        for pdf in batches:
-            m = np.array(list(pdf[cvecc]), dtype=np.float64)
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-            cells = np.argmax(m @ cent.T, axis=1).astype(np.int32)
-            yield pd.DataFrame(
-                {"__cid": pdf[cidc], "__cell": cells, "__cv": pdf[cvecc]}
-            )
-
-    bucketed = _ensure_min_parallelism(corpus.select(cidc, cvecc), cidc).mapInPandas(
-        _assign_corpus, cell_schema
-    )
+    bucketed = _assign_ivf_cells(corpus, cent, corpus_id, corpus_vec)
 
     q_rows = _collect_bounded(
         queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")),

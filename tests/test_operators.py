@@ -700,3 +700,42 @@ def test_cosine_incremental_pairs_cross_set(spark):
     for (a, b), c in got.items():
         true_cos = float(mat_new[a] @ mat_idx[b])
         assert true_cos >= 0.95 and abs(true_cos - c) < 1e-5
+
+
+def test_ivf_index_build_query_matches_inline(spark, sf_dir, tmp_path):
+    """Stored IVF index: build writes cell-partitioned parquet + the
+    quantizer; query probes via a partition filter (files of unprobed
+    cells never read — plan-asserted) and, with the same deterministic
+    build parameters, returns EXACTLY ivf_top_k's result."""
+    import glob
+    import os
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_top_k,
+        query_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    idx = str(tmp_path / "ivf_index")
+    n_cells = build_ivf_index(emb, idx, "vec_id", "embedding", n_centroids=16)
+    assert n_cells == 16
+    assert glob.glob(os.path.join(idx, "cell=*")), "cell partitions on disk"
+
+    via_index = query_ivf_index(
+        spark, queries, idx, "vec_id", "embedding", k=5, n_probe=4
+    )
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    # static pruning: the probed-cell INSET reaches the partition
+    # filter, so unprobed cells' files are skipped at listing time
+    i = plan.find("PartitionFilters: [")
+    assert i != -1 and "INSET" in plan[i : plan.find("]", i)]
+
+    inline = ivf_top_k(
+        queries, emb, "vec_id", "vec_id", k=5, n_centroids=16, n_probe=4
+    )
+    a = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in via_index.collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in inline.collect()}
+    assert a == b and a
