@@ -739,3 +739,46 @@ def test_ivf_index_build_query_matches_inline(spark, sf_dir, tmp_path):
     a = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in via_index.collect()}
     b = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in inline.collect()}
     assert a == b and a
+
+
+def test_minhash_index_build_query_matches_incremental(spark, tmp_path):
+    """Stored minhash index: query-against-index returns EXACTLY what
+    minhash_incremental_pairs computes from raw text (same signatures,
+    same banding), and a parameter mismatch fails loudly."""
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_incremental_pairs,
+        minhash_query_index,
+    )
+
+    def _doc(i, seed, mutate=0):
+        toks = [f"tok{seed}_{j}" for j in range(30)]
+        for m in range(mutate):
+            toks[m] = f"mut{i}_{m}"
+        return (i, " ".join(toks))
+
+    index_docs = spark.createDataFrame(
+        [_doc(i, f"s{i}") for i in range(50)], "doc_id long, text string"
+    )
+    new_docs = spark.createDataFrame(
+        [_doc(100 + i, f"s{i}", mutate=1) for i in range(10)]
+        + [_doc(200 + i, f"fresh{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(index_docs, idx, "doc_id", "text")
+
+    via_index = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_query_index(
+            new_docs, idx, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    inline = {
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 6))
+        for r in minhash_incremental_pairs(
+            new_docs, index_docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert via_index == inline and len(via_index) >= 10
