@@ -5,6 +5,7 @@ from projet_5spar_sparkstreaming_spark.streaming.windows import (
 )
 from projet_5spar_sparkstreaming_spark.streaming.dedup import (
     stream_dedup,
+    stream_embed_neardup_ingest,
     stream_neardup_ingest,
 )
 from projet_5spar_sparkstreaming_spark.streaming.stateful import stream_first_seen
@@ -22,6 +23,7 @@ __all__ = [
     "sliding_window_counts",
     "windowed_counts",
     "stream_dedup",
+    "stream_embed_neardup_ingest",
     "stream_neardup_ingest",
     "stream_first_seen",
     "incremental_rollup_sink",

@@ -109,3 +109,70 @@ def stream_neardup_ingest(
 
     os.makedirs(out_dir, exist_ok=True)
     return foreach_batch_sink(docs_stream, _process, checkpoint_dir, trigger)
+
+
+def stream_embed_neardup_ingest(
+    vecs_stream: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    trigger: dict | None = None,
+):
+    """Embedding twin of ``stream_neardup_ingest``: each micro-batch of
+    vectors checks against the accumulated index with sign-LSH
+    candidates + exact-cosine verify (``cosine_incremental_pairs`` —
+    the index side is never self-joined), drops near-dup arrivals
+    (cross-batch, or a smaller-id twin within the batch), and appends
+    EVERYTHING seen to the index. Same admission rule, same
+    idempotent batch-id subdir writes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        cosine_incremental_pairs,
+        cosine_near_dup_pairs,
+    )
+    from projet_5spar_sparkstreaming_spark.streaming.sinks import foreach_batch_sink
+
+    spark_ref = vecs_stream.sparkSession
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(id_col, vec_col).cache()
+        drop_cross = None
+        if os.path.isdir(index_dir) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(index_dir)
+            for f in fs
+        ):
+            index = spark_ref.read.parquet(index_dir)
+            drop_cross = (
+                cosine_incremental_pairs(
+                    batch, index, id_col, vec_col, threshold=threshold
+                )
+                .select(F.col("id_a").alias(id_col))
+                .distinct()
+            )
+        drop_within = (
+            cosine_near_dup_pairs(batch, id_col, vec_col, threshold=threshold)
+            .select(F.col("id_b").alias(id_col))  # id_a < id_b: keep min id
+            .distinct()
+        )
+        dropped = (
+            drop_within if drop_cross is None
+            else drop_cross.unionByName(drop_within).distinct()
+        )
+        survivors = batch.join(dropped, id_col, "left_anti")
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        batch.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch_id={batch_id}")
+        )
+        batch.unpersist()
+
+    os.makedirs(out_dir, exist_ok=True)
+    return foreach_batch_sink(vecs_stream, _process, checkpoint_dir, trigger)

@@ -518,3 +518,65 @@ def test_stream_neardup_ingest_guard(spark, tmp_path):
     run()  # restart: checkpoint says no new files -> nothing changes
     again = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert again == [0, 2, 12]
+
+
+def test_stream_embed_neardup_ingest_guard(spark, tmp_path):
+    """Embedding streaming ingest guard: cross-batch twins and
+    within-batch larger-id twins dropped; twins of DROPPED vectors
+    still dropped; restart replays nothing."""
+    import json as _json
+    import os
+    import time
+
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.streaming.dedup import (
+        stream_embed_neardup_ingest,
+    )
+
+    rng = np.random.RandomState(9)
+
+    def _vec(i, base=None, mutate=0.0):
+        v = (base if base is not None else rng.randn(64)) + mutate * rng.randn(64)
+        v = v / np.linalg.norm(v)
+        return {"vec_id": i, "embedding": [float(x) for x in v]}
+
+    v0 = _vec(0)
+    b0 = [v0, _vec(1, np.array(v0["embedding"]), 0.01), _vec(2)]
+    b1 = [
+        _vec(10, np.array(v0["embedding"]), 0.012),           # cross-batch twin
+        _vec(11, np.array(b0[1]["embedding"]), 0.01),         # twin of DROPPED
+        _vec(12),                                             # fresh
+    ]
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(_json.dumps(d) for d in b0))
+    (src / "b1.json").write_text("\n".join(_json.dumps(d) for d in b1))
+    now = time.time()
+    os.utime(src / "b0.json", (now - 60, now - 60))
+    os.utime(src / "b1.json", (now, now))
+
+    out = str(tmp_path / "vout")
+    idx = str(tmp_path / "vidx")
+    chk = str(tmp_path / "vchk")
+
+    def run():
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        q = stream_embed_neardup_ingest(
+            stream, out, idx, chk, trigger={"availableNow": True}
+        )
+        q.awaitTermination(180)
+
+    run()
+    kept = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [0, 2, 12]
+    indexed = sorted(r["vec_id"] for r in spark.read.parquet(idx).collect())
+    assert indexed == [0, 1, 2, 10, 11, 12]
+
+    run()
+    again = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
+    assert again == [0, 2, 12]
