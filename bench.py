@@ -69,6 +69,14 @@ BENCH_QUERIES = [
     "embedding_pair_sims",
     "embedding_neardup_pairs",
     "duplicate_span_pairs",
+    # round-5 additions: chunker, stratified/quality sampling, cross-set
+    # embedding dedup. (The *_containment contract queries are NOT
+    # benched: their relaxed-threshold exact join is a correctness
+    # gate, deliberately heavier than any production path.)
+    "chunk_documents",
+    "stratified_sample_docs",
+    "quality_percentile_filter",
+    "incremental_embedding_pairs",
 ]
 
 

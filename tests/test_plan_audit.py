@@ -53,7 +53,8 @@ def _exchange_blocks(plan: str) -> list[str]:
 
 
 @pytest.mark.parametrize(
-    "query", ["minhash_pairs", "embedding_neardup_pairs"]
+    "query",
+    ["minhash_pairs", "embedding_neardup_pairs", "incremental_embedding_pairs"],
 )
 def test_banding_shuffles_carry_ids_not_payloads(spark, query):
     """The shuffle-bytes property behind the 500k-doc fix (SCALE.md):
