@@ -616,6 +616,62 @@ def _ensure_min_parallelism(df: DataFrame, key_col: str) -> DataFrame:
     return df
 
 
+def _arrow_ngram_hashes(t, n: int):
+    """Per-document n-gram hashes for a pyarrow StringArray of texts —
+    the shared text front-end of the Arrow signature kernels (minhash,
+    simhash): whitespace split (pyarrow C), vectorized 64-bit token
+    mixing (first 24 bytes + byte length), windowed n-gram combine with
+    zero-padded neighbors at document ends (deterministic under any
+    batching — no cross-doc bleed).
+
+    Returns ``(gflat, glens, goffs)``: the concatenated uint64 n-gram
+    hashes, per-doc counts (``max(len-(n-1), 1)`` — short docs one
+    zero-padded shingle, the empty string one ''-token shingle), and
+    per-doc start offsets.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    mix_c = np.array(
+        [(0x9E3779B97F4A7C15 * (2 * k + 1)) & 0xFFFFFFFFFFFFFFFF for k in range(n)],
+        dtype=np.uint64,
+    )
+    C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    C3 = np.uint64(0x165667B19E3779F9)
+    toks = pc.split_pattern(t, " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    total = len(flat)
+    with np.errstate(over="ignore"):
+        w = np.frombuffer(
+            flat.to_numpy(zero_copy_only=False).astype("S24").tobytes(),
+            dtype=np.uint64,
+        ).reshape(-1, 3)
+        tlen = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(np.uint64)
+        th = (w[:, 0] * mix_c[0]) ^ (w[:, 1] * C2) ^ (w[:, 2] * C3)
+        th ^= tlen * C2
+        th ^= th >> np.uint64(33)
+        th *= C2
+        th ^= th >> np.uint64(29)
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        pos = np.arange(total) - np.repeat(starts, lens)
+        doc_len = np.repeat(lens, lens)
+        gram = th * mix_c[0]
+        for k in range(1, n):
+            # [:total] guards batches with fewer than n tokens
+            shifted = np.concatenate([th[k:], np.zeros(k, dtype=np.uint64)])[:total]
+            gram ^= np.where(pos + k < doc_len, shifted, np.uint64(0)) * mix_c[k]
+        gram ^= gram >> np.uint64(31)
+        gram *= mix_c[0]
+        glens = np.maximum(lens - (n - 1), 1)
+        goffs = np.concatenate([[0], np.cumsum(glens)])[:-1]
+        idx = np.repeat(starts, glens) + (
+            np.arange(int(glens.sum())) - np.repeat(goffs, glens)
+        )
+        gflat = gram[idx]
+    return gflat, glens, goffs
+
+
 def minhash_signature_arrow(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
@@ -647,13 +703,6 @@ def minhash_signature_arrow(
     from pyspark.sql import types as T
 
     salts = np.array(_HASH_SALTS[:num_hashes], dtype=np.uint64) * np.uint64(2) + np.uint64(1)
-    # fixed odd mixing constants per n-gram position (splitmix64 steps)
-    mix_c = np.array(
-        [(0x9E3779B97F4A7C15 * (2 * k + 1)) & 0xFFFFFFFFFFFFFFFF for k in range(n)],
-        dtype=np.uint64,
-    )
-    C2 = np.uint64(0xC2B2AE3D27D4EB4F)
-    C3 = np.uint64(0x165667B19E3779F9)
     rows = (
         _ensure_min_parallelism(df, id_col)
         .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
@@ -666,52 +715,9 @@ def minhash_signature_arrow(
             t = batch.column(batch.schema.get_field_index("__t"))
             if isinstance(t, pa.ChunkedArray):
                 t = t.combine_chunks()
-            toks = pc.split_pattern(t, " ")
-            lens = pc.list_value_length(toks).to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
-            n_docs = len(lens)
-            flat = toks.flatten()
-            total = len(flat)
+            gflat, glens, goffs = _arrow_ngram_hashes(t, n)
+            n_docs = len(glens)
             with np.errstate(over="ignore"):
-                # token hash: first 24 bytes as 3 uint64 words + length
-                w = np.frombuffer(
-                    flat.to_numpy(zero_copy_only=False).astype("S24").tobytes(),
-                    dtype=np.uint64,
-                ).reshape(-1, 3)
-                tlen = pc.binary_length(flat).to_numpy(
-                    zero_copy_only=False
-                ).astype(np.uint64)
-                th = (w[:, 0] * mix_c[0]) ^ (w[:, 1] * C2) ^ (w[:, 2] * C3)
-                th ^= tlen * C2
-                th ^= th >> np.uint64(33)
-                th *= C2
-                th ^= th >> np.uint64(29)
-                # n-gram hash at EVERY token position, neighbors beyond
-                # the doc's end contributing 0 — deterministic under any
-                # batching/partitioning (no cross-doc bleed)
-                starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
-                pos = np.arange(total) - np.repeat(starts, lens)
-                doc_len = np.repeat(lens, lens)
-                gram = th * mix_c[0]
-                for k in range(1, n):
-                    # [:total] guards batches with fewer than n tokens
-                    shifted = np.concatenate(
-                        [th[k:], np.zeros(k, dtype=np.uint64)]
-                    )[:total]
-                    gram ^= np.where(pos + k < doc_len, shifted, np.uint64(0)) * mix_c[k]
-                gram ^= gram >> np.uint64(31)
-                gram *= mix_c[0]
-                # each doc owns n-gram positions [start, start+glen):
-                # glen = max(len-(n-1), 1) — tail positions whose
-                # windows run past the doc are excluded (except the
-                # degenerate short-doc single shingle)
-                glens = np.maximum(lens - (n - 1), 1)
-                goffs = np.concatenate([[0], np.cumsum(glens)])[:-1]
-                idx = np.repeat(starts, glens) + (
-                    np.arange(int(glens.sum())) - np.repeat(goffs, glens)
-                )
-                gflat = gram[idx]
                 # one salt at a time: the per-salt product is a
                 # flat-sized temporary instead of a (num_hashes x flat)
                 # matrix — the big-matrix variant is memory-bandwidth-
@@ -1107,54 +1113,70 @@ def simhash64(col: Column | str, n: int = 1) -> Column:
 
 
 def simhash64_arrow(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame:
-    """(id, __sh simhash) via Arrow-batched numpy — identical bits to
-    ``simhash64`` (bit set iff strictly more shingle hashes have it set
-    than clear), but the 64-counter accumulation is vectorized instead
-    of ~64 interpreted lambda ops per shingle. Shingle hashing stays
-    JVM-side.
+    """(id, __sh simhash) computed in ONE Arrow kernel from raw text —
+    same text front-end as the minhash kernel (``_arrow_ngram_hashes``;
+    the hash FAMILY is internal: simhash bits are compared by hamming
+    distance, so any deterministic 64-bit shingle family carries the
+    same cosine-of-shingle-sets estimate). Unlike minhash, simhash is
+    NOT multiset-invariant — bit counters weigh repeated shingles — so
+    the kernel dedups per document (lexsort + boundary diff, no Python
+    loop) to keep ``simhash64``'s distinct-shingle semantics: bit set
+    iff strictly more DISTINCT shingle hashes have it set than clear.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import types as T
 
-    hashed = (
+    rows = (
         _ensure_min_parallelism(df, id_col)
-        .select(
-            F.col(id_col).alias("__id"), _shingle_hashes(text_col, n).alias("__h")
-        )
-        # NULL-text docs carry NULL shingles — drop (see minhash twin)
-        .filter(F.col("__h").isNotNull())
+        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        # NULL-text docs carry no shingles — drop (see minhash twin)
+        .filter(F.col("__t").isNotNull())
     )
     schema = T.StructType(
         [
-            T.StructField("__id", hashed.schema["__id"].dataType, False),
+            T.StructField("__id", rows.schema["__id"].dataType, False),
             T.StructField("__sh", T.LongType(), False),
         ]
     )
 
     def _sig(batches):
-        shifts = np.arange(64, dtype=np.uint64)
-        for pdf in batches:
-            lens = pdf["__h"].map(len).to_numpy()
-            out = np.zeros(len(lens), dtype=np.int64)
-            nonempty = np.nonzero(lens > 0)[0]
-            if len(nonempty):
-                flat = np.concatenate(
-                    [np.asarray(pdf["__h"].iloc[i], dtype=np.int64) for i in nonempty]
-                ).astype(np.uint64)
-                offs = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]]).astype(
+        for batch in batches:
+            i_id = batch.schema.get_field_index("__id")
+            t = batch.column(batch.schema.get_field_index("__t"))
+            if isinstance(t, pa.ChunkedArray):
+                t = t.combine_chunks()
+            gflat, glens, _ = _arrow_ngram_hashes(t, n)
+            n_docs = len(glens)
+            out = np.zeros(n_docs, dtype=np.int64)
+            if n_docs:
+                # per-doc distinct: sort (doc, hash), keep boundaries
+                doc_idx = np.repeat(
+                    np.arange(n_docs, dtype=np.int64), glens
+                )
+                order = np.lexsort((gflat, doc_idx))
+                gs, ds = gflat[order], doc_idx[order]
+                keep = np.ones(len(gs), dtype=bool)
+                keep[1:] = (gs[1:] != gs[:-1]) | (ds[1:] != ds[:-1])
+                uflat, udoc = gs[keep], ds[keep]
+                ulens = np.bincount(udoc, minlength=n_docs)
+                uoffs = np.concatenate([[0], np.cumsum(ulens)])[:-1].astype(
                     np.intp
                 )
-                bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
-                    np.int32
-                )  # (N, 64)
-                ones = np.add.reduceat(bits, offs, axis=0)  # (docs, 64)
-                signs = (2 * ones > lens[nonempty][:, None]).astype(np.uint64)
-                packed = np.bitwise_or.reduce(signs << shifts[None, :], axis=1)
-                out[nonempty] = packed.view(np.int64)
-            yield pd.DataFrame({"__id": pdf["__id"], "__sh": out})
+                sh = np.zeros(n_docs, dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    for b in range(64):
+                        ones = np.add.reduceat(
+                            (uflat >> np.uint64(b)) & np.uint64(1), uoffs
+                        )
+                        sh |= ((2 * ones > ulens).astype(np.uint64)) << np.uint64(b)
+                out = sh.view(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i_id), pa.array(out, type=pa.int64())],
+                ["__id", "__sh"],
+            )
 
-    return hashed.mapInPandas(_sig, schema=schema)
+    return rows.mapInArrow(_sig, schema=schema)
 
 
 def simhash_near_dup_pairs(
@@ -1172,6 +1194,12 @@ def simhash_near_dup_pairs(
     pigeonhole, any pair within hamming distance < blocks shares at
     least one exact block. Equi-join per block, then verify true
     hamming distance with bit_count(xor) <= max_hamming.
+
+    The two ``signature_impl``s share distinct-shingle semantics but
+    use different (internal) 64-bit shingle hash families — the arrow
+    kernel's byte-mix vs the expression path's xxhash64 — so their
+    hamming distances and emitted pairs differ slightly; pick one per
+    corpus (a simhash index is only comparable to itself).
     """
     bits_per_block = 64 // blocks
     mask = (1 << bits_per_block) - 1
