@@ -424,6 +424,55 @@ def run_embed_incremental(spark, index_n: int, batch_n: int = 5_000) -> dict:
     return res
 
 
+def run_decontamination(spark, n: int, bench_n: int = 1_000) -> dict:
+    """13-gram benchmark decontamination against the biggest tier: a
+    1k-doc synthetic benchmark (half verbatim copies of corpus docs,
+    half fresh) scanned against the n-doc training corpus. The train
+    side reduces to its distinct 13-gram set via partial-aggregated
+    groupBy — the 100 TB-side cost is ONE shingle scan + one keyed
+    shuffle of distinct shingles, measured here end to end cold."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from projet_5spar_sparkstreaming_spark.operators.dedup import ngram_overlap_join
+
+    train = spark.read.parquet(f"{WORK}/docs_{n}")
+    res: dict = {"kind": "decontamination", "n": n, "bench_n": bench_n}
+
+    def _gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            texts = []
+            for i in ids:
+                if int(i) % 2 == 0:
+                    # verbatim corpus copy -> contaminated. (~2% of
+                    # targets are near-dup SUCCESSORS whose stored text
+                    # is a perturbed copy of their predecessor, not
+                    # _base_tokens — those stay correctly UNflagged, so
+                    # expect ~0.98 * bench_n/2 flags, e.g. 490/500)
+                    toks = _base_tokens((int(i) * 13) % n)
+                else:  # fresh doc -> clean
+                    rng = np.random.RandomState(8_000_009 + int(i))
+                    toks = rng.randint(0, VOCAB, DOC_TOKENS)
+                texts.append(" ".join(f"w{t}" for t in toks))
+            yield pd.DataFrame({"doc_id": ids + 5_000_000, "text": texts})
+
+    bench = (
+        spark.range(bench_n)
+        .repartition(8)
+        .mapInPandas(_gen, "doc_id long, text string")
+    ).cache()
+    bench.count()
+    out = ngram_overlap_join(bench, train, "doc_id", "text", n=13).cache()
+    res["rows"], res["decontaminate_s"] = timed(out.count)
+    res["flagged"] = out.filter(F.col("flagged")).count()
+    out.unpersist()
+    bench.unpersist()
+    return res
+
+
 def run_curation(spark, n: int) -> dict:
     """The full curation pipeline at the biggest tier — quality/length
     filter -> fingerprint dedup (curate_corpus, the exact definition the
@@ -500,6 +549,9 @@ def main() -> None:
     ei = run_embed_incremental(spark, max(tiers))
     results.append(ei)
     print(json.dumps(ei), flush=True)
+    de = run_decontamination(spark, max(tiers))
+    results.append(de)
+    print(json.dumps(de), flush=True)
     cur = run_curation(spark, max(tiers))
     results.append(cur)
     print(json.dumps(cur), flush=True)
