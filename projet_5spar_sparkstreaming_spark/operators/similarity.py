@@ -183,6 +183,8 @@ def brute_force_top_k_arrow(
 
     def _score(batches):
         for pdf in batches:
+            if not len(pdf):  # empty batch: axis-1 ops are ill-defined
+                continue
             c_ids = pdf[cid].to_numpy()
             c_mat = np.array(list(pdf[cvec]), dtype=np.float64)
             c_mat /= np.maximum(np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-300)
@@ -370,6 +372,8 @@ def _assign_ivf_cells(
 
     def _assign_corpus(batches):
         for pdf in batches:
+            if not len(pdf):  # empty batch: axis-1 ops are ill-defined
+                continue
             m = np.array(list(pdf[cvecc]), dtype=np.float64)
             m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
             cells = np.argmax(m @ cent.T, axis=1).astype(np.int32)
@@ -642,6 +646,8 @@ def _lsh_buckets_arrow(
 
     def _bucketize(batches):
         for pdf in batches:
+            if not len(pdf):  # empty batch: axis-1 ops are ill-defined
+                continue
             m = np.array(list(pdf[vecc]), dtype=np.float64)  # (N, dim)
             bits = (m @ planes.T) > 0  # (N, tables*planes)
             per_table = bits.reshape(len(m), n_tables, n_planes)
@@ -679,6 +685,8 @@ def _cosine_verify_arrow(joined: DataFrame, threshold: float) -> DataFrame:
 
     def _score(batches):
         for batch in batches:
+            if batch.num_rows == 0:  # reshape(0, -1) is ill-defined
+                continue
             names = batch.schema.names
             cols = {n: batch.column(i) for i, n in enumerate(names)}
 
