@@ -1269,8 +1269,8 @@ def build_minhash_index(
     batch plus a bucket equi-join against the stored bands, never a
     re-signature of the 100 TB index. Layout: ``sigs/`` (id, sig) and
     ``bands/`` (id, band, bucket) parquet plus ``_meta.json`` pinning
-    (n, num_hashes, bands) so a query with mismatched parameters fails
-    loudly instead of silently joining incompatible buckets."""
+    (n, num_hashes, bands): queries read their parameters FROM the
+    index, so mismatched-parameter joins cannot happen by construction."""
     import json
     import os
 

@@ -188,9 +188,10 @@ def write_jsonl(
     training pipelines actually consume (one JSON object per line,
     optionally gzip, optionally hive-partitioned by e.g. lang/split).
 
-    ``shards`` repartitions to a fixed file count per partition value;
-    None keeps the upstream partitioning (at 100 TB you want natural
-    partitioning, not a repartition). Struct/array columns serialize as
+    ``shards`` hash-repartitions to bound the TOTAL shard count (each
+    hive partition value then gets at most that many files); None keeps
+    the upstream partitioning (at 100 TB you want natural partitioning,
+    not a repartition). Struct/array columns serialize as
     nested JSON; timestamps as ISO-8601 — Spark's native JSON writer,
     so the scan-side schema round-trips via ``spark.read.json``.
     """
