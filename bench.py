@@ -9,12 +9,20 @@ fact-fact-dim joins, window analytics, time rollups, set/dedup ops,
 and vector search. Each timed query runs the full plan to completion
 via a count-style action (results are not collected to the driver —
 we measure engine throughput, not py4j transfer).
+
+Noise control: one unrecorded warm pass (JIT/codegen/parquet-footer
+caches), then THREE recorded passes; per query we report the MEDIAN
+(the headline total is the sum of medians) plus the min-max spread —
+a single-run bench cannot distinguish a 1.2x regression from
+environment noise, and round-over-round comparisons kept flagging
+phantom drift on sub-second queries.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -79,79 +87,151 @@ BENCH_QUERIES = [
     "incremental_embedding_pairs",
 ]
 
+RECORDED_PASSES = 3
 
-STREAM_BENCHES = ("stream_minute_counts", "stream_curate_corpus")
+
+def _split_copy(spark, sf_dir: str, table: str, n_files: int, base: str) -> str:
+    """Rewrite a source table into ``n_files`` parquet files so the
+    file stream (maxFilesPerTrigger=1) replays it as ``n_files``
+    micro-batches — single-file tables would otherwise collapse into
+    one batch and the 'throughput' number would be pure fixed cost."""
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_table
+
+    path = os.path.join(base, table)
+    read_parquet_table(spark, sf_dir, table).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def _steady_state(progress: list) -> dict:
+    """Per-batch trigger durations + steady-state rows/s EXCLUDING the
+    first micro-batch (stream startup + code paths warming are fixed
+    cost, not throughput)."""
+    rows = [int(p["numInputRows"]) for p in progress]
+    secs = [float(p["durationMs"]["triggerExecution"]) / 1000.0 for p in progress]
+    steady_rows = sum(rows[1:])
+    steady_sec = sum(secs[1:])
+    return {
+        "rows_in": sum(rows),
+        "micro_batches": len(progress),
+        "per_batch_sec": [round(s, 3) for s in secs],
+        "rows_per_s_steady": (
+            round(steady_rows / steady_sec) if steady_sec > 0 else None
+        ),
+    }
 
 
 def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     """Throughput of the stateful streaming paths (the batch section
-    never exercises them): replay the sf tables through REAL
-    Structured Streaming queries to completion and report wall time,
-    input rows/s and micro-batch count from the engine's own progress
-    records. Regressions in the stateful/windowed path show up here."""
+    never exercises them), measured over >= 5 REAL micro-batches each:
+    windowed aggregation, the curation pipeline, and both index-backed
+    near-dup ingest guards (whose per-batch times must stay flat as
+    the index grows — the O(index)-per-batch recompute regression
+    would show here immediately)."""
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
     from projet_5spar_sparkstreaming_spark.plans.corpus import curate_corpus_stream
-    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
+    from projet_5spar_sparkstreaming_spark.streaming.dedup import (
+        stream_embed_neardup_ingest,
+        stream_neardup_ingest,
+    )
+
+    base = tempfile.mkdtemp(prefix="bench_stream_")
+    events_path = _split_copy(spark, sf_dir, "events", 8, base)
+    docs_path = _split_copy(spark, sf_dir, "documents", 6, base)
+    emb_path = _split_copy(spark, sf_dir, "embeddings", 6, base)
+
+    def _file_stream(path: str):
+        return (
+            spark.readStream.schema(spark.read.parquet(path).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
 
     def _minute_counts():
-        stream = read_parquet_stream(spark, sf_dir, "events")
-        agg = stream.groupBy(F.window("ts", "1 minute")).agg(
-            F.count("*").alias("cnt")
+        agg = (
+            _file_stream(events_path)
+            .groupBy(F.window("ts", "1 minute"))
+            .agg(F.count("*").alias("cnt"))
         )
-        return agg.writeStream.format("memory").queryName(
-            "bench_stream_minutes"
-        ).outputMode("complete")
-
-    def _curate():
-        docs = read_parquet_stream(spark, sf_dir, "documents")
-        curated = curate_corpus_stream(
-            docs, min_quality=0.59, min_tokens=10, max_tokens=100_000
-        ).select("doc_id", "quality", "n_tokens")
-        return curated.writeStream.format("memory").queryName(
-            "bench_stream_curate"
-        ).outputMode("append")
-
-    out: dict[str, dict] = {}
-    for name, builder in (
-        ("stream_minute_counts", _minute_counts),
-        ("stream_curate_corpus", _curate),
-    ):
-        chk = tempfile.mkdtemp(prefix=f"chk_bench_{name}_")
-        t0 = time.time()
-        q = (
-            builder()
-            .option("checkpointLocation", chk)
+        return (
+            agg.writeStream.format("memory")
+            .queryName("bench_stream_minutes")
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_b_", dir=base))
             .trigger(availableNow=True)
             .start()
         )
+
+    def _curate():
+        curated = curate_corpus_stream(
+            _file_stream(docs_path),
+            min_quality=0.59,
+            min_tokens=10,
+            max_tokens=100_000,
+        ).select("doc_id", "quality", "n_tokens")
+        return (
+            curated.writeStream.format("memory")
+            .queryName("bench_stream_curate")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_b_", dir=base))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def _neardup_ingest():
+        return stream_neardup_ingest(
+            _file_stream(docs_path).select("doc_id", "text"),
+            os.path.join(base, "nd_out"),
+            os.path.join(base, "nd_idx"),
+            tempfile.mkdtemp(prefix="chk_b_", dir=base),
+            trigger={"availableNow": True},
+        )
+
+    def _embed_ingest():
+        return stream_embed_neardup_ingest(
+            _file_stream(emb_path).select("vec_id", "embedding"),
+            os.path.join(base, "emb_out"),
+            os.path.join(base, "emb_idx"),
+            tempfile.mkdtemp(prefix="chk_b_", dir=base),
+            trigger={"availableNow": True},
+            expected_index_rows=2_000_000,
+        )
+
+    out: dict[str, dict] = {}
+    for name, starter in (
+        ("stream_minute_counts", _minute_counts),
+        ("stream_curate_corpus", _curate),
+        ("stream_neardup_ingest", _neardup_ingest),
+        ("stream_embed_neardup_ingest", _embed_ingest),
+    ):
+        t0 = time.time()
+        q = starter()
         q.awaitTermination(600)
         dt = time.time() - t0
-        progress = list(q.recentProgress)
-        rows_in = sum(int(p["numInputRows"]) for p in progress)
-        out[name] = {
-            "sec": round(dt, 3),
-            "rows_in": rows_in,
-            "rows_per_s": round(rows_in / dt) if dt > 0 else None,
-            "micro_batches": len(progress),
-        }
+        stats = _steady_state(list(q.recentProgress))
+        stats["sec"] = round(dt, 3)
+        out[name] = stats
+    shutil.rmtree(base, ignore_errors=True)
     return out
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from projet_5spar_sparkstreaming_spark.session import get_spark
     from projet_5spar_sparkstreaming_spark.plans.catalog import catalog
+    from projet_5spar_sparkstreaming_spark.session import get_spark
 
     spark = get_spark("bench")
     cat = {q.name: q for q in catalog()}
 
-    # Warm run (unrecorded): JIT/codegen/parquet-footer caches, then a
-    # steady-state timed run. Engine throughput, not JVM warmup noise.
-    timings: dict[str, float] = {}
-    for record in (False, True):
+    # Pass 0 (unrecorded): JIT/codegen/parquet-footer warmup. Passes
+    # 1..RECORDED_PASSES: timed; per query keep the median + spread.
+    runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for record in [False] + [True] * RECORDED_PASSES:
         for name in BENCH_QUERIES:
             q = cat[name]
             t0 = time.time()
@@ -159,7 +239,12 @@ def main() -> None:
             # full execution without driver-side row transfer
             df.write.format("noop").mode("overwrite").save()
             if record:
-                timings[name] = round(time.time() - t0, 3)
+                runs[name].append(time.time() - t0)
+
+    timings = {n: round(statistics.median(ts), 3) for n, ts in runs.items()}
+    spread = {
+        n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in runs.items()
+    }
 
     streaming = bench_streaming(spark, sf_dir)
 
@@ -171,10 +256,13 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                # median of RECORDED_PASSES runs per query
                 "queries": timings,
+                "runs_per_query": RECORDED_PASSES,
+                "spread": spread,
                 # separate key: keeps the headline total like-for-like
                 # across rounds while making stateful-path regressions
-                # visible (rows/s + micro-batch count per stream)
+                # visible (steady-state rows/s + per-batch times)
                 "streaming": streaming,
                 "sf": float(sf) if sf else None,
             }

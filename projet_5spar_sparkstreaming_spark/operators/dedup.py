@@ -630,6 +630,7 @@ def _arrow_ngram_hashes(t, n: int):
     per-doc start offsets.
     """
     import numpy as np
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     mix_c = np.array(
@@ -640,7 +641,10 @@ def _arrow_ngram_hashes(t, n: int):
     C3 = np.uint64(0x165667B19E3779F9)
     toks = pc.split_pattern(t, " ")
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = toks.flatten()
+    # cast to binary BEFORE to_numpy: str objects would be ASCII-encoded
+    # by astype('S24') and raise UnicodeEncodeError on any non-ASCII
+    # token; bytes objects pass through with true byte truncate/zero-pad
+    flat = toks.flatten().cast(pa.binary())
     total = len(flat)
     with np.errstate(over="ignore"):
         w = np.frombuffer(
@@ -831,23 +835,7 @@ def minhash_incremental_pairs(
         return cand
     sa = sig_new.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__siga"))
     sb = sig_idx.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sigb"))
-    est = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.size(
-                F.filter(
-                    F.zip_with("__siga", "__sigb", lambda x, y: (x == y).cast("int")),
-                    lambda v: v == 1,
-                )
-            ).cast("double")
-            / F.lit(float(num_hashes)),
-        )
-    )
-    return est.filter(F.col("est_jaccard") >= threshold).select(
-        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
-    )
+    return _estimated_jaccard_pairs(cand, sa, sb, num_hashes, threshold)
 
 
 def minhash_near_dup_pairs(
@@ -921,23 +909,7 @@ def minhash_near_dup_pairs(
         return cand
     sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__siga"))
     sb = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sigb"))
-    est = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.size(
-                F.filter(
-                    F.zip_with("__siga", "__sigb", lambda x, y: (x == y).cast("int")),
-                    lambda v: v == 1,
-                )
-            ).cast("double")
-            / F.lit(float(num_hashes)),
-        )
-    )
-    return est.filter(F.col("est_jaccard") >= threshold).select(
-        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
-    )
+    return _estimated_jaccard_pairs(cand, sa, sb, num_hashes, threshold)
 
 
 def verify_pairs_exact(
@@ -1253,89 +1225,22 @@ def simhash_near_dup_pairs(
     )
 
 
-def build_minhash_index(
-    docs: DataFrame,
-    index_path: str,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
-) -> None:
-    """Persist the minhash dedup index the docstrings' production
-    framing keeps promising: signatures and band buckets are
-    deterministic functions of the text, so they are computed ONCE and
-    stored — a daily incremental run then pays one scan of the new
-    batch plus a bucket equi-join against the stored bands, never a
-    re-signature of the 100 TB index. Layout: ``sigs/`` (id, sig) and
-    ``bands/`` (id, band, bucket) parquet plus ``_meta.json`` pinning
-    (n, num_hashes, bands): queries read their parameters FROM the
-    index, so mismatched-parameter joins cannot happen by construction."""
-    import json
-    import os
-
-    sig = minhash_signature_arrow(docs, id_col, text_col, n, num_hashes).cache()
-    sig.select(F.col("__id").alias("id"), F.col("__sig").alias("sig")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(index_path, "sigs"))
-    _banded_buckets(sig, bands, num_hashes // bands).select(
-        F.col("__id").alias("id"), "band", "bucket"
-    ).write.mode("overwrite").parquet(os.path.join(index_path, "bands"))
-    sig.unpersist()
-    with open(os.path.join(index_path, "_meta.json"), "w") as fh:
-        json.dump({"n": n, "num_hashes": num_hashes, "bands": bands}, fh)
-
-
-def minhash_query_index(
-    new_docs: DataFrame,
-    index_path: str,
-    id_col: str,
-    text_col: str,
-    threshold: float = 0.8,
-    verify: bool = True,
+def _estimated_jaccard_pairs(
+    cand: DataFrame,
+    sig_a: DataFrame,
+    sig_b: DataFrame,
+    num_hashes: int,
+    threshold: float,
 ) -> DataFrame:
-    """Near-dup pairs of a new batch against a STORED minhash index
-    (``build_minhash_index``): identical semantics and — same corpus,
-    same parameters — identical results to ``minhash_incremental_pairs``
-    (test-enforced), but the index side costs two parquet scans instead
-    of a full re-signature. (id_a = new batch, id_b = index; equal ids
-    across sides are legitimate cross-set matches.)"""
-    import json
-    import os
-
-    spark = new_docs.sparkSession
-    with open(os.path.join(index_path, "_meta.json")) as fh:
-        meta = json.load(fh)
-    n, num_hashes, bands = meta["n"], meta["num_hashes"], meta["bands"]
-
-    sig_new = minhash_signature_arrow(new_docs, id_col, text_col, n, num_hashes)
-    if verify:
-        sig_new = sig_new.cache()
-    a = _banded_buckets(sig_new, bands, num_hashes // bands).alias("a")
-    b = (
-        spark.read.parquet(os.path.join(index_path, "bands"))
-        .select(F.col("id").alias("__id"), "band", "bucket")
-        .alias("b")
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    if not verify:
-        return cand
-    sa = sig_new.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__siga"))
-    sb = (
-        spark.read.parquet(os.path.join(index_path, "sigs"))
-        .select(F.col("id").alias("id_b"), F.col("sig").alias("__sigb"))
-    )
+    """Shared verify tail of every minhash candidate path: join the
+    deduped (id_a, id_b) candidate set back to the two signature tables
+    (``sig_a``: (id_a, __siga), ``sig_b``: (id_b, __sigb)), estimate
+    Jaccard as the fraction of agreeing signature positions, filter by
+    ``threshold``. The joins run on the DEDUPED pair set, so signature
+    arrays never ride the banding shuffle (see ``_banded_buckets``)."""
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
         .withColumn(
             "est_jaccard",
             F.size(
@@ -1349,3 +1254,243 @@ def minhash_query_index(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
+
+
+def _minhash_meta_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "/_meta.json"
+
+
+def read_minhash_meta(spark, index_path: str) -> dict | None:
+    """The index's ``_meta.json`` (params + per-batch row counts), or
+    None when the index does not exist. Goes through the Hadoop
+    FileSystem abstraction (fsio) — a driver-local ``open()`` would
+    report "no index" on HDFS/S3 while the parquet data is there."""
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+
+    return read_json(spark, _minhash_meta_path(index_path))
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    batch_id: int = 0,
+) -> None:
+    """Persist the minhash dedup index the docstrings' production
+    framing keeps promising: signatures and band buckets are
+    deterministic functions of the text, so they are computed ONCE and
+    stored — a daily incremental run then pays one scan of the new
+    batch plus a bucket equi-join against the stored bands, never a
+    re-signature of the 100 TB index.
+
+    Layout: ``sigs/batch_id=N/`` (id, sig) and ``bands/batch_id=N/``
+    (id, band, bucket) hive-partitioned parquet plus ``_meta.json``
+    pinning (n, num_hashes, bands) and the per-batch row counts:
+    queries read their parameters FROM the index, so
+    mismatched-parameter joins cannot happen by construction, and
+    index SIZE is a metadata lookup, never a ``count()`` over the
+    store. Grow with ``append_to_minhash_index``; bound the file count
+    with ``compact_minhash_index``. Metadata goes through the Hadoop
+    FileSystem abstraction (fsio) so the index works on object storage
+    exactly as on local disk."""
+    from projet_5spar_sparkstreaming_spark.fsio import delete_path, write_json
+
+    spark = docs.sparkSession
+    delete_path(spark, index_path)
+    n_rows = _write_minhash_batch(
+        docs, index_path, id_col, text_col, n, num_hashes, bands, batch_id
+    )
+    write_json(
+        spark,
+        _minhash_meta_path(index_path),
+        {
+            "n": n,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "batches": {str(batch_id): n_rows},
+        },
+    )
+
+
+def _write_minhash_batch(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    batch_id: int,
+) -> int:
+    """Write one batch's sigs + bands into the index's ``batch_id=N``
+    subdirs (overwrite — a replayed batch replaces itself) and return
+    the batch's row count (O(batch), never O(index))."""
+    sig = minhash_signature_arrow(docs, id_col, text_col, n, num_hashes).cache()
+    sig.select(F.col("__id").alias("id"), F.col("__sig").alias("sig")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/sigs/batch_id={batch_id}")
+    _banded_buckets(sig, bands, num_hashes // bands).select(
+        F.col("__id").alias("id"), "band", "bucket"
+    ).write.mode("overwrite").parquet(f"{index_path}/bands/batch_id={batch_id}")
+    n_rows = sig.count()
+    sig.unpersist()
+    return n_rows
+
+
+def append_to_minhash_index(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    batch_id: int,
+) -> int:
+    """Append a new batch to an existing minhash index (the daily /
+    per-micro-batch increment): parameters come FROM the stored
+    ``_meta.json`` (they must, or bucket joins against older batches
+    would silently compare incompatible hashes), the batch's sigs and
+    bands land in their own ``batch_id=N`` subdirs (overwrite, so a
+    replayed batch replaces itself instead of duplicating), and the
+    meta's per-batch row counts gain/replace the entry. Cost is
+    O(batch): the stored index is neither read nor re-signed. Returns
+    the batch row count."""
+    from projet_5spar_sparkstreaming_spark.fsio import write_json
+
+    spark = docs.sparkSession
+    meta = read_minhash_meta(spark, index_path)
+    if meta is None:
+        raise FileNotFoundError(
+            f"no minhash index at {index_path} (build_minhash_index first)"
+        )
+    n_rows = _write_minhash_batch(
+        docs,
+        index_path,
+        id_col,
+        text_col,
+        meta["n"],
+        meta["num_hashes"],
+        meta["bands"],
+        batch_id,
+    )
+    meta.setdefault("batches", {})[str(batch_id)] = n_rows
+    write_json(spark, _minhash_meta_path(index_path), meta)
+    return n_rows
+
+
+def compact_minhash_index(
+    spark,
+    index_path: str,
+    keep_last: int = 1,
+    target_partitions: int | None = None,
+) -> dict:
+    """Merge an appended-to minhash index's accumulated ``batch_id=N``
+    subdirs into one compacted partition — without this, a long-lived
+    streaming ingest guard leaves thousands of tiny parquet files and
+    every query pays the listing.
+
+    The newest ``keep_last`` batches keep their own ids (a replay of
+    the latest uncommitted micro-batch must still be able to exclude
+    exactly itself via ``batch_id < N``); everything older is rewritten
+    under the MINIMUM merged batch id, which every future batch's
+    ``batch_id < current`` filter still includes — the replay-exclusion
+    semantics are preserved by construction. Query results are
+    byte-identical pre/post (test-enforced): ``minhash_query_index``
+    never looks at ``batch_id``. Rewrite goes to ``__compact`` siblings
+    then swaps via rename, so a concurrent reader sees old or new,
+    never a mix. Returns the updated meta."""
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        delete_path,
+        rename_path,
+        write_json,
+    )
+
+    meta = read_minhash_meta(spark, index_path)
+    if meta is None:
+        raise FileNotFoundError(f"no minhash index at {index_path}")
+    batch_ids = sorted(int(b) for b in meta.get("batches", {}))
+    merged = batch_ids[: max(0, len(batch_ids) - keep_last)]
+    if len(merged) < 2:
+        return meta  # nothing to merge
+    merged_id = min(merged)
+    n_parts = target_partitions or spark.sparkContext.defaultParallelism
+    remap = F.when(
+        F.col("batch_id").isin(merged), F.lit(merged_id)
+    ).otherwise(F.col("batch_id"))
+    for sub in ("sigs", "bands"):
+        path = f"{index_path}/{sub}"
+        (
+            spark.read.parquet(path)
+            .withColumn("batch_id", remap)
+            # spread each partition value over up to n_parts tasks by id
+            # hash: bounded file count without one-giant-file skew
+            .repartition(n_parts, "batch_id", "id")
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(path + "__compact")
+        )
+        delete_path(spark, path)
+        rename_path(spark, path + "__compact", path)
+    batches = meta["batches"]
+    merged_rows = sum(batches.pop(str(b)) for b in merged)
+    batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
+    write_json(spark, _minhash_meta_path(index_path), meta)
+    return meta
+
+
+def minhash_query_index(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    verify: bool = True,
+    max_batch_id_exclusive: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs of a new batch against a STORED minhash index
+    (``build_minhash_index``): identical semantics and — same corpus,
+    same parameters — identical results to ``minhash_incremental_pairs``
+    (test-enforced), but the index side costs two parquet scans instead
+    of a full re-signature. (id_a = new batch, id_b = index; equal ids
+    across sides are legitimate cross-set matches.)
+
+    ``max_batch_id_exclusive`` drops index batches with
+    ``batch_id >= `` it from BOTH scans — the replay-idempotency guard
+    for the streaming ingest path, where a crashed micro-batch may have
+    written its own rows to the index before the checkpoint committed
+    (every doc would otherwise self-match at 1.0 and be dropped)."""
+    spark = new_docs.sparkSession
+    meta = read_minhash_meta(spark, index_path)
+    if meta is None:
+        raise FileNotFoundError(f"no minhash index at {index_path}")
+    n, num_hashes, bands = meta["n"], meta["num_hashes"], meta["bands"]
+
+    def _scan(sub: str) -> DataFrame:
+        df = spark.read.parquet(f"{index_path}/{sub}")
+        if max_batch_id_exclusive is not None:
+            df = df.filter(F.col("batch_id") < F.lit(max_batch_id_exclusive))
+        return df.drop("batch_id")
+
+    sig_new = minhash_signature_arrow(new_docs, id_col, text_col, n, num_hashes)
+    if verify:
+        sig_new = sig_new.cache()
+    a = _banded_buckets(sig_new, bands, num_hashes // bands).alias("a")
+    b = _scan("bands").select(F.col("id").alias("__id"), "band", "bucket").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        return cand
+    sa = sig_new.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__siga"))
+    sb = _scan("sigs").select(
+        F.col("id").alias("id_b"), F.col("sig").alias("__sigb")
+    )
+    return _estimated_jaccard_pairs(cand, sa, sb, num_hashes, threshold)

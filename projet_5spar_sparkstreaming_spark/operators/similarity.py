@@ -401,9 +401,10 @@ def build_ivf_index(
     reads only the probed cells via static partition pruning, so a
     query against a 100 TB index scans n_probe cells, not the corpus.
     Centroids are seed-deterministic: rebuilds produce the identical
-    index. Returns the cell count."""
-    import json
-    import os
+    index. The quantizer file goes through the Hadoop FileSystem
+    abstraction (fsio), so the index works on object storage exactly
+    as on local disk. Returns the cell count."""
+    from projet_5spar_sparkstreaming_spark.fsio import write_json
 
     cent = _train_ivf_centroids(
         corpus, corpus_id, corpus_vec, n_centroids, kmeans_iters, sample_limit
@@ -419,8 +420,11 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(index_path)
     )
-    with open(os.path.join(index_path, "_centroids.json"), "w") as fh:
-        json.dump({"centroids": cent.tolist()}, fh)
+    write_json(
+        corpus.sparkSession,
+        index_path.rstrip("/") + "/_centroids.json",
+        {"centroids": cent.tolist()},
+    )
     return len(cent)
 
 
@@ -441,14 +445,15 @@ def query_ivf_index(
     probed cells' files are listed and read (plan-asserted in tests).
     Same result contract (and, with identical build parameters, the
     identical result) as ``ivf_top_k``."""
-    import json
-    import os
-
     import numpy as np
     from pyspark.sql import types as T
 
-    with open(os.path.join(index_path, "_centroids.json")) as fh:
-        cent = np.array(json.load(fh)["centroids"], dtype=np.float64)
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+
+    meta = read_json(spark, index_path.rstrip("/") + "/_centroids.json")
+    if meta is None:
+        raise FileNotFoundError(f"no IVF index at {index_path}")
+    cent = np.array(meta["centroids"], dtype=np.float64)
 
     q_rows = _collect_bounded(
         queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")),
@@ -931,6 +936,226 @@ def cosine_incremental_pairs(
         "id_b",
     )
     return _cosine_verify_arrow(joined, threshold)
+
+
+def _embed_meta_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "/_meta.json"
+
+
+def read_embed_lsh_meta(spark, index_path: str) -> dict | None:
+    """The embedding index's ``_meta.json`` (pinned LSH params +
+    per-batch row counts), or None when absent. Hadoop-FS-backed (fsio)
+    so existence checks agree with wherever the parquet lives."""
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+
+    return read_json(spark, _embed_meta_path(index_path))
+
+
+def _write_embed_batch(
+    vecs: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    batch_id: int,
+) -> int:
+    """One batch's (id, bucket) rows + raw vectors into the index's
+    ``batch_id=N`` subdirs (overwrite — replays replace themselves).
+    Returns the batch row count (O(batch))."""
+    buckets = _lsh_buckets_arrow(
+        vecs, id_col, vec_col, "id", n_planes, n_tables, dim
+    )
+    buckets.write.mode("overwrite").parquet(
+        f"{index_path}/buckets/batch_id={batch_id}"
+    )
+    kept = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    kept.write.mode("overwrite").parquet(f"{index_path}/vecs/batch_id={batch_id}")
+    return kept.count()
+
+
+def build_embed_lsh_index(
+    vecs: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_planes: int | str = "auto",
+    n_tables: int | str = "auto",
+    dim: int = 64,
+    recall_at: float = 0.99,
+    target_recall: float = 0.95,
+    expected_rows: int | None = None,
+    batch_id: int = 0,
+) -> dict:
+    """Persist a sign-LSH embedding near-dup index: ``buckets/
+    batch_id=N/`` (id, per-table packed bucket) and ``vecs/batch_id=N/``
+    (id, vec) hive-partitioned parquet plus ``_meta.json`` pinning
+    (n_planes, n_tables, dim) and per-batch row counts. Hyperplanes are
+    seed-deterministic (``_hyperplanes``), so stored buckets and any
+    later query's buckets agree by construction — queries bucketize
+    only THEIR side and equi-join the store.
+
+    LSH parameters must be pinned once for the life of the index
+    (stored bucket ids depend on them), so ``"auto"`` sizes them from
+    ``expected_rows`` — the index size you intend to GROW to — falling
+    back to 1024x the seed batch when unset. Oversizing is cheap:
+    planes scale ~log2(n), and ``auto_lsh_params`` compensates recall
+    with tables at whatever plane count results. When the corpus
+    outgrows the sizing by another ~2^10, rebuild (parameters live in
+    the meta precisely so a rebuild is mechanical). Returns the meta."""
+    from projet_5spar_sparkstreaming_spark.fsio import delete_path, write_json
+
+    spark = vecs.sparkSession
+    if n_planes == "auto" or n_tables == "auto":
+        sized_for = expected_rows or max(vecs.count(), 1) * 1024
+        n_planes, n_tables = auto_lsh_params(
+            sized_for, dim=dim, recall_at=recall_at, target_recall=target_recall
+        )
+    delete_path(spark, index_path)
+    n_rows = _write_embed_batch(
+        vecs, index_path, id_col, vec_col, n_planes, n_tables, dim, batch_id
+    )
+    meta = {
+        "n_planes": int(n_planes),
+        "n_tables": int(n_tables),
+        "dim": dim,
+        "batches": {str(batch_id): n_rows},
+    }
+    write_json(spark, _embed_meta_path(index_path), meta)
+    return meta
+
+
+def append_to_embed_lsh_index(
+    vecs: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str = "embedding",
+    batch_id: int = 0,
+) -> int:
+    """Append a batch to a stored embedding index — params from the
+    meta, O(batch) cost (the store is neither read nor re-bucketized),
+    idempotent under replay (``batch_id=N`` overwrite + meta key
+    replace). Returns the batch row count."""
+    from projet_5spar_sparkstreaming_spark.fsio import write_json
+
+    spark = vecs.sparkSession
+    meta = read_embed_lsh_meta(spark, index_path)
+    if meta is None:
+        raise FileNotFoundError(
+            f"no embedding LSH index at {index_path} (build_embed_lsh_index first)"
+        )
+    n_rows = _write_embed_batch(
+        vecs,
+        index_path,
+        id_col,
+        vec_col,
+        meta["n_planes"],
+        meta["n_tables"],
+        meta["dim"],
+        batch_id,
+    )
+    meta.setdefault("batches", {})[str(batch_id)] = n_rows
+    write_json(spark, _embed_meta_path(index_path), meta)
+    return n_rows
+
+
+def embed_lsh_query_index(
+    new_vecs: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    verify: bool = True,
+    max_batch_id_exclusive: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs of a new vector batch against a STORED embedding
+    LSH index: bucketize the batch with the index's pinned params, one
+    bucket equi-join against the stored (id, bucket) table, exact-cosine
+    verify against the stored vectors — the index side is scanned, never
+    re-bucketized. Same semantics as ``cosine_incremental_pairs`` at
+    the same params (test-enforced). ``max_batch_id_exclusive`` is the
+    streaming replay guard: index batches >= it are excluded from both
+    scans so a crashed-then-replayed micro-batch never self-matches."""
+    spark = new_vecs.sparkSession
+    meta = read_embed_lsh_meta(spark, index_path)
+    if meta is None:
+        raise FileNotFoundError(f"no embedding LSH index at {index_path}")
+
+    def _scan(sub: str) -> DataFrame:
+        df = spark.read.parquet(f"{index_path}/{sub}")
+        if max_batch_id_exclusive is not None:
+            df = df.filter(F.col("batch_id") < F.lit(max_batch_id_exclusive))
+        return df.drop("batch_id")
+
+    a = _lsh_buckets_arrow(
+        new_vecs, id_col, vec_col, "id_a",
+        meta["n_planes"], meta["n_tables"], meta["dim"],
+    )
+    b = _scan("buckets").select(F.col("id").alias("id_b"), "__bucket")
+    cand = a.join(b, "__bucket").select("id_a", "id_b").dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    if not verify:
+        return cand
+    joined = cand.join(
+        new_vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")),
+        "id_a",
+    ).join(
+        _scan("vecs").select(F.col("id").alias("id_b"), F.col("vec").alias("__vb")),
+        "id_b",
+    )
+    return _cosine_verify_arrow(joined, threshold)
+
+
+def compact_embed_lsh_index(
+    spark,
+    index_path: str,
+    keep_last: int = 1,
+    target_partitions: int | None = None,
+) -> dict:
+    """Small-file compaction for the embedding index — same contract as
+    ``compact_minhash_index``: newest ``keep_last`` batches keep their
+    ids (replay exclusion must still isolate exactly the latest batch),
+    older ones merge under the minimum merged id (always < any future
+    batch, so every future ``batch_id < current`` filter includes
+    them); query results identical pre/post (test-enforced); rewrite to
+    ``__compact`` siblings then rename-swap. Returns the updated meta."""
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        delete_path,
+        rename_path,
+        write_json,
+    )
+
+    meta = read_embed_lsh_meta(spark, index_path)
+    if meta is None:
+        raise FileNotFoundError(f"no embedding LSH index at {index_path}")
+    batch_ids = sorted(int(b) for b in meta.get("batches", {}))
+    merged = batch_ids[: max(0, len(batch_ids) - keep_last)]
+    if len(merged) < 2:
+        return meta
+    merged_id = min(merged)
+    n_parts = target_partitions or spark.sparkContext.defaultParallelism
+    remap = F.when(
+        F.col("batch_id").isin(merged), F.lit(merged_id)
+    ).otherwise(F.col("batch_id"))
+    for sub in ("buckets", "vecs"):
+        path = f"{index_path}/{sub}"
+        (
+            spark.read.parquet(path)
+            .withColumn("batch_id", remap)
+            .repartition(n_parts, "batch_id", "id")
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(path + "__compact")
+        )
+        delete_path(spark, path)
+        rename_path(spark, path + "__compact", path)
+    batches = meta["batches"]
+    merged_rows = sum(batches.pop(str(b)) for b in merged)
+    batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
+    write_json(spark, _embed_meta_path(index_path), meta)
+    return meta
 
 
 def lsh_bucketed_top_k(

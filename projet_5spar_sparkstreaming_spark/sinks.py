@@ -188,19 +188,28 @@ def write_jsonl(
     training pipelines actually consume (one JSON object per line,
     optionally gzip, optionally hive-partitioned by e.g. lang/split).
 
-    ``shards`` hash-repartitions to bound the TOTAL shard count (each
-    hive partition value then gets at most that many files); None keeps
-    the upstream partitioning (at 100 TB you want natural partitioning,
-    not a repartition). Struct/array columns serialize as
-    nested JSON; timestamps as ISO-8601 — Spark's native JSON writer,
-    so the scan-side schema round-trips via ``spark.read.json``.
+    ``shards`` bounds the files per hive partition VALUE: rows
+    repartition on the partition columns plus a bounded per-row salt,
+    so each value spreads across up to ``shards`` tasks/files instead
+    of collapsing into one (a bare repartition on the partition columns
+    alone hashes every row of a value into a single task — one huge
+    file and no skew bound). Without ``partition_by``, ``shards`` is
+    the total file count. None keeps the upstream partitioning (at
+    100 TB you want natural partitioning, not a repartition).
+    Struct/array columns serialize as nested JSON; timestamps as
+    ISO-8601 — Spark's native JSON writer, so the scan-side schema
+    round-trips via ``spark.read.json``.
     """
     if shards is not None:
-        df = (
-            df.repartition(shards, *partition_by)
-            if partition_by
-            else df.repartition(shards)
-        )
+        if partition_by:
+            salt = F.pmod(
+                F.xxhash64(F.monotonically_increasing_id()), F.lit(shards)
+            )
+            df = df.withColumn("__shard_salt", salt).repartition(
+                shards * 4, *partition_by, "__shard_salt"
+            ).drop("__shard_salt")
+        else:
+            df = df.repartition(shards)
     writer = df.write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)

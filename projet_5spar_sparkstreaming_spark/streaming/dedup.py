@@ -4,6 +4,15 @@ batch-only, reference: src/batch_clean_historical.py).
 ``dropDuplicatesWithinWatermark`` keys state on the dedup columns and
 evicts per the watermark — bounded state at any scale, versus a naive
 ``dropDuplicates`` on a stream whose state grows forever.
+
+The near-dup ingest guards below are index-backed: the accumulated
+index stores SIGNATURES and band/bucket rows (deterministic functions
+of the data), not raw payloads, so a micro-batch pays one signature
+pass over ITSELF plus a bucket equi-join against the stored bands — a
+columnar scan, never a re-signature of the index. Per-batch compute is
+O(batch + candidates); the only index-sized work is the equi-join
+scan, which is the same shape a 100 TB daily batch run pays
+(operators/dedup.py:minhash_query_index).
 """
 
 from __future__ import annotations
@@ -25,6 +34,75 @@ def stream_dedup(
     )
 
 
+def minhash_ingest_batch(
+    batch: DataFrame,
+    index_dir: str,
+    batch_id: int,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """One micro-batch of the text near-dup ingest guard as a pure
+    batch plan — factored out so tests can ``explain`` it: the index
+    side must appear as parquet FileScans of ``{index}/bands`` and
+    ``{index}/sigs`` (no text column, no index-side re-signature).
+
+    Admission rule (deterministic, order-of-arrival):
+      - drop a doc if it near-dups ANY document from an EARLIER batch
+        (cross-batch, bucket equi-join vs the stored bands — strictly
+        earlier: the ``batch_id < N`` filter keeps a crashed-then-
+        replayed batch from matching its own previously written rows
+        and silently dropping every doc), or a SMALLER-ID document in
+        its own batch (within-batch self-join, min-id canonical);
+      - ALL batch docs (kept or dropped) are appended to the index by
+        the caller, so the rule is "near-dup of anything previously
+        SEEN", not "previously KEPT".
+
+    Returns the surviving (id, text) rows."""
+    from pyspark.sql import functions as F
+
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        minhash_query_index,
+        read_minhash_meta,
+    )
+
+    spark = batch.sparkSession
+    meta = read_minhash_meta(spark, index_dir)
+    drop_cross = None
+    if meta is not None and any(
+        int(b) < batch_id for b in meta.get("batches", {})
+    ):
+        drop_cross = (
+            minhash_query_index(
+                batch,
+                index_dir,
+                id_col,
+                text_col,
+                threshold=threshold,
+                max_batch_id_exclusive=batch_id,
+            )
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
+        )
+    drop_within = (
+        minhash_near_dup_pairs(
+            batch, id_col, text_col,
+            n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        )
+        .select(F.col("id_b").alias(id_col))  # id_a < id_b: keep min id
+        .distinct()
+    )
+    dropped = (
+        drop_within if drop_cross is None
+        else drop_cross.unionByName(drop_within).distinct()
+    )
+    return batch.join(dropped, id_col, "left_anti")
+
+
 def stream_neardup_ingest(
     docs_stream: DataFrame,
     out_dir: str,
@@ -34,81 +112,116 @@ def stream_neardup_ingest(
     text_col: str = "text",
     threshold: float = 0.8,
     trigger: dict | None = None,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
 ):
     """NEAR-dup ingest guard for a document stream — the streaming twin
-    of the daily-crawl dedup (`minhash_incremental_pairs`): each
-    micro-batch is checked against the accumulated index of every
-    previously seen document, near-dup arrivals are dropped, and
+    of the daily-crawl dedup: each micro-batch is checked against the
+    accumulated STORED index (band buckets + signatures, via
+    ``minhash_query_index``), near-dup arrivals are dropped, and
     survivors land in ``out_dir``.
 
-    Admission rule (deterministic, order-of-arrival):
-      - drop a doc if it near-dups ANY document from an earlier batch
-        (cross-batch, via the banded index join — the index side is
-        never self-joined), or a SMALLER-ID document in its own batch
-        (within-batch self-join, min-id canonical);
-      - ALL batch docs (kept or dropped) append to the index, so the
-        rule is "near-dup of anything previously SEEN", not "of
-        anything previously KEPT" — re-submitting a near-dup of a
-        dropped doc still gets dropped.
-
-    The index stores raw (id, text) and re-derives signatures per
-    batch — correct but recomputing; at 100 TB/day the index would
-    store the deterministic signatures/band buckets instead (the
-    precompute framing documented on minhash_incremental_pairs) so a
-    batch pays one scan of itself plus a bucket equi-join against
-    stored bands. Batch writes are overwrite-by-batch-id subdirs, so
-    checkpoint replays are idempotent for both outputs.
-    """
+    Index lifecycle: batch 0 creates the index (params pinned in
+    ``_meta.json``); every batch appends its signatures/bands under
+    ``batch_id=N`` (``append_to_minhash_index`` — O(batch), replays
+    overwrite their own subdir); index existence and size are metadata
+    lookups through the Hadoop FS abstraction, never an ``os.walk`` or
+    a ``count()`` over the store. Long-running streams bound their file
+    count with ``compact_minhash_index`` (offline or between batches).
+    Replay safety: the cross-batch join excludes index rows with
+    ``batch_id >= N``, so a batch whose index write landed but whose
+    checkpoint commit did not cannot match itself on replay (the
+    self-match-at-1.0 failure that would silently drop every doc)."""
     import os
 
-    from pyspark.sql import functions as F
-
     from projet_5spar_sparkstreaming_spark.operators.dedup import (
-        minhash_incremental_pairs,
-        minhash_near_dup_pairs,
+        append_to_minhash_index,
+        build_minhash_index,
+        read_minhash_meta,
     )
     from projet_5spar_sparkstreaming_spark.streaming.sinks import foreach_batch_sink
 
-    spark_ref = docs_stream.sparkSession
-
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(id_col, text_col).cache()
-        drop_cross = None
-        if os.path.isdir(index_dir) and any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(index_dir)
-            for f in fs
-        ):
-            index = spark_ref.read.parquet(index_dir)
-            drop_cross = (
-                minhash_incremental_pairs(
-                    batch, index, id_col, text_col, threshold=threshold
-                )
-                .select(F.col("id_a").alias(id_col))
-                .distinct()
+        survivors = minhash_ingest_batch(
+            batch, index_dir, batch_id, id_col, text_col, threshold,
+            n=n, num_hashes=num_hashes, bands=bands,
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        if read_minhash_meta(batch.sparkSession, index_dir) is None:
+            build_minhash_index(
+                batch, index_dir, id_col, text_col,
+                n=n, num_hashes=num_hashes, bands=bands, batch_id=batch_id,
             )
-        drop_within = (
-            minhash_near_dup_pairs(batch, id_col, text_col, threshold=threshold)
-            .select(F.col("id_b").alias(id_col))  # id_a < id_b: keep min id
-            .distinct()
-        )
-        dropped = (
-            drop_within if drop_cross is None
-            else drop_cross.unionByName(drop_within).distinct()
-        )
-        survivors = batch.join(dropped, id_col, "left_anti")
-        (
-            survivors.write.mode("overwrite")
-            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
-        )
-        (
-            batch.write.mode("overwrite")
-            .parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
-        )
+        else:
+            append_to_minhash_index(batch, index_dir, id_col, text_col, batch_id)
         batch.unpersist()
 
     os.makedirs(out_dir, exist_ok=True)
     return foreach_batch_sink(docs_stream, _process, checkpoint_dir, trigger)
+
+
+def embed_ingest_batch(
+    batch: DataFrame,
+    index_dir: str,
+    batch_id: int,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    within_planes: int | str = "auto",
+    within_tables: int | str = "auto",
+    dim: int = 64,
+) -> DataFrame:
+    """One micro-batch of the embedding near-dup ingest guard as a pure
+    batch plan (testable via ``explain``: the index side is parquet
+    FileScans of ``{index}/buckets`` and ``{index}/vecs`` — stored
+    bucket rows, never a re-bucketize of the index; LSH params and
+    index size come from ``_meta.json``, never a per-batch ``count()``).
+    Same admission rule as ``minhash_ingest_batch``. Within-batch
+    params default to auto-from-batch-size (the batch IS the corpus
+    being self-joined). Returns surviving (id, vec) rows."""
+    from pyspark.sql import functions as F
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        embed_lsh_query_index,
+        read_embed_lsh_meta,
+    )
+
+    spark = batch.sparkSession
+    meta = read_embed_lsh_meta(spark, index_dir)
+    drop_cross = None
+    if meta is not None and any(
+        int(b) < batch_id for b in meta.get("batches", {})
+    ):
+        drop_cross = (
+            embed_lsh_query_index(
+                batch,
+                index_dir,
+                id_col,
+                vec_col,
+                threshold=threshold,
+                max_batch_id_exclusive=batch_id,
+            )
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
+        )
+    drop_within = (
+        cosine_near_dup_pairs(
+            batch, id_col, vec_col, threshold=threshold,
+            n_planes=within_planes, n_tables=within_tables, dim=dim,
+        )
+        .select(F.col("id_b").alias(id_col))  # id_a < id_b: keep min id
+        .distinct()
+    )
+    dropped = (
+        drop_within if drop_cross is None
+        else drop_cross.unionByName(drop_within).distinct()
+    )
+    return batch.join(dropped, id_col, "left_anti")
 
 
 def stream_embed_neardup_ingest(
@@ -120,58 +233,49 @@ def stream_embed_neardup_ingest(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     trigger: dict | None = None,
+    dim: int = 64,
+    expected_index_rows: int | None = None,
 ):
-    """Embedding twin of ``stream_neardup_ingest``: each micro-batch of
-    vectors checks against the accumulated index with sign-LSH
-    candidates + exact-cosine verify (``cosine_incremental_pairs`` —
-    the index side is never self-joined), drops near-dup arrivals
-    (cross-batch, or a smaller-id twin within the batch), and appends
-    EVERYTHING seen to the index. Same admission rule, same
-    idempotent batch-id subdir writes."""
+    """Embedding twin of ``stream_neardup_ingest``: each micro-batch
+    bucketizes ITSELF with the index's pinned sign-LSH params, bucket-
+    equi-joins the STORED (id, bucket) table, exact-cosine-verifies
+    candidates against the stored vectors, drops near-dup arrivals
+    (cross-batch strictly-earlier, or smaller-id within-batch), and
+    appends its own buckets + vectors to the index.
+
+    Index lifecycle mirrors the text guard: batch 0 builds the index
+    with params sized via ``expected_index_rows`` (the corpus size the
+    stream is expected to accumulate — pinned once because stored
+    bucket ids depend on them; see ``build_embed_lsh_index``), later
+    batches ``append_to_embed_lsh_index`` (O(batch)); existence/size/
+    params are ``_meta.json`` lookups — no ``os.walk``, no per-batch
+    ``count()`` over the index. Replay-safe via the ``batch_id < N``
+    exclusion; compact with ``compact_embed_lsh_index``."""
     import os
 
-    from pyspark.sql import functions as F
-
     from projet_5spar_sparkstreaming_spark.operators.similarity import (
-        cosine_incremental_pairs,
-        cosine_near_dup_pairs,
+        append_to_embed_lsh_index,
+        build_embed_lsh_index,
+        read_embed_lsh_meta,
     )
     from projet_5spar_sparkstreaming_spark.streaming.sinks import foreach_batch_sink
 
-    spark_ref = vecs_stream.sparkSession
-
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(id_col, vec_col).cache()
-        drop_cross = None
-        if os.path.isdir(index_dir) and any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(index_dir)
-            for f in fs
-        ):
-            index = spark_ref.read.parquet(index_dir)
-            drop_cross = (
-                cosine_incremental_pairs(
-                    batch, index, id_col, vec_col, threshold=threshold
-                )
-                .select(F.col("id_a").alias(id_col))
-                .distinct()
-            )
-        drop_within = (
-            cosine_near_dup_pairs(batch, id_col, vec_col, threshold=threshold)
-            .select(F.col("id_b").alias(id_col))  # id_a < id_b: keep min id
-            .distinct()
+        survivors = embed_ingest_batch(
+            batch, index_dir, batch_id, id_col, vec_col, threshold, dim=dim
         )
-        dropped = (
-            drop_within if drop_cross is None
-            else drop_cross.unionByName(drop_within).distinct()
-        )
-        survivors = batch.join(dropped, id_col, "left_anti")
         survivors.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
-        batch.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch_id={batch_id}")
-        )
+        if read_embed_lsh_meta(batch.sparkSession, index_dir) is None:
+            build_embed_lsh_index(
+                batch, index_dir, id_col, vec_col,
+                dim=dim, recall_at=max(threshold, 0.99),
+                expected_rows=expected_index_rows, batch_id=batch_id,
+            )
+        else:
+            append_to_embed_lsh_index(batch, index_dir, id_col, vec_col, batch_id)
         batch.unpersist()
 
     os.makedirs(out_dir, exist_ok=True)

@@ -307,6 +307,14 @@ def test_write_jsonl_roundtrip(spark, sf_dir, tmp_path):
     assert files, "expected gzip jsonl shards under lang= partitions"
     langs = {p.split("lang=")[1].split(os.sep)[0] for p in files}
     assert len(langs) > 1
+    # shards bounds files PER PARTITION VALUE and actually spreads rows
+    # (the salt): each lang <= shards files, and at least one lang uses
+    # more than one file
+    per_lang = {
+        lang: sum(1 for p in files if f"lang={lang}" in p) for lang in langs
+    }
+    assert all(c <= 2 for c in per_lang.values()), per_lang
+    assert any(c > 1 for c in per_lang.values()), per_lang
 
     back = spark.read.json(out)
     a = {

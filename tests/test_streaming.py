@@ -512,8 +512,15 @@ def test_stream_neardup_ingest_guard(spark, tmp_path):
     run()
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [0, 2, 12]
-    indexed = sorted(r["doc_id"] for r in spark.read.parquet(idx).collect())
-    assert indexed == [0, 1, 2, 10, 11, 12]  # everything seen
+    # the index stores SIGNATURES + band buckets of everything seen —
+    # never raw text (the O(index)-re-signature-per-batch trap)
+    sigs = spark.read.parquet(idx + "/sigs")
+    assert sorted(r["id"] for r in sigs.collect()) == [0, 1, 2, 10, 11, 12]
+    assert "text" not in sigs.columns
+    assert "text" not in spark.read.parquet(idx + "/bands").columns
+    assert sorted(
+        r["batch_id"] for r in sigs.select("batch_id").distinct().collect()
+    ) == [0, 1]
 
     run()  # restart: checkpoint says no new files -> nothing changes
     again = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
@@ -574,8 +581,17 @@ def test_stream_embed_neardup_ingest_guard(spark, tmp_path):
     run()
     kept = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
     assert kept == [0, 2, 12]
-    indexed = sorted(r["vec_id"] for r in spark.read.parquet(idx).collect())
-    assert indexed == [0, 1, 2, 10, 11, 12]
+    # index = stored bucket rows (for the equi-join) + vectors (for the
+    # exact-cosine verify), params pinned in _meta.json
+    buckets = spark.read.parquet(idx + "/buckets")
+    assert sorted(set(r["id"] for r in buckets.collect())) == [0, 1, 2, 10, 11, 12]
+    vecs = spark.read.parquet(idx + "/vecs")
+    assert sorted(r["id"] for r in vecs.collect()) == [0, 1, 2, 10, 11, 12]
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        read_embed_lsh_meta,
+    )
+    meta = read_embed_lsh_meta(spark, idx)
+    assert meta is not None and set(meta["batches"]) == {"0", "1"}
 
     run()
     again = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
