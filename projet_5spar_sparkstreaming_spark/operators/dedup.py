@@ -335,27 +335,33 @@ def ngram_overlap_join(
     flagged) with one row per eval doc, zero-contamination docs
     included; ``flagged`` is true when any shingle collides.
 
-    Plan shape at 100 TB: the training side reduces to its DISTINCT
-    shingle set via a partial-aggregated groupBy (map-side combine
-    collapses within-partition repeats before the shuffle), and the only
-    join is eval-shingles × that set — an equi-join on a 64-bit key,
-    keyed-shuffle not broadcast, since the train side is the 100 TB
-    side. The eval side (a benchmark suite) is small and cached.
+    Plan shape at 100 TB: the BENCH side's distinct shingle set is
+    small and fixed (a benchmark suite), so it broadcasts; the training
+    corpus is scanned once and semi-join-FILTERED map-side against
+    that broadcast before anything shuffles — the only exchange the
+    100 TB side ever pays carries the colliding shingles (O(overlap),
+    typically a vanishing fraction), not the corpus's full shingle
+    multiset. Measured at the 500k-doc tier this replaced a
+    train-sized distinct shuffle with a kilobyte-scale one (SCALE.md
+    decontamination curve).
     """
     ev = evals.select(
         F.col(id_col).alias("doc_id"),
         _shingle_hashes(text_col, n).alias("__sh"),
     ).cache()  # tiny benchmark side; reused for sizes and the explode
     ev_ex = ev.select("doc_id", F.explode("__sh").alias("__s"))
-    # distinct via groupBy => partial aggregation before the shuffle
+    ev_set = ev_ex.select("__s").distinct()
+    # corpus side: scan -> broadcast semi-join (map-side, no shuffle of
+    # train shingles) -> distinct over the O(overlap) survivors only
     tr_s = (
         train.select(F.explode(_shingle_hashes(text_col, n)).alias("__s"))
+        .join(F.broadcast(ev_set), "__s", "left_semi")
         .groupBy("__s")
         .agg(F.lit(1))
         .select("__s")
     )
     hits = (
-        ev_ex.join(tr_s, "__s")
+        ev_ex.join(F.broadcast(tr_s), "__s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )

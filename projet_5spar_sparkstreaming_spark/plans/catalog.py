@@ -1039,6 +1039,94 @@ def q_multimodal_jpeg_stats(spark, sf_dir):
     )
 
 
+def _png_render(emb):
+    # shared 8x8-gray-PNG renderer of the two PNG queries (byte k =
+    # clamp(floor(abs(emb[k]) * 512)))
+    from projet_5spar_sparkstreaming_spark.multimodal.png import encode_png
+
+    def _render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                px = bytes(
+                    max(0, min(255, int(abs(float(v)) * 512.0))) for v in vec
+                )
+                payloads.append(encode_png(px, 8, 8, 1))
+            yield pd.DataFrame({"media_id": pdf["vec_id"], "payload": payloads})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _render, "media_id long, payload binary"
+    )
+
+
+def q_multimodal_png_luma(spark, sf_dir):
+    # FULL-CHAIN SQL oracle for the PNG path: distributed encode ->
+    # REAL PNG decode (zlib/filter parse) -> 4x4 nearest thumbnail ->
+    # integer luma sum. PNG is lossless, so the expected thumbnail
+    # bytes are derivable in SQL from the embeddings table: the 4x4
+    # nearest resample of an 8x8 image reads pixels (2i, 2j), i.e.
+    # 0-based indices 16i+2j. round(feature*255) recovers the exact
+    # byte (float32 b/255 has < 3e-6 error). Any row loss, payload
+    # mixup, batching bug, or codec regression breaks the hash.
+    from projet_5spar_sparkstreaming_spark.multimodal.binary import (
+        decode_image_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    decoded = decode_image_batch(_png_render(emb))
+    return decoded.select(
+        "media_id",
+        F.aggregate(
+            "features",
+            F.lit(0).cast("long"),
+            lambda a, v: a + F.round(v * 255).cast("long"),
+        ).alias("luma_sum"),
+    )
+
+
+def q_multimodal_jpeg_flat_luma(spark, sf_dir):
+    # FULL-CHAIN SQL oracle for the JPEG path: a FLAT 8x8 block (one
+    # byte v per vector, from embedding[0]) survives baseline JPEG as
+    # its DC coefficient alone, whose quality-90 quantization is
+    # analytic: decoded = clamp(round(round(8(v-128)/3)*3/8)+128)
+    # (Q[0,0]=3 after Annex-K scaling; formula verified against the
+    # codec for all 256 bytes). The Spark side huffman-decodes,
+    # dequantizes and IDCTs the real bitstream; the oracle predicts
+    # the result arithmetically — a true independent check of the
+    # distributed encode->decode chain on a lossy codec.
+    from projet_5spar_sparkstreaming_spark.multimodal.binary import (
+        decode_image_batch,
+    )
+    from projet_5spar_sparkstreaming_spark.multimodal.jpeg import encode_jpeg
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+
+    def _render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                v = max(0, min(255, int(abs(float(vec[0])) * 512.0)))
+                payloads.append(encode_jpeg(bytes([v] * 64), 8, 8, 1, quality=90))
+            yield pd.DataFrame({"media_id": pdf["vec_id"], "payload": payloads})
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        _render, "media_id long, payload binary"
+    )
+    decoded = decode_image_batch(media)
+    return decoded.select(
+        "media_id",
+        F.aggregate(
+            "features",
+            F.lit(0).cast("long"),
+            lambda a, v: a + F.round(v * 255).cast("long"),
+        ).alias("luma_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational / TPC-H-ish (M3; exercised for join/shuffle plan quality)
 # ---------------------------------------------------------------------------
@@ -2916,6 +3004,131 @@ def q_simhash_pairs_containment(spark, sf_dir):
     return _approx_pair_escapees(emitted, docs, relaxed=0.3)
 
 
+def _ann_containment_escapees(emitted, queries, emb, k_relaxed: int):
+    """One-directional containment for approximate top-k: every emitted
+    (query, neighbor) must appear in the EXACT top-``k_relaxed`` (ANN
+    may miss true neighbors, but what it reports must be genuinely
+    near the top) with the reported cosine matching the exact cosine
+    recomputed on the INDEPENDENT expression path (no Arrow kernel —
+    a scoring bug in either implementation trips the count). Relax
+    factor calibrated: emitted k=5 neighbors sit within exact rank
+    <= 14 at sf0.001/0.01/0.1; 40 keeps 2.8x margin while a bucketing
+    bug emitting a random ~rank-500 vector still fails loudly."""
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        brute_force_top_k_expr,
+    )
+
+    exact = brute_force_top_k_expr(
+        queries, emb, "vec_id", "vec_id", k=k_relaxed
+    ).select(
+        "query_id", "neighbor_id", F.col("cosine").alias("__exact_cos")
+    )
+    return (
+        emitted.select("query_id", "neighbor_id", "cosine")
+        .join(exact, ["query_id", "neighbor_id"], "left")
+        .filter(
+            F.col("__exact_cos").isNull()
+            | (F.abs(F.col("cosine") - F.col("__exact_cos")) > 1e-5)
+        )
+        .agg(F.count(F.lit(1)).alias("n_escapees"))
+    )
+
+
+def q_knn_lsh_containment(spark, sf_dir):
+    # Containment contract for the LSH-bucketed ANN (knn_lsh): emitted
+    # neighbors must be true near-top neighbors with truthful cosines.
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    emitted = lsh_bucketed_top_k(
+        queries, emb, "vec_id", "vec_id", k=5, n_planes=4, n_tables=12
+    )
+    return _ann_containment_escapees(emitted, queries, emb, k_relaxed=40)
+
+
+def q_knn_ivf_containment(spark, sf_dir):
+    # Containment contract for the IVF coarse-quantizer ANN (knn_ivf).
+    from projet_5spar_sparkstreaming_spark.operators.similarity import ivf_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    emitted = ivf_top_k(
+        queries, emb, "vec_id", "vec_id", k=5, n_centroids="auto", n_probe=6
+    )
+    return _ann_containment_escapees(emitted, queries, emb, k_relaxed=40)
+
+
+def _pair_cosine_escapees(emitted, side_a, side_b, floor: float):
+    """Containment for approximate near-dup PAIR emitters: recompute
+    each emitted pair's cosine on the independent expression path and
+    count pairs whose reported value diverges (>1e-5) or whose true
+    cosine sits below the relaxed ``floor`` — LSH may MISS pairs, but
+    every pair it emits must be a genuine near-duplicate."""
+    from projet_5spar_sparkstreaming_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm,
+    )
+
+    va = side_a.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__va"),
+        l2_norm("embedding").alias("__na"),
+    )
+    vb = side_b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("__vb"),
+        l2_norm("embedding").alias("__nb"),
+    )
+    return (
+        emitted.select("id_a", "id_b", "cosine")
+        .join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "__exact_cos",
+            F.round(cosine_from_norms("__va", "__vb", "__na", "__nb"), 6),
+        )
+        .filter(
+            (F.abs(F.col("cosine") - F.col("__exact_cos")) > 1e-5)
+            | (F.col("__exact_cos") < F.lit(floor))
+        )
+        .agg(F.count(F.lit(1)).alias("n_escapees"))
+    )
+
+
+def q_embedding_neardup_containment(spark, sf_dir):
+    # Containment contract for the sign-LSH near-dup pair emitter
+    # (embedding_neardup_pairs, threshold 0.3): reported cosines must
+    # match the expression-path recompute and clear a 0.25 floor.
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emitted = cosine_near_dup_pairs(
+        emb, "vec_id", "embedding",
+        threshold=0.3, n_planes="auto", n_tables="auto",
+        recall_at=0.5, target_recall=0.9,
+    )
+    return _pair_cosine_escapees(emitted, emb, emb, floor=0.25)
+
+
+def q_incremental_embedding_containment(spark, sf_dir):
+    # Containment contract for the cross-set embedding dedup
+    # (incremental_embedding_pairs): same truthfulness rule, sides
+    # split exactly as the emitter splits them.
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        cosine_incremental_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 20 == 0)
+    index = emb.filter(F.col("vec_id") % 20 != 0)
+    emitted = cosine_incremental_pairs(
+        new, index, "vec_id", "embedding",
+        threshold=0.3, recall_at=0.5, target_recall=0.9,
+    )
+    return _pair_cosine_escapees(emitted, new, index, floor=0.25)
+
+
 def q_containment_pairs(spark, sf_dir):
     # Directional inclusion dedup: C(A,B) = |A∩B|/|A| >= 0.9 — catches a
     # doc contained in a longer one, which symmetric Jaccard misses.
@@ -3855,6 +4068,18 @@ def _oracles() -> dict[str, str | None]:
         # Spark side counts escapees, the oracle asserts zero
         "minhash_pairs_containment": "SELECT CAST(0 AS BIGINT) AS n_escapees",
         "simhash_pairs_containment": "SELECT CAST(0 AS BIGINT) AS n_escapees",
+        # same trick for the embedding-side approximate ops: every
+        # emitted neighbor/pair must be truthful (cosine recomputed on
+        # the independent expression path, rank within the exact
+        # relaxed top-k) — n_escapees = 0 is the assertable contract
+        "knn_lsh_containment": "SELECT CAST(0 AS BIGINT) AS n_escapees",
+        "knn_ivf_containment": "SELECT CAST(0 AS BIGINT) AS n_escapees",
+        "embedding_neardup_containment": (
+            "SELECT CAST(0 AS BIGINT) AS n_escapees"
+        ),
+        "incremental_embedding_containment": (
+            "SELECT CAST(0 AS BIGINT) AS n_escapees"
+        ),
         "simhash_pairs": None,  # approximate: rows-only check
         "containment_pairs": (
             # directional: c / |A| (not symmetric Jaccard); a.doc_id !=
@@ -4235,6 +4460,10 @@ def catalog() -> list[CatalogQuery]:
         "simhash_pairs": q_simhash_pairs,
         "minhash_pairs_containment": q_minhash_pairs_containment,
         "simhash_pairs_containment": q_simhash_pairs_containment,
+        "knn_lsh_containment": q_knn_lsh_containment,
+        "knn_ivf_containment": q_knn_ivf_containment,
+        "embedding_neardup_containment": q_embedding_neardup_containment,
+        "incremental_embedding_containment": q_incremental_embedding_containment,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "embedding_pair_sims": q_embedding_pair_sims,
@@ -4268,6 +4497,8 @@ def catalog() -> list[CatalogQuery]:
         "multimodal_audio_stats": q_multimodal_audio_stats,
         "multimodal_jpeg_stats": q_multimodal_jpeg_stats,
         "multimodal_video_stats": q_multimodal_video_stats,
+        "multimodal_png_luma": q_multimodal_png_luma,
+        "multimodal_jpeg_flat_luma": q_multimodal_jpeg_flat_luma,
     }
     oracles = _oracles()
     oracles["doc_lang_id"] = _lang_id_sql()
@@ -4482,6 +4713,30 @@ def catalog() -> list[CatalogQuery]:
         "FROM t GROUP BY vec_id"
     )
     oracles["multimodal_jpeg_stats"] = None  # JPEG payloads: rows-only
+    # PNG is LOSSLESS, so the decoded 4x4 nearest thumbnail's bytes are
+    # the encode-side clamped bytes at pixel (2i, 2j) — 0-based indices
+    # 16i+2j, DuckDB lists are 1-based. round(feature*255) on the Spark
+    # side recovers the exact byte from the float32 feature.
+    oracles["multimodal_png_luma"] = (
+        "SELECT vec_id AS media_id, CAST(SUM(b) AS BIGINT) AS luma_sum "
+        "FROM (SELECT vec_id, LEAST(255, FLOOR(ABS(CAST("
+        "embedding[16*(i//4) + 2*(i%4) + 1] AS DOUBLE)) * 512.0)) AS b "
+        "FROM embeddings, range(16) t(i) WHERE vec_id < 64) "
+        "GROUP BY vec_id"
+    )
+    # A FLAT 8x8 block survives baseline JPEG as its DC coefficient:
+    # quality-90 luma Q[0,0] = 3 (Annex-K 16 scaled by 0.2, floored at
+    # >= 1 after rounding), DC of a flat block of value v is 8(v-128),
+    # and decode is dequant + IDCT + level shift — so the decoded byte
+    # is clamp(round(round(8(v-128)/3)*3/8) + 128), verified against
+    # the codec for every v in 0..255. 16 thumbnail samples of the
+    # same byte -> luma_sum = 16 * that.
+    oracles["multimodal_jpeg_flat_luma"] = (
+        "SELECT vec_id AS media_id, CAST(16 * GREATEST(0, LEAST(255, "
+        "ROUND(ROUND((8*(b-128))/3.0)*3.0/8.0) + 128)) AS BIGINT) AS luma_sum "
+        "FROM (SELECT vec_id, LEAST(255, FLOOR(ABS(CAST(embedding[1] AS "
+        "DOUBLE)) * 512.0)) AS b FROM embeddings WHERE vec_id < 64)"
+    )
     oracles["embedding_neardup_pairs"] = None  # LSH candidates: rows-only
     oracles["incremental_embedding_pairs"] = None  # LSH candidates: rows-only
     # The video query has an EXACT SQL oracle: the render is

@@ -83,19 +83,21 @@ def read_rollup(
     count-only rollup (``value_col=None`` at the sink) — so the no-data
     and with-data schemas match.
     """
-    has_files = os.path.isdir(out_dir) and any(
-        f.endswith(".parquet")
-        for _, _, fs in os.walk(out_dir)
-        for f in fs
-    )
-    if not has_files:
+    # probe by ATTEMPTING the read instead of a driver-local os.walk —
+    # works identically on HDFS/S3, where a local directory scan would
+    # wrongly report "no data yet" forever
+    from pyspark.errors import AnalysisException
+
+    try:
+        partials = spark.read.parquet(out_dir)
+        partials.schema  # force schema inference now
+    except AnalysisException:
         fields = "bucket timestamp, cnt bigint"
         aggs = [F.sum("cnt").alias("cnt")]
         if total_type is not None:
             fields += f", total {total_type}"
             aggs.append(F.sum("total").alias("total"))
         return spark.createDataFrame([], fields).groupBy("bucket").agg(*aggs)
-    partials = spark.read.parquet(out_dir)
     aggs = [F.sum("cnt").alias("cnt")]
     if "total" in partials.columns:
         aggs.append(F.sum("total").alias("total"))

@@ -425,12 +425,14 @@ def run_embed_incremental(spark, index_n: int, batch_n: int = 5_000) -> dict:
 
 
 def run_decontamination(spark, n: int, bench_n: int = 1_000) -> dict:
-    """13-gram benchmark decontamination against the biggest tier: a
-    1k-doc synthetic benchmark (half verbatim copies of corpus docs,
-    half fresh) scanned against the n-doc training corpus. The train
-    side reduces to its distinct 13-gram set via partial-aggregated
-    groupBy — the 100 TB-side cost is ONE shingle scan + one keyed
-    shuffle of distinct shingles, measured here end to end cold."""
+    """13-gram benchmark decontamination at tier ``n``: a 1k-doc
+    synthetic benchmark (half verbatim copies of corpus docs, half
+    fresh) scanned against the n-doc training corpus. The corpus side
+    is semi-join-FILTERED map-side against the broadcast bench shingle
+    set before anything shuffles (ngram_overlap_join), so the 100 TB-
+    side cost is ONE shingle scan — run at every tier, the per-tier
+    times are the linearity curve (growth should track corpus scan
+    size, not shuffle volume)."""
     import numpy as np
     import pandas as pd
 
@@ -470,6 +472,59 @@ def run_decontamination(spark, n: int, bench_n: int = 1_000) -> dict:
     res["flagged"] = out.filter(F.col("flagged")).count()
     out.unpersist()
     bench.unpersist()
+    return res
+
+
+def run_stream_ingest_flatness(spark, n: int, n_batches: int = 10) -> dict:
+    """Per-batch cost of the index-backed streaming near-dup ingest
+    guard (streaming/dedup.py:stream_neardup_ingest) as the index grows
+    from empty to ``n`` docs: every micro-batch pays one signature pass
+    over ITSELF plus a bucket equi-join against the STORED band index
+    — never a re-signature of the index — so per-batch wall time must
+    stay ~flat while the index grows linearly (the O(index)-per-batch
+    regression this round removed would show as a rising ramp)."""
+    import shutil as _shutil
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.streaming.dedup import (
+        stream_neardup_ingest,
+    )
+
+    docs = spark.read.parquet(f"{WORK}/docs_{n}")
+    base = tempfile.mkdtemp(prefix="ingest_flat_")
+    src = f"{base}/src"
+    docs.repartition(n_batches).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_neardup_ingest(
+        stream,
+        f"{base}/out",
+        f"{base}/idx",
+        f"{base}/chk",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(1800)
+    per_batch = [
+        round(float(p["durationMs"]["triggerExecution"]) / 1000.0, 2)
+        for p in q.recentProgress
+    ]
+    res: dict = {
+        "kind": "stream_ingest_flatness",
+        "n": n,
+        "batches": len(per_batch),
+        "per_batch_s": per_batch,
+    }
+    # ramp ratio over the steady region (batch 0 pays startup + index
+    # creation): mean of the last 3 batches vs batches 1-3 — ~1.0 is
+    # flat, the removed O(index) recompute would trend toward n_batches
+    if len(per_batch) >= 7:
+        head = sum(per_batch[1:4]) / 3.0
+        tail = sum(per_batch[-3:]) / 3.0
+        res["ramp_ratio_tail_vs_head"] = round(tail / max(head, 1e-9), 3)
+    _shutil.rmtree(base, ignore_errors=True)
     return res
 
 
@@ -549,9 +604,13 @@ def main() -> None:
     ei = run_embed_incremental(spark, max(tiers))
     results.append(ei)
     print(json.dumps(ei), flush=True)
-    de = run_decontamination(spark, max(tiers))
-    results.append(de)
-    print(json.dumps(de), flush=True)
+    for n in tiers:  # the decontamination linearity curve
+        de = run_decontamination(spark, n)
+        results.append(de)
+        print(json.dumps(de), flush=True)
+    fl = run_stream_ingest_flatness(spark, sorted(tiers)[len(tiers) // 2])
+    results.append(fl)
+    print(json.dumps(fl), flush=True)
     cur = run_curation(spark, max(tiers))
     results.append(cur)
     print(json.dumps(cur), flush=True)
