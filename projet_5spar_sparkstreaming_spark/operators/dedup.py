@@ -855,6 +855,7 @@ def minhash_near_dup_pairs(
     verify: bool = True,
     signature_impl: str = "arrow",
     max_bucket_size: int | None = None,
+    precomputed_sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup detection — the 100 TB dedup path.
 
@@ -873,9 +874,17 @@ def minhash_near_dup_pairs(
     duplication, better handled by running ``fingerprint_dedup`` /
     ``exact_dedup`` BEFORE minhash, which collapses identical payloads
     for free). None (default) keeps every bucket.
+
+    ``precomputed_sig`` feeds an already-computed (and ideally cached)
+    (__id, __sig) table, skipping the signature stage — the streaming
+    ingest guard computes ONE signature pass per micro-batch and shares
+    it across the within-batch self-join, the stored-index query and
+    the index append.
     """
     rows_per_band = num_hashes // bands
-    if signature_impl == "arrow":
+    if precomputed_sig is not None:
+        sig = precomputed_sig
+    elif signature_impl == "arrow":
         sig = minhash_signature_arrow(df, id_col, text_col, n, num_hashes)
     else:
         sig = df.select(
@@ -886,7 +895,8 @@ def minhash_near_dup_pairs(
     # both sides, and when AQE broadcasts one side that side is a
     # separate physical subtree — without the cache it would re-run the
     # whole Arrow signature stage. With verify, the estimate join below
-    # reuses the same cache on both of its sides too.
+    # reuses the same cache on both of its sides too. (Re-caching a
+    # caller-cached precomputed_sig is a no-op.)
     sig = sig.cache()
     banded = _banded_buckets(sig, bands, rows_per_band)
     if max_bucket_size is not None:
@@ -1285,6 +1295,7 @@ def build_minhash_index(
     num_hashes: int = 64,
     bands: int = 16,
     batch_id: int = 0,
+    precomputed_sig: DataFrame | None = None,
 ) -> None:
     """Persist the minhash dedup index the docstrings' production
     framing keeps promising: signatures and band buckets are
@@ -1308,7 +1319,8 @@ def build_minhash_index(
     spark = docs.sparkSession
     delete_path(spark, index_path)
     n_rows = _write_minhash_batch(
-        docs, index_path, id_col, text_col, n, num_hashes, bands, batch_id
+        docs, index_path, id_col, text_col, n, num_hashes, bands, batch_id,
+        precomputed_sig=precomputed_sig,
     )
     write_json(
         spark,
@@ -1331,11 +1343,18 @@ def _write_minhash_batch(
     num_hashes: int,
     bands: int,
     batch_id: int,
+    precomputed_sig: DataFrame | None = None,
 ) -> int:
     """Write one batch's sigs + bands into the index's ``batch_id=N``
     subdirs (overwrite — a replayed batch replaces itself) and return
     the batch's row count (O(batch), never O(index))."""
-    sig = minhash_signature_arrow(docs, id_col, text_col, n, num_hashes).cache()
+    if precomputed_sig is not None:
+        sig, own_cache = precomputed_sig, False
+    else:
+        sig, own_cache = (
+            minhash_signature_arrow(docs, id_col, text_col, n, num_hashes).cache(),
+            True,
+        )
     sig.select(F.col("__id").alias("id"), F.col("__sig").alias("sig")).write.mode(
         "overwrite"
     ).parquet(f"{index_path}/sigs/batch_id={batch_id}")
@@ -1343,7 +1362,8 @@ def _write_minhash_batch(
         F.col("__id").alias("id"), "band", "bucket"
     ).write.mode("overwrite").parquet(f"{index_path}/bands/batch_id={batch_id}")
     n_rows = sig.count()
-    sig.unpersist()
+    if own_cache:
+        sig.unpersist()
     return n_rows
 
 
@@ -1353,6 +1373,7 @@ def append_to_minhash_index(
     id_col: str,
     text_col: str,
     batch_id: int,
+    precomputed_sig: DataFrame | None = None,
 ) -> int:
     """Append a new batch to an existing minhash index (the daily /
     per-micro-batch increment): parameters come FROM the stored
@@ -1380,6 +1401,7 @@ def append_to_minhash_index(
         meta["num_hashes"],
         meta["bands"],
         batch_id,
+        precomputed_sig=precomputed_sig,
     )
     meta.setdefault("batches", {})[str(batch_id)] = n_rows
     write_json(spark, _minhash_meta_path(index_path), meta)
@@ -1454,6 +1476,7 @@ def minhash_query_index(
     threshold: float = 0.8,
     verify: bool = True,
     max_batch_id_exclusive: int | None = None,
+    precomputed_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a new batch against a STORED minhash index
     (``build_minhash_index``): identical semantics and — same corpus,
@@ -1466,7 +1489,11 @@ def minhash_query_index(
     ``batch_id >= `` it from BOTH scans — the replay-idempotency guard
     for the streaming ingest path, where a crashed micro-batch may have
     written its own rows to the index before the checkpoint committed
-    (every doc would otherwise self-match at 1.0 and be dropped)."""
+    (every doc would otherwise self-match at 1.0 and be dropped).
+    ``precomputed_sig``: caller-supplied (__id, __sig) table for the
+    new batch (MUST have been computed with the index's pinned params —
+    the streaming guard guarantees this by reading them from the meta
+    first); skips this function's own signature pass."""
     spark = new_docs.sparkSession
     meta = read_minhash_meta(spark, index_path)
     if meta is None:
@@ -1479,9 +1506,12 @@ def minhash_query_index(
             df = df.filter(F.col("batch_id") < F.lit(max_batch_id_exclusive))
         return df.drop("batch_id")
 
-    sig_new = minhash_signature_arrow(new_docs, id_col, text_col, n, num_hashes)
-    if verify:
-        sig_new = sig_new.cache()
+    if precomputed_sig is not None:
+        sig_new = precomputed_sig
+    else:
+        sig_new = minhash_signature_arrow(new_docs, id_col, text_col, n, num_hashes)
+        if verify:
+            sig_new = sig_new.cache()
     a = _banded_buckets(sig_new, bands, num_hashes // bands).alias("a")
     b = _scan("bands").select(F.col("id").alias("__id"), "band", "bucket").alias("b")
     cand = (

@@ -44,11 +44,15 @@ def minhash_ingest_batch(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    precomputed_sig=None,
 ) -> DataFrame:
     """One micro-batch of the text near-dup ingest guard as a pure
     batch plan — factored out so tests can ``explain`` it: the index
     side must appear as parquet FileScans of ``{index}/bands`` and
     ``{index}/sigs`` (no text column, no index-side re-signature).
+    ``precomputed_sig`` shares ONE batch signature table across the
+    stored-index query and the within-batch self-join (the streaming
+    guard also reuses it for the index append).
 
     Admission rule (deterministic, order-of-arrival):
       - drop a doc if it near-dups ANY document from an EARLIER batch
@@ -84,6 +88,7 @@ def minhash_ingest_batch(
                 text_col,
                 threshold=threshold,
                 max_batch_id_exclusive=batch_id,
+                precomputed_sig=precomputed_sig,
             )
             .select(F.col("id_a").alias(id_col))
             .distinct()
@@ -92,6 +97,7 @@ def minhash_ingest_batch(
         minhash_near_dup_pairs(
             batch, id_col, text_col,
             n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+            precomputed_sig=precomputed_sig,
         )
         .select(F.col("id_b").alias(id_col))  # id_a < id_b: keep min id
         .distinct()
@@ -138,26 +144,44 @@ def stream_neardup_ingest(
     from projet_5spar_sparkstreaming_spark.operators.dedup import (
         append_to_minhash_index,
         build_minhash_index,
+        minhash_signature_arrow,
         read_minhash_meta,
     )
     from projet_5spar_sparkstreaming_spark.streaming.sinks import foreach_batch_sink
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(id_col, text_col).cache()
+        # parameters come FROM the index once it exists (a stream
+        # resumed over an index built with different knobs must follow
+        # the index, or bucket joins compare incompatible hashes)
+        meta = read_minhash_meta(batch.sparkSession, index_dir)
+        p_n, p_hashes, p_bands = (
+            (meta["n"], meta["num_hashes"], meta["bands"])
+            if meta is not None
+            else (n, num_hashes, bands)
+        )
+        # ONE signature pass per micro-batch, shared by the stored-index
+        # query, the within-batch self-join AND the index append
+        sig = minhash_signature_arrow(batch, id_col, text_col, p_n, p_hashes).cache()
         survivors = minhash_ingest_batch(
             batch, index_dir, batch_id, id_col, text_col, threshold,
-            n=n, num_hashes=num_hashes, bands=bands,
+            n=p_n, num_hashes=p_hashes, bands=p_bands, precomputed_sig=sig,
         )
         survivors.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
-        if read_minhash_meta(batch.sparkSession, index_dir) is None:
+        if meta is None:
             build_minhash_index(
                 batch, index_dir, id_col, text_col,
-                n=n, num_hashes=num_hashes, bands=bands, batch_id=batch_id,
+                n=p_n, num_hashes=p_hashes, bands=p_bands, batch_id=batch_id,
+                precomputed_sig=sig,
             )
         else:
-            append_to_minhash_index(batch, index_dir, id_col, text_col, batch_id)
+            append_to_minhash_index(
+                batch, index_dir, id_col, text_col, batch_id,
+                precomputed_sig=sig,
+            )
+        sig.unpersist()
         batch.unpersist()
 
     os.makedirs(out_dir, exist_ok=True)
