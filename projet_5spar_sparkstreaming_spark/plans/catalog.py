@@ -688,13 +688,15 @@ def q_stream_curate_corpus(spark, sf_dir):
 
 def q_stream_neardup_ingest(spark, sf_dir):
     # Streaming NEAR-dup ingest guard (streaming/dedup.py:
-    # stream_neardup_ingest): each micro-batch checks against the
-    # accumulated index of everything previously seen (banded cross
-    # join, index never self-joined) and drops near-dup arrivals.
-    # Approximate admission (minhash) — rows-only; the drop/keep
-    # semantics incl. cross-batch, within-batch min-id, and
-    # dropped-doc-still-indexes cases are pinned by
-    # tests/test_streaming.py::test_stream_neardup_ingest_guard.
+    # stream_neardup_ingest): each micro-batch signs ITSELF once and
+    # bucket-equi-joins the STORED band index of everything previously
+    # seen (signatures persisted per batch — no index re-signature,
+    # never self-joined) and drops near-dup arrivals. Approximate
+    # admission (minhash) — rows-only; the drop/keep semantics incl.
+    # cross-batch, within-batch min-id, dropped-doc-still-indexes and
+    # crash-replay exclusion cases are pinned by
+    # tests/test_streaming.py::test_stream_neardup_ingest_guard and
+    # tests/test_index_lifecycle.py.
     import tempfile
 
     from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
