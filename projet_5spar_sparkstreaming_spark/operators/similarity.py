@@ -396,36 +396,150 @@ def build_ivf_index(
     sample_limit: int = 100_000,
 ) -> int:
     """Persist an IVF index: the corpus cell-assigned and written as
-    parquet PARTITIONED BY cell, plus the quantizer in
+    parquet PARTITIONED BY (cell, batch_id), plus the quantizer in
     ``_centroids.json``. Build once, query many — ``query_ivf_index``
     reads only the probed cells via static partition pruning, so a
     query against a 100 TB index scans n_probe cells, not the corpus.
     Centroids are seed-deterministic: rebuilds produce the identical
-    index. The quantizer file goes through the Hadoop FileSystem
-    abstraction (fsio), so the index works on object storage exactly
-    as on local disk. Returns the cell count."""
-    from projet_5spar_sparkstreaming_spark.fsio import write_json
+    index. Metadata goes through the Hadoop FileSystem abstraction
+    (fsio), so the index works on object storage exactly as on local
+    disk.
 
+    Lifecycle: grow with ``append_to_ivf_index`` (new batches are
+    assigned with the STORED quantizer — standard IVF practice; the
+    per-batch row counts in the metadata make the
+    rebuild-when-the-corpus-outgrows-the-quantizer decision
+    mechanical), bound small files with ``compact_ivf_index``.
+    Returns the cell count."""
+    from projet_5spar_sparkstreaming_spark.fsio import delete_path, write_json
+
+    spark = corpus.sparkSession
     cent = _train_ivf_centroids(
         corpus, corpus_id, corpus_vec, n_centroids, kmeans_iters, sample_limit
     )
-    (
-        _assign_ivf_cells(corpus, cent, corpus_id, corpus_vec)
+    delete_path(spark, index_path)
+    n_rows = _write_ivf_batch(corpus, index_path, corpus_id, corpus_vec, cent, 0)
+    write_json(
+        spark,
+        index_path.rstrip("/") + "/_centroids.json",
+        {"centroids": cent.tolist(), "batches": {"0": n_rows}},
+    )
+    return len(cent)
+
+
+def _write_ivf_batch(
+    vecs: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    cent,
+    batch_id: int,
+) -> int:
+    """Cell-assign one batch with quantizer ``cent`` and write it under
+    (cell, batch_id) hive partitions via DYNAMIC partition overwrite —
+    a replayed batch replaces exactly its own (cell, batch) partitions,
+    never another batch's rows. Returns the batch row count."""
+    assigned = (
+        _assign_ivf_cells(vecs, cent, id_col, vec_col)
         .select(
             F.col("__cid").alias("id"),
             F.col("__cell").alias("cell"),
             F.col("__cv").alias("vec"),
         )
-        .write.mode("overwrite")
-        .partitionBy("cell")
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
+    (
+        assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "batch_id")
         .parquet(index_path)
     )
-    write_json(
-        corpus.sparkSession,
-        index_path.rstrip("/") + "/_centroids.json",
-        {"centroids": cent.tolist()},
+    return vecs.count()
+
+
+def append_to_ivf_index(
+    vecs: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str = "embedding",
+    batch_id: int = 1,
+) -> int:
+    """Append a batch to a stored IVF index: vectors are cell-assigned
+    with the STORED quantizer (one Arrow pass over the batch — the
+    index is neither read nor re-assigned) and land in their own
+    (cell, batch_id) partitions, so replays replace themselves.
+    Queries see the union immediately; partition pruning is unchanged
+    (``cell`` stays the leading partition column). Cells grow with the
+    corpus under a fixed quantizer — per-batch counts accumulate in
+    ``_centroids.json`` so callers can trigger a rebuild (which
+    retrains centroids) when the index outgrows its cell geometry
+    (~4x is the usual rule). Returns the batch row count."""
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.fsio import read_json, write_json
+
+    spark = vecs.sparkSession
+    meta_path = index_path.rstrip("/") + "/_centroids.json"
+    meta = read_json(spark, meta_path)
+    if meta is None:
+        raise FileNotFoundError(f"no IVF index at {index_path}")
+    cent = np.array(meta["centroids"], dtype=np.float64)
+    n_rows = _write_ivf_batch(vecs, index_path, id_col, vec_col, cent, batch_id)
+    meta.setdefault("batches", {})[str(batch_id)] = n_rows
+    write_json(spark, meta_path, meta)
+    return n_rows
+
+
+def compact_ivf_index(
+    spark,
+    index_path: str,
+    keep_last: int = 1,
+    target_partitions: int | None = None,
+) -> dict:
+    """Small-file compaction for an appended-to IVF index — same
+    contract as ``compact_minhash_index``: newest ``keep_last`` batches
+    keep their ids, older ones merge under the minimum merged id;
+    query results identical pre/post (test-enforced); rewrite to a
+    ``__compact`` sibling then rename-swap. The quantizer file rides
+    along untouched. Returns the updated meta."""
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        delete_path,
+        read_json,
+        rename_path,
+        write_json,
     )
-    return len(cent)
+
+    meta_path = index_path.rstrip("/") + "/_centroids.json"
+    meta = read_json(spark, meta_path)
+    if meta is None:
+        raise FileNotFoundError(f"no IVF index at {index_path}")
+    batch_ids = sorted(int(b) for b in meta.get("batches", {}))
+    merged = batch_ids[: max(0, len(batch_ids) - keep_last)]
+    if len(merged) < 2:
+        return meta
+    merged_id = min(merged)
+    n_parts = target_partitions or spark.sparkContext.defaultParallelism
+    remap = F.when(
+        F.col("batch_id").isin(merged), F.lit(merged_id)
+    ).otherwise(F.col("batch_id"))
+    (
+        spark.read.parquet(index_path)
+        .withColumn("batch_id", remap)
+        .repartition(n_parts, "cell", "batch_id")
+        .write.mode("overwrite")
+        .partitionBy("cell", "batch_id")
+        .parquet(index_path + "__compact")
+    )
+    # carry the quantizer into the new tree BEFORE the swap so a reader
+    # never sees an index directory without its _centroids.json
+    write_json(spark, index_path + "__compact/_centroids.json", meta)
+    delete_path(spark, index_path)
+    rename_path(spark, index_path + "__compact", index_path)
+    batches = meta["batches"]
+    merged_rows = sum(batches.pop(str(b)) for b in merged)
+    batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
+    write_json(spark, meta_path, meta)
+    return meta
 
 
 def query_ivf_index(

@@ -408,3 +408,64 @@ def test_embed_ingest_batch_replay_no_self_match(spark, tmp_path):
         _vecs_df(spark, b1), idx, 1, "vec_id", "embedding", threshold=0.95
     )
     assert sorted(r["vec_id"] for r in survivors.collect()) == [101, 102]
+
+
+def test_ivf_index_append_query_compact(spark, sf_dir, tmp_path):
+    """IVF lifecycle: append assigns new vectors with the STORED
+    quantizer (queries see the union immediately), replayed appends
+    replace themselves, and compaction preserves query results."""
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        brute_force_top_k_arrow,
+        compact_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b0 = emb.filter(F.col("vec_id") % 3 != 0)
+    b1 = emb.filter((F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 2 == 0))
+    b2 = emb.filter((F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 2 == 1))
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(b0, idx, "vec_id", "embedding", n_centroids=16)
+    append_to_ivf_index(b1, idx, "vec_id", "embedding", batch_id=1)
+    append_to_ivf_index(b2, idx, "vec_id", "embedding", batch_id=2)
+    meta = read_json(spark, idx + "/_centroids.json")
+    assert set(meta["batches"]) == {"0", "1", "2"}
+    assert sum(meta["batches"].values()) == emb.count()
+
+    def _res(k=5, n_probe=6):
+        return {
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in query_ivf_index(
+                spark, queries, idx, "vec_id", "embedding", k=k, n_probe=n_probe
+            ).collect()
+        }
+
+    after_append = _res()
+    assert after_append
+    # appended vectors are genuinely searchable: recall vs brute force
+    # over the FULL corpus (probing generously to isolate append
+    # correctness from quantizer coarseness)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_top_k_arrow(
+            queries, emb, "vec_id", "vec_id", k=5
+        ).collect()
+    }
+    got = {(q, n) for q, n, _, _ in _res(k=5, n_probe=12)}
+    assert len(exact & got) / len(exact) >= 0.9
+
+    # replay idempotency: re-appending batch 2 replaces it
+    append_to_ivf_index(b2, idx, "vec_id", "embedding", batch_id=2)
+    assert _res() == after_append
+    assert read_json(spark, idx + "/_centroids.json")["batches"] == meta["batches"]
+
+    # compaction: batches 0-1 merge under id 0, batch 2 keeps its id;
+    # results identical, quantizer intact
+    meta2 = compact_ivf_index(spark, idx, keep_last=1, target_partitions=2)
+    assert set(meta2["batches"]) == {"0", "2"}
+    assert _res() == after_append
