@@ -1596,6 +1596,108 @@ def q7_nation_volume(spark, sf_dir):
     )
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    # TPC-H Q2 shape: correlated-minimum subquery — for each qualifying
+    # part (p_size <= 15, p_type LARGE), the EUROPE supplier(s) whose
+    # observed unit price equals the per-part minimum. The testdata has
+    # no partsupp; the (part, supplier) cost relation derives from
+    # lineitem — the same substitution q11/q16/q20 use. The correlated
+    # MIN lowers to a window over the grouped aggregate: no self-join,
+    # and the window shuffle moves only (part, supplier)-grain rows,
+    # never lineitem grain. Unit cost is exact integer micro-units
+    # (cents*1e4 div qty — quantities are integral): min/equality are
+    # engine-independent, no double ROUND boundary (cf. _avg4_cents).
+    from pyspark.sql import Window
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_brand")
+    )
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost_e6 = F.expr(
+        "(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+        " * 10000) div CAST(l_quantity AS BIGINT)"
+    )
+    costs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", cost_e6.alias("__c"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("__c").alias("__cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        costs.withColumn("__min", F.min("__cost").over(w))
+        .filter(F.col("__cost") == F.col("__min"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            (F.col("__cost").cast("double") / F.lit(1000000.0)).alias("unit_cost"),
+        )
+    )
+
+
+def q8_market_share(spark, sf_dir):
+    # TPC-H Q8 shape: national market share — the widest diamond in the
+    # suite (fact joins part + supplier + orders + customer + nation in
+    # TWO roles + region). Dimension lookups broadcast; supplier/
+    # customer/orders are fact-scaled and shuffle on their keys. Share =
+    # NATION_7-supplied fraction of STANDARD-part volume delivered to
+    # EUROPE customers, per order year. Both sums exact decimal; one
+    # double division on the two totals (cf. q14).
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    reg = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(reg), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nkey"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    nat_vol = F.sum(F.when(F.col("supp_nation") == "NATION_7", _rev()).otherwise(zero))
+    tot_vol = F.sum(_rev())
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(nat_vol.cast("double") / tot_vol.cast("double"), 4).alias("mkt_share")
+    )
+
+
 def q_customer_quartiles(spark, sf_dir):
     # ntile ranking: account-balance quartile stats per market segment.
     # Deterministic because the ntile ordering is total (tie-break on
@@ -3113,6 +3215,91 @@ def q_embedding_neardup_containment(spark, sf_dir):
     return _pair_cosine_escapees(emitted, emb, emb, floor=0.25)
 
 
+def q_stored_minhash_containment(spark, sf_dir):
+    # The PERSISTED-index daily shape executed inside the graded
+    # contract: build the minhash index over the even-doc_id half
+    # (sigs + band buckets, temp store), query the odd half against the
+    # STORE (operators/dedup.py:minhash_query_index — the index is
+    # scanned, never re-signed), then assert the containment contract:
+    # every emitted pair must clear exact cross-set trigram Jaccard 0.3
+    # (estimated J >= 0.5 with 64 hashes puts true pairs far above it).
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_query_index,
+        ngram_jaccard_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    store = tempfile.mkdtemp(prefix="mh_store_")
+    build_minhash_index(index_docs, store, "doc_id", "text")
+    emitted = minhash_query_index(
+        new_batch, store, "doc_id", "text", threshold=0.5
+    )
+    exact = ngram_jaccard_join(
+        new_batch, index_docs, "doc_id", "text", n=3, threshold=0.3
+    ).select("id_a", "id_b")
+    return (
+        emitted.select("id_a", "id_b")
+        .join(exact, ["id_a", "id_b"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_escapees"))
+    )
+
+
+def q_stored_embed_lsh_containment(spark, sf_dir):
+    # Embedding twin: build the persisted sign-LSH index (bucket rows +
+    # vectors) over the even-vec_id half, query the odd half against
+    # the STORE (embed_lsh_query_index — stored buckets scanned, never
+    # re-bucketized), containment-check every emitted pair on the
+    # independent expression path. expected_rows pinned (the embeddings
+    # table is fixed-size at every sf) so params are deterministic.
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        build_embed_lsh_index,
+        embed_lsh_query_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    new_batch = emb.filter(F.col("vec_id") % 2 == 1)
+    index_vecs = emb.filter(F.col("vec_id") % 2 == 0)
+    store = tempfile.mkdtemp(prefix="emb_store_")
+    build_embed_lsh_index(
+        index_vecs, store, "vec_id", "embedding",
+        recall_at=0.5, target_recall=0.9, expected_rows=2048,
+    )
+    emitted = embed_lsh_query_index(
+        new_batch, store, "vec_id", "embedding", threshold=0.3
+    )
+    return _pair_cosine_escapees(emitted, new_batch, index_vecs, floor=0.25)
+
+
+def q_stored_ivf_containment(spark, sf_dir):
+    # Stored-IVF twin: build the cell-partitioned index (pinned 16
+    # cells — deterministic at the fixed-size embeddings table), query
+    # through the persisted quantizer with static partition pruning,
+    # containment-check the emitted neighbors against the exact
+    # relaxed top-40 on the expression path.
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    store = tempfile.mkdtemp(prefix="ivf_store_")
+    build_ivf_index(emb, store, "vec_id", "embedding", n_centroids=16)
+    emitted = query_ivf_index(
+        spark, queries, store, "vec_id", "embedding", k=5, n_probe=6
+    )
+    return _ann_containment_escapees(emitted, queries, emb, k_relaxed=40)
+
+
 def q_incremental_embedding_containment(spark, sf_dir):
     # Containment contract for the cross-set embedding dedup
     # (incremental_embedding_pairs): same truthfulness rule, sides
@@ -3648,6 +3835,46 @@ def _oracles() -> dict[str, str | None]:
             "  COUNT(*) OVER (PARTITION BY p_type) AS n FROM part"
             ") WHERE p_retailprice > CAST(cents AS DOUBLE) / (100.0 * n)"
         ),
+        "q2_min_cost_supplier": (
+            "WITH costs AS ("
+            "  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,"
+            "    MIN(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            "        * 10000 // CAST(l_quantity AS BIGINT)) AS cost_e6"
+            "  FROM lineitem"
+            "  JOIN part ON l_partkey = p_partkey"
+            "  JOIN supplier ON l_suppkey = s_suppkey"
+            "  JOIN nation ON s_nationkey = n_nationkey"
+            "  JOIN region ON n_regionkey = r_regionkey"
+            "  WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'"
+            "  GROUP BY 1, 2, 3, 4, 5, 6) "
+            "SELECT s_suppkey, s_name, s_acctbal, n_name, p_partkey, p_brand, "
+            "CAST(cost_e6 AS DOUBLE) / 1000000.0 AS unit_cost "
+            "FROM (SELECT *, MIN(cost_e6) OVER (PARTITION BY p_partkey) AS mn "
+            "      FROM costs) "
+            "WHERE cost_e6 = mn"
+        ),
+        "q8_market_share": (
+            "SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year, "
+            "ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_7' THEN "
+            "  CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "  (1 - CAST(l_discount AS DECIMAL(18,4))) "
+            "  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) / "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "  (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) "
+            "AS mkt_share "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+            "JOIN region ON n1.n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+            "WHERE p_type = 'STANDARD' AND r_name = 'EUROPE' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1"
+        ),
         "q7_nation_volume": (
             "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
             "EXTRACT(YEAR FROM l_shipdate) AS ship_year, "
@@ -4082,6 +4309,13 @@ def _oracles() -> dict[str, str | None]:
         "incremental_embedding_containment": (
             "SELECT CAST(0 AS BIGINT) AS n_escapees"
         ),
+        # persisted-index query paths (build store -> query store ->
+        # containment), executed inside the graded contract
+        "stored_minhash_containment": "SELECT CAST(0 AS BIGINT) AS n_escapees",
+        "stored_embed_lsh_containment": (
+            "SELECT CAST(0 AS BIGINT) AS n_escapees"
+        ),
+        "stored_ivf_containment": "SELECT CAST(0 AS BIGINT) AS n_escapees",
         "simhash_pairs": None,  # approximate: rows-only check
         "containment_pairs": (
             # directional: c / |A| (not symmetric Jaccard); a.doc_id !=
@@ -4408,7 +4642,9 @@ def catalog() -> list[CatalogQuery]:
         "q22_idle_balance": q22_idle_balance,
         "parts_above_type_avg": q_parts_above_type_avg,
         "running_value_by_user": q_running_value_by_user,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
         "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
         "customer_quartiles": q_customer_quartiles,
         "stratified_sample": q_stratified_sample,
         "grouping_sets_type_day": q_grouping_sets_type_day,
@@ -4466,6 +4702,9 @@ def catalog() -> list[CatalogQuery]:
         "knn_ivf_containment": q_knn_ivf_containment,
         "embedding_neardup_containment": q_embedding_neardup_containment,
         "incremental_embedding_containment": q_incremental_embedding_containment,
+        "stored_minhash_containment": q_stored_minhash_containment,
+        "stored_embed_lsh_containment": q_stored_embed_lsh_containment,
+        "stored_ivf_containment": q_stored_ivf_containment,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "embedding_pair_sims": q_embedding_pair_sims,
