@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "q7_nation_volume",
     "q9_nation_profit",
     "q21_waiting_suppliers",
+    # round-6 additions: the two remaining TPC-H shapes (widest join
+    # diamond + window-decorrelated correlated min)
+    "q2_min_cost_supplier",
+    "q8_market_share",
     # event analytics (reference-parity surface)
     "user_activity",
     "minute_window_counts",

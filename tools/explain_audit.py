@@ -54,6 +54,18 @@ CHECKS = {
     "parts_above_type_avg": [
         ("single scan, no self-join", "Window"),
     ],
+    "q2_min_cost_supplier": [
+        ("part size+type pushed", "LessThanOrEqual(p_size,15)"),
+        ("region filter pushed", "EqualTo(r_name,EUROPE)"),
+        ("correlated min decorrelated to window", "Window"),
+        ("dims broadcast", "BroadcastHashJoin"),
+    ],
+    "q8_market_share": [
+        ("part type pushed", "EqualTo(p_type,STANDARD)"),
+        ("order-date range pushed", "GreaterThanOrEqual(o_orderdate,1996-01-01"),
+        ("dims broadcast", "BroadcastHashJoin"),
+        ("partial agg", "HashAggregate"),
+    ],
     "q4_order_priority": [
         # size-based: broadcast at test SF, flips to shuffled SMJ at scale
         ("EXISTS lowered to left-semi", "LeftSemi"),
