@@ -45,19 +45,37 @@ def path_exists(spark: SparkSession, path: str) -> bool:
 def write_json(spark: SparkSession, path: str, obj: Any) -> None:
     """Serialize ``obj`` as UTF-8 JSON at ``path``, overwriting.
 
-    Written to a ``.tmp`` sibling then renamed, so a concurrent reader
-    never observes a half-written file (rename is atomic on HDFS and
-    posix; on S3 it is copy+delete — still never a torn file)."""
+    Written to a ``.tmp`` sibling, the live file renamed aside to
+    ``.old``, the ``.tmp`` renamed into place, then the aside copy
+    dropped — every rename's boolean result is CHECKED (Hadoop's
+    ``FileSystem.rename`` reports failure by returning false, not by
+    throwing), and a false raises ``IOError`` with the old content
+    still recoverable at ``.old`` instead of silently losing the
+    metadata update. A reader never observes a torn file; it can
+    observe "no file" for the instant between the two renames (on S3
+    rename is copy+delete, so the window is wider there)."""
     fs, hpath = _fs_path(spark, path)
-    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    tmp = jpath(path + ".tmp")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(obj).encode("utf-8")))
     finally:
         out.close()
+    old = jpath(path + ".old")
+    had_old = False
     if fs.exists(hpath):
-        fs.delete(hpath, False)
-    fs.rename(tmp, hpath)
+        if fs.exists(old):
+            fs.delete(old, False)  # stale aside from a prior crash
+        if not fs.rename(hpath, old):
+            raise IOError(f"rename {path} -> {path}.old failed")
+        had_old = True
+    if not fs.rename(tmp, hpath):
+        if had_old:
+            fs.rename(old, hpath)  # best-effort restore
+        raise IOError(f"rename {path}.tmp -> {path} failed")
+    if had_old:
+        fs.delete(old, False)
 
 
 def read_json(spark: SparkSession, path: str) -> Any | None:
@@ -86,3 +104,30 @@ def rename_path(spark: SparkSession, src: str, dst: str) -> bool:
     fs, hsrc = _fs_path(spark, src)
     hdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
     return bool(fs.rename(hsrc, hdst))
+
+
+def replace_path(spark: SparkSession, src: str, dst: str) -> None:
+    """Replace directory/file ``dst`` with ``src`` via rename-aside:
+    ``dst`` is first renamed to ``dst + "__old"`` (so a crash midway
+    leaves the previous data recoverable under a well-known name, never
+    deleted-but-not-yet-replaced), then ``src`` is renamed into place
+    and the aside copy dropped. Every rename result is checked; a
+    failed final rename restores the aside copy and raises.
+
+    NOT atomic for concurrent readers: there is a window where ``dst``
+    is absent, and on S3 a directory rename is a per-object copy+delete
+    — run compaction offline / between micro-batches only."""
+    fs, hdst = _fs_path(spark, dst)
+    old = dst + "__old"
+    delete_path(spark, old)  # stale aside from a prior crash
+    had_old = False
+    if fs.exists(hdst):
+        if not rename_path(spark, dst, old):
+            raise IOError(f"rename {dst} -> {old} failed")
+        had_old = True
+    if not rename_path(spark, src, dst):
+        if had_old:
+            rename_path(spark, old, dst)  # best-effort restore
+        raise IOError(f"rename {src} -> {dst} failed")
+    if had_old:
+        delete_path(spark, old)

@@ -1427,13 +1427,13 @@ def compact_minhash_index(
     semantics are preserved by construction. Query results are
     byte-identical pre/post (test-enforced): ``minhash_query_index``
     never looks at ``batch_id``. Rewrite goes to ``__compact`` siblings
-    then swaps via rename, so a concurrent reader sees old or new,
-    never a mix. Returns the updated meta."""
-    from projet_5spar_sparkstreaming_spark.fsio import (
-        delete_path,
-        rename_path,
-        write_json,
-    )
+    then swaps via checked rename-aside (``fsio.replace_path``): a
+    crash mid-swap leaves the previous subdir recoverable at
+    ``__old``, never deleted-without-replacement. The swap is NOT
+    atomic for concurrent readers (brief absent-dir window; wider on
+    S3 where directory rename is copy+delete) — run compaction offline
+    or between micro-batches. Returns the updated meta."""
+    from projet_5spar_sparkstreaming_spark.fsio import replace_path, write_json
 
     meta = read_minhash_meta(spark, index_path)
     if meta is None:
@@ -1459,8 +1459,7 @@ def compact_minhash_index(
             .partitionBy("batch_id")
             .parquet(path + "__compact")
         )
-        delete_path(spark, path)
-        rename_path(spark, path + "__compact", path)
+        replace_path(spark, path + "__compact", path)
     batches = meta["batches"]
     merged_rows = sum(batches.pop(str(b)) for b in merged)
     batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)

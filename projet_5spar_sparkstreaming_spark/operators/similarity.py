@@ -1234,12 +1234,11 @@ def compact_embed_lsh_index(
     older ones merge under the minimum merged id (always < any future
     batch, so every future ``batch_id < current`` filter includes
     them); query results identical pre/post (test-enforced); rewrite to
-    ``__compact`` siblings then rename-swap. Returns the updated meta."""
-    from projet_5spar_sparkstreaming_spark.fsio import (
-        delete_path,
-        rename_path,
-        write_json,
-    )
+    ``__compact`` siblings then checked rename-aside swap
+    (``fsio.replace_path`` — crash-recoverable, but not atomic for
+    concurrent readers: run offline / between micro-batches). Returns
+    the updated meta."""
+    from projet_5spar_sparkstreaming_spark.fsio import replace_path, write_json
 
     meta = read_embed_lsh_meta(spark, index_path)
     if meta is None:
@@ -1263,8 +1262,7 @@ def compact_embed_lsh_index(
             .partitionBy("batch_id")
             .parquet(path + "__compact")
         )
-        delete_path(spark, path)
-        rename_path(spark, path + "__compact", path)
+        replace_path(spark, path + "__compact", path)
     batches = meta["batches"]
     merged_rows = sum(batches.pop(str(b)) for b in merged)
     batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)

@@ -201,15 +201,28 @@ def write_jsonl(
     round-trips via ``spark.read.json``.
     """
     if shards is not None:
+        # Hash ROW CONTENT, not monotonically_increasing_id: a
+        # non-deterministic salt re-evaluates differently when a stage is
+        # recomputed after a fetch failure / speculative retry, and
+        # repartitioning on it can silently drop or duplicate rows (the
+        # SPARK-23207 hazard). Content-hashed rows always land in the same
+        # partition on recompute. Map columns are not hashable by
+        # xxhash64, so hash their JSON form instead.
+        from pyspark.sql.types import MapType
+
+        row_hash = F.xxhash64(*[
+            F.to_json(F.col(f.name)) if isinstance(f.dataType, MapType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ])
         if partition_by:
-            salt = F.pmod(
-                F.xxhash64(F.monotonically_increasing_id()), F.lit(shards)
-            )
+            salt = F.pmod(row_hash, F.lit(shards))
             df = df.withColumn("__shard_salt", salt).repartition(
                 shards * 4, *partition_by, "__shard_salt"
             ).drop("__shard_salt")
         else:
-            df = df.repartition(shards)
+            # hash- not round-robin-repartition for the same determinism
+            df = df.repartition(shards, row_hash)
     writer = df.write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)

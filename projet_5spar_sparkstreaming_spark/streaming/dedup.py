@@ -76,6 +76,15 @@ def minhash_ingest_batch(
 
     spark = batch.sparkSession
     meta = read_minhash_meta(spark, index_dir)
+    if meta is not None:
+        # Pin BOTH legs to the index's stored parameters: the cross-batch
+        # query always uses the meta's hash space, so the within-batch
+        # self-join must too, or a caller passing different n/num_hashes/
+        # bands would silently apply two different threshold semantics.
+        # (precomputed_sig, when supplied, must likewise have been built
+        # with the meta params — the streaming guard reads them from the
+        # meta before signing, so this holds by construction there.)
+        n, num_hashes, bands = meta["n"], meta["num_hashes"], meta["bands"]
     drop_cross = None
     if meta is not None and any(
         int(b) < batch_id for b in meta.get("batches", {})
