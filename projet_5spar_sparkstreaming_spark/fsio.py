@@ -63,10 +63,14 @@ def write_json(spark: SparkSession, path: str, obj: Any) -> None:
     finally:
         out.close()
     old = jpath(path + ".old")
+    if fs.exists(old):
+        # Stale aside from a prior crash — drop it UNCONDITIONALLY: after
+        # a crash between rename(live, old) and rename(tmp, live) the live
+        # file is absent, and cleaning only under `if exists(live)` would
+        # leave a .old older than the new content behind forever.
+        fs.delete(old, False)
     had_old = False
     if fs.exists(hpath):
-        if fs.exists(old):
-            fs.delete(old, False)  # stale aside from a prior crash
         if not fs.rename(hpath, old):
             raise IOError(f"rename {path} -> {path}.old failed")
         had_old = True

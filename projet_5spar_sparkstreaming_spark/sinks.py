@@ -207,12 +207,27 @@ def write_jsonl(
         # repartitioning on it can silently drop or duplicate rows (the
         # SPARK-23207 hazard). Content-hashed rows always land in the same
         # partition on recompute. Map columns are not hashable by
-        # xxhash64, so hash their JSON form instead.
-        from pyspark.sql.types import MapType
+        # xxhash64 — at ANY nesting depth (array<map<...>>, struct with a
+        # map field) — so hash the JSON form of any map-containing column.
+        # Backtick-quote names so dots stay literal (a bare F.col('a.b')
+        # parses as nested-field access and fails resolution).
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def _contains_map(dt) -> bool:
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return _contains_map(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_contains_map(f.dataType) for f in dt.fields)
+            return False
+
+        def _ref(name: str):
+            return F.col("`" + name.replace("`", "``") + "`")
 
         row_hash = F.xxhash64(*[
-            F.to_json(F.col(f.name)) if isinstance(f.dataType, MapType)
-            else F.col(f.name)
+            F.to_json(_ref(f.name)) if _contains_map(f.dataType)
+            else _ref(f.name)
             for f in df.schema.fields
         ])
         if partition_by:

@@ -41,9 +41,9 @@ def minhash_ingest_batch(
     id_col: str,
     text_col: str,
     threshold: float,
-    n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
+    n: int | None = None,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     precomputed_sig=None,
 ) -> DataFrame:
     """One micro-batch of the text near-dup ingest guard as a pure
@@ -79,12 +79,25 @@ def minhash_ingest_batch(
     if meta is not None:
         # Pin BOTH legs to the index's stored parameters: the cross-batch
         # query always uses the meta's hash space, so the within-batch
-        # self-join must too, or a caller passing different n/num_hashes/
-        # bands would silently apply two different threshold semantics.
-        # (precomputed_sig, when supplied, must likewise have been built
-        # with the meta params — the streaming guard reads them from the
-        # meta before signing, so this holds by construction there.)
+        # self-join must too, or two different threshold semantics would
+        # apply. Explicit caller params that CONTRADICT the meta raise
+        # (silently overriding them would also band a caller-built
+        # precomputed_sig with the wrong num_hashes//bands — wrong
+        # buckets, no error); None means "follow the index".
+        for arg, key in ((n, "n"), (num_hashes, "num_hashes"), (bands, "bands")):
+            if arg is not None and arg != meta[key]:
+                raise ValueError(
+                    f"minhash_ingest_batch: explicit {key}={arg} conflicts "
+                    f"with the index's pinned {key}={meta[key]} at "
+                    f"{index_dir}/_meta.json — the stored bands/sigs were "
+                    f"built in that hash space; pass {key}=None (or the "
+                    "meta value) and rebuild precomputed_sig accordingly"
+                )
         n, num_hashes, bands = meta["n"], meta["num_hashes"], meta["bands"]
+    else:
+        n = 3 if n is None else n
+        num_hashes = 64 if num_hashes is None else num_hashes
+        bands = 16 if bands is None else bands
     drop_cross = None
     if meta is not None and any(
         int(b) < batch_id for b in meta.get("batches", {})

@@ -469,3 +469,55 @@ def test_ivf_index_append_query_compact(spark, sf_dir, tmp_path):
     meta2 = compact_ivf_index(spark, idx, keep_last=1, target_partitions=2)
     assert set(meta2["batches"]) == {"0", "2"}
     assert _res() == after_append
+
+
+def test_write_json_cleans_stale_old_when_live_absent(spark, tmp_path):
+    """Regression (r7 advice): a crash between rename(live, .old) and
+    rename(.tmp, live) leaves .old present and live absent; the NEXT
+    write must still clear the stale .old (the old guard only cleaned
+    under `if exists(live)`, so the stale aside — older than the new
+    content — survived forever and could mislead manual recovery)."""
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        path_exists,
+        read_json,
+        rename_path,
+        write_json,
+    )
+
+    p = str(tmp_path / "m" / "_meta.json")
+    write_json(spark, p, {"v": 1})
+    # simulate the crash window: live moved aside, new copy never landed
+    assert rename_path(spark, p, p + ".old")
+    assert not path_exists(spark, p) and path_exists(spark, p + ".old")
+    write_json(spark, p, {"v": 2})
+    assert read_json(spark, p) == {"v": 2}
+    assert not path_exists(spark, p + ".old"), "stale .old left behind"
+
+
+def test_minhash_ingest_batch_param_conflict_raises(spark, tmp_path):
+    """Regression (r7 advice): explicit n/num_hashes/bands that
+    contradict the index's pinned meta must raise, not be silently
+    overridden — a caller-built precomputed_sig in the wrong hash
+    space would otherwise band into wrong buckets with no error."""
+    import pytest as _pytest
+
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from projet_5spar_sparkstreaming_spark.streaming.dedup import (
+        minhash_ingest_batch,
+    )
+
+    idx = str(tmp_path / "mh_idx")
+    docs = _docs_df(spark, [_doc(i, f"s{i}") for i in range(5)])
+    build_minhash_index(docs, idx, "doc_id", "text", num_hashes=64, batch_id=0)
+    with _pytest.raises(ValueError, match="num_hashes=32 conflicts"):
+        minhash_ingest_batch(
+            docs, idx, 1, "doc_id", "text", threshold=0.5, num_hashes=32
+        )
+    # None (follow-the-index) and the matching explicit value both pass;
+    # replayed as its OWN batch_id, the batch must not match itself
+    ok = minhash_ingest_batch(
+        docs, idx, 0, "doc_id", "text", threshold=0.5, num_hashes=64
+    )
+    assert ok.count() == 5

@@ -326,3 +326,28 @@ def test_write_jsonl_roundtrip(spark, sf_dir, tmp_path):
         for r in back.collect()
     }
     assert a == b
+
+
+def test_write_jsonl_nested_map_and_dotted_names(spark, tmp_path):
+    """Regression (r7 advice): the content-hash shard salt must route
+    NESTED map types (array<map>, struct-with-map) through to_json —
+    xxhash64 rejects MapType at any depth, not just top level — and
+    must reference dotted column names literally (F.col('a.b') parses
+    as a nested field; df['a.b'] does not)."""
+    from projet_5spar_sparkstreaming_spark.sinks import write_jsonl
+
+    df = spark.createDataFrame(
+        [
+            (1, [{"k": "v"}], {"tags": {"x": "1"}}, "d1"),
+            (2, [{"k": "w"}], {"tags": {"y": "2"}}, "d2"),
+            (3, [], {"tags": {}}, "d3"),
+        ],
+        "id long, maps array<map<string,string>>, "
+        "meta struct<tags: map<string,string>>, `dot.ted` string",
+    )
+    out = str(tmp_path / "nested")
+    write_jsonl(df, out, shards=2, compression=None)
+    back = spark.read.json(out)
+    assert back.count() == 3
+    got = {r["id"]: r["dot.ted"] for r in back.collect()}
+    assert got == {1: "d1", 2: "d2", 3: "d3"}
