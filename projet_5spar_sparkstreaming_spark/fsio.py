@@ -110,28 +110,43 @@ def rename_path(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(hsrc, hdst))
 
 
-def replace_path(spark: SparkSession, src: str, dst: str) -> None:
-    """Replace directory/file ``dst`` with ``src`` via rename-aside:
-    ``dst`` is first renamed to ``dst + "__old"`` (so a crash midway
-    leaves the previous data recoverable under a well-known name, never
-    deleted-but-not-yet-replaced), then ``src`` is renamed into place
-    and the aside copy dropped. Every rename result is checked; a
-    failed final rename restores the aside copy and raises.
+def list_dir(spark: SparkSession, path: str) -> list[str]:
+    """Child entry NAMES (not full paths) of directory ``path`` on its
+    own filesystem; empty list when the directory does not exist."""
+    fs, hpath = _fs_path(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
 
-    NOT atomic for concurrent readers: there is a window where ``dst``
-    is absent, and on S3 a directory rename is a per-object copy+delete
-    — run compaction offline / between micro-batches only."""
-    fs, hdst = _fs_path(spark, dst)
-    old = dst + "__old"
-    delete_path(spark, old)  # stale aside from a prior crash
-    had_old = False
-    if fs.exists(hdst):
-        if not rename_path(spark, dst, old):
-            raise IOError(f"rename {dst} -> {old} failed")
-        had_old = True
-    if not rename_path(spark, src, dst):
-        if had_old:
-            rename_path(spark, old, dst)  # best-effort restore
-        raise IOError(f"rename {src} -> {dst} failed")
-    if had_old:
-        delete_path(spark, old)
+
+def versioned_subdir(index_path: str, sub: str, version: int) -> str:
+    """Resolve an index data subtree for ``version``: version 0 is the
+    unsuffixed ``{index}/{sub}`` a freshly built index writes; each
+    compaction publishes ``{index}/{sub}_v{N}`` and flips the
+    ``version`` pointer in the index metadata (see
+    ``compact_minhash_index``) — readers resolve their scan paths
+    through the meta they loaded, so a compaction running concurrently
+    never makes their directories disappear."""
+    base = index_path.rstrip("/")
+    return f"{base}/{sub}" if version == 0 else f"{base}/{sub}_v{version}"
+
+
+def clean_versions_except(
+    spark: SparkSession, index_path: str, sub: str, keep: set[int]
+) -> None:
+    """Delete every version directory of ``sub`` under ``index_path``
+    whose version number is not in ``keep`` — both stale
+    next-version trees from a crashed compaction (written but never
+    published) and retired grace copies from the previous one."""
+    base = index_path.rstrip("/")
+    for name in list_dir(spark, base):
+        v = None
+        if name == sub:
+            v = 0
+        elif name.startswith(sub + "_v"):
+            try:
+                v = int(name[len(sub) + 2:])
+            except ValueError:
+                continue
+        if v is not None and v not in keep:
+            delete_path(spark, f"{base}/{name}")

@@ -1313,7 +1313,10 @@ def build_minhash_index(
     store. Grow with ``append_to_minhash_index``; bound the file count
     with ``compact_minhash_index``. Metadata goes through the Hadoop
     FileSystem abstraction (fsio) so the index works on object storage
-    exactly as on local disk."""
+    exactly as on local disk. The meta's ``version`` field points at
+    the live data subtree (``sigs``/``bands`` for version 0,
+    ``sigs_v{N}``/``bands_v{N}`` after N compactions) — readers resolve
+    their scan paths through it."""
     from projet_5spar_sparkstreaming_spark.fsio import delete_path, write_json
 
     spark = docs.sparkSession
@@ -1329,6 +1332,7 @@ def build_minhash_index(
             "n": n,
             "num_hashes": num_hashes,
             "bands": bands,
+            "version": 0,
             "batches": {str(batch_id): n_rows},
         },
     )
@@ -1344,10 +1348,17 @@ def _write_minhash_batch(
     bands: int,
     batch_id: int,
     precomputed_sig: DataFrame | None = None,
+    version: int = 0,
 ) -> int:
-    """Write one batch's sigs + bands into the index's ``batch_id=N``
-    subdirs (overwrite — a replayed batch replaces itself) and return
-    the batch's row count (O(batch), never O(index))."""
+    """Write one batch's sigs + bands into the version-``version`` data
+    subtree's ``batch_id=N`` subdirs (overwrite — a replayed batch
+    replaces itself) and return the batch's row count (O(batch), never
+    O(index)). The count rides the sigs write as an ``observe`` metric
+    — no separate count job per append/micro-batch."""
+    from pyspark.sql import Observation
+
+    from projet_5spar_sparkstreaming_spark.fsio import versioned_subdir
+
     if precomputed_sig is not None:
         sig, own_cache = precomputed_sig, False
     else:
@@ -1355,13 +1366,18 @@ def _write_minhash_batch(
             minhash_signature_arrow(docs, id_col, text_col, n, num_hashes).cache(),
             True,
         )
-    sig.select(F.col("__id").alias("id"), F.col("__sig").alias("sig")).write.mode(
-        "overwrite"
-    ).parquet(f"{index_path}/sigs/batch_id={batch_id}")
+    obs = Observation()
+    sig.select(F.col("__id").alias("id"), F.col("__sig").alias("sig")).observe(
+        obs, F.count(F.lit(1)).alias("rows")
+    ).write.mode("overwrite").parquet(
+        f"{versioned_subdir(index_path, 'sigs', version)}/batch_id={batch_id}"
+    )
     _banded_buckets(sig, bands, num_hashes // bands).select(
         F.col("__id").alias("id"), "band", "bucket"
-    ).write.mode("overwrite").parquet(f"{index_path}/bands/batch_id={batch_id}")
-    n_rows = sig.count()
+    ).write.mode("overwrite").parquet(
+        f"{versioned_subdir(index_path, 'bands', version)}/batch_id={batch_id}"
+    )
+    n_rows = int(obs.get["rows"])
     if own_cache:
         sig.unpersist()
     return n_rows
@@ -1402,6 +1418,7 @@ def append_to_minhash_index(
         meta["bands"],
         batch_id,
         precomputed_sig=precomputed_sig,
+        version=int(meta.get("version", 0)),
     )
     meta.setdefault("batches", {})[str(batch_id)] = n_rows
     write_json(spark, _minhash_meta_path(index_path), meta)
@@ -1426,14 +1443,27 @@ def compact_minhash_index(
     ``batch_id < current`` filter still includes — the replay-exclusion
     semantics are preserved by construction. Query results are
     byte-identical pre/post (test-enforced): ``minhash_query_index``
-    never looks at ``batch_id``. Rewrite goes to ``__compact`` siblings
-    then swaps via checked rename-aside (``fsio.replace_path``): a
-    crash mid-swap leaves the previous subdir recoverable at
-    ``__old``, never deleted-without-replacement. The swap is NOT
-    atomic for concurrent readers (brief absent-dir window; wider on
-    S3 where directory rename is copy+delete) — run compaction offline
-    or between micro-batches. Returns the updated meta."""
-    from projet_5spar_sparkstreaming_spark.fsio import replace_path, write_json
+    never looks at ``batch_id``.
+
+    READER-SAFE: the compacted data is written to fresh
+    ``sigs_v{N+1}``/``bands_v{N+1}`` sibling subtrees, then the meta's
+    ``version`` pointer flips to N+1 in one crash-safe ``write_json``
+    — a reader resolved its scan paths from the meta it loaded, so a
+    query running across the flip reads the version-N directories
+    (retained until the NEXT compaction begins) and a query planned
+    after it reads N+1; neither ever sees an absent directory, and
+    both return identical results (test-enforced). A crash before the
+    flip leaves the index live on version N with a stale N+1 tree that
+    the next compaction deletes before writing. WRITERS still
+    serialize: run compaction between appends (an append racing the
+    rewrite would land its batch in a subtree the flip abandons) — the
+    single-writer / many-reader discipline of every table format
+    without a lock service. Returns the updated meta."""
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        clean_versions_except,
+        versioned_subdir,
+        write_json,
+    )
 
     meta = read_minhash_meta(spark, index_path)
     if meta is None:
@@ -1443,27 +1473,31 @@ def compact_minhash_index(
     if len(merged) < 2:
         return meta  # nothing to merge
     merged_id = min(merged)
+    version = int(meta.get("version", 0))
     n_parts = target_partitions or spark.sparkContext.defaultParallelism
     remap = F.when(
         F.col("batch_id").isin(merged), F.lit(merged_id)
     ).otherwise(F.col("batch_id"))
     for sub in ("sigs", "bands"):
-        path = f"{index_path}/{sub}"
+        # drop crashed next-version trees AND grace copies older than
+        # the live version — in-flight readers of the LIVE version are
+        # untouched (their grace window runs until the next compaction)
+        clean_versions_except(spark, index_path, sub, {version})
         (
-            spark.read.parquet(path)
+            spark.read.parquet(versioned_subdir(index_path, sub, version))
             .withColumn("batch_id", remap)
             # spread each partition value over up to n_parts tasks by id
             # hash: bounded file count without one-giant-file skew
             .repartition(n_parts, "batch_id", "id")
             .write.mode("overwrite")
             .partitionBy("batch_id")
-            .parquet(path + "__compact")
+            .parquet(versioned_subdir(index_path, sub, version + 1))
         )
-        replace_path(spark, path + "__compact", path)
     batches = meta["batches"]
     merged_rows = sum(batches.pop(str(b)) for b in merged)
     batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
-    write_json(spark, _minhash_meta_path(index_path), meta)
+    meta["version"] = version + 1
+    write_json(spark, _minhash_meta_path(index_path), meta)  # the flip
     return meta
 
 
@@ -1498,9 +1532,15 @@ def minhash_query_index(
     if meta is None:
         raise FileNotFoundError(f"no minhash index at {index_path}")
     n, num_hashes, bands = meta["n"], meta["num_hashes"], meta["bands"]
+    version = int(meta.get("version", 0))
 
     def _scan(sub: str) -> DataFrame:
-        df = spark.read.parquet(f"{index_path}/{sub}")
+        # resolve through the loaded meta's version pointer: the data
+        # subtree this query lists stays on disk until the next
+        # compaction even if one flips the pointer mid-query
+        from projet_5spar_sparkstreaming_spark.fsio import versioned_subdir
+
+        df = spark.read.parquet(versioned_subdir(index_path, sub, version))
         if max_batch_id_exclusive is not None:
             df = df.filter(F.col("batch_id") < F.lit(max_batch_id_exclusive))
         return df.drop("batch_id")

@@ -396,7 +396,9 @@ def build_ivf_index(
     sample_limit: int = 100_000,
 ) -> int:
     """Persist an IVF index: the corpus cell-assigned and written as
-    parquet PARTITIONED BY (cell, batch_id), plus the quantizer in
+    parquet PARTITIONED BY (cell, batch_id) under the ``data`` subtree
+    (``data_v{N}`` after N compactions — the meta's ``version`` field
+    points readers at the live one), plus the quantizer in
     ``_centroids.json``. Build once, query many — ``query_ivf_index``
     reads only the probed cells via static partition pruning, so a
     query against a 100 TB index scans n_probe cells, not the corpus.
@@ -414,15 +416,20 @@ def build_ivf_index(
     from projet_5spar_sparkstreaming_spark.fsio import delete_path, write_json
 
     spark = corpus.sparkSession
+    # the quantizer training pays a count + a sample collect and the
+    # index write pays an assignment pass — cache the corpus so those
+    # three actions read one materialization, not three input scans
+    corpus = corpus.cache()
     cent = _train_ivf_centroids(
         corpus, corpus_id, corpus_vec, n_centroids, kmeans_iters, sample_limit
     )
     delete_path(spark, index_path)
     n_rows = _write_ivf_batch(corpus, index_path, corpus_id, corpus_vec, cent, 0)
+    corpus.unpersist()
     write_json(
         spark,
         index_path.rstrip("/") + "/_centroids.json",
-        {"centroids": cent.tolist(), "batches": {"0": n_rows}},
+        {"centroids": cent.tolist(), "version": 0, "batches": {"0": n_rows}},
     )
     return len(cent)
 
@@ -434,11 +441,20 @@ def _write_ivf_batch(
     vec_col: str,
     cent,
     batch_id: int,
+    version: int = 0,
 ) -> int:
     """Cell-assign one batch with quantizer ``cent`` and write it under
-    (cell, batch_id) hive partitions via DYNAMIC partition overwrite —
-    a replayed batch replaces exactly its own (cell, batch) partitions,
-    never another batch's rows. Returns the batch row count."""
+    (cell, batch_id) hive partitions of the version-``version`` data
+    subtree via DYNAMIC partition overwrite — a replayed batch replaces
+    exactly its own (cell, batch) partitions, never another batch's
+    rows. Returns the batch row count, ridden on the write as an
+    ``observe`` metric — one execution of the input plan per append,
+    no separate count job."""
+    from pyspark.sql import Observation
+
+    from projet_5spar_sparkstreaming_spark.fsio import versioned_subdir
+
+    obs = Observation()
     assigned = (
         _assign_ivf_cells(vecs, cent, id_col, vec_col)
         .select(
@@ -447,14 +463,15 @@ def _write_ivf_batch(
             F.col("__cv").alias("vec"),
         )
         .withColumn("batch_id", F.lit(int(batch_id)))
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
     )
     (
         assigned.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell", "batch_id")
-        .parquet(index_path)
+        .parquet(versioned_subdir(index_path, "data", version))
     )
-    return vecs.count()
+    return int(obs.get["rows"])
 
 
 def append_to_ivf_index(
@@ -484,7 +501,10 @@ def append_to_ivf_index(
     if meta is None:
         raise FileNotFoundError(f"no IVF index at {index_path}")
     cent = np.array(meta["centroids"], dtype=np.float64)
-    n_rows = _write_ivf_batch(vecs, index_path, id_col, vec_col, cent, batch_id)
+    n_rows = _write_ivf_batch(
+        vecs, index_path, id_col, vec_col, cent, batch_id,
+        version=int(meta.get("version", 0)),
+    )
     meta.setdefault("batches", {})[str(batch_id)] = n_rows
     write_json(spark, meta_path, meta)
     return n_rows
@@ -499,13 +519,18 @@ def compact_ivf_index(
     """Small-file compaction for an appended-to IVF index — same
     contract as ``compact_minhash_index``: newest ``keep_last`` batches
     keep their ids, older ones merge under the minimum merged id;
-    query results identical pre/post (test-enforced); rewrite to a
-    ``__compact`` sibling then rename-swap. The quantizer file rides
-    along untouched. Returns the updated meta."""
+    query results identical pre/post (test-enforced). READER-SAFE via
+    versioned subtrees: the compacted ``data_v{N+1}`` tree is fully
+    written next to the live one, then the meta's ``version`` pointer
+    flips in one crash-safe ``write_json``; concurrent readers keep
+    the version-N tree (retained until the next compaction). The
+    quantizer file sits outside the data trees and is untouched.
+    Writers serialize as usual (no append during compaction). Returns
+    the updated meta."""
     from projet_5spar_sparkstreaming_spark.fsio import (
-        delete_path,
+        clean_versions_except,
         read_json,
-        rename_path,
+        versioned_subdir,
         write_json,
     )
 
@@ -518,27 +543,25 @@ def compact_ivf_index(
     if len(merged) < 2:
         return meta
     merged_id = min(merged)
+    version = int(meta.get("version", 0))
     n_parts = target_partitions or spark.sparkContext.defaultParallelism
     remap = F.when(
         F.col("batch_id").isin(merged), F.lit(merged_id)
     ).otherwise(F.col("batch_id"))
+    clean_versions_except(spark, index_path, "data", {version})
     (
-        spark.read.parquet(index_path)
+        spark.read.parquet(versioned_subdir(index_path, "data", version))
         .withColumn("batch_id", remap)
         .repartition(n_parts, "cell", "batch_id")
         .write.mode("overwrite")
         .partitionBy("cell", "batch_id")
-        .parquet(index_path + "__compact")
+        .parquet(versioned_subdir(index_path, "data", version + 1))
     )
-    # carry the quantizer into the new tree BEFORE the swap so a reader
-    # never sees an index directory without its _centroids.json
-    write_json(spark, index_path + "__compact/_centroids.json", meta)
-    delete_path(spark, index_path)
-    rename_path(spark, index_path + "__compact", index_path)
     batches = meta["batches"]
     merged_rows = sum(batches.pop(str(b)) for b in merged)
     batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
-    write_json(spark, meta_path, meta)
+    meta["version"] = version + 1
+    write_json(spark, meta_path, meta)  # the flip
     return meta
 
 
@@ -589,9 +612,13 @@ def query_ivf_index(
     )
     q_probes = spark.createDataFrame(probe_rows, probe_schema)
 
+    from projet_5spar_sparkstreaming_spark.fsio import versioned_subdir
+
     probed_cells = sorted({c for _, c, _ in probe_rows})
     index = (
-        spark.read.parquet(index_path)
+        spark.read.parquet(
+            versioned_subdir(index_path, "data", int(meta.get("version", 0)))
+        )
         # static partition pruning: the listing itself skips cells
         .filter(F.col("cell").isin(probed_cells))
         .select(
@@ -1074,19 +1101,30 @@ def _write_embed_batch(
     n_tables: int,
     dim: int,
     batch_id: int,
+    version: int = 0,
 ) -> int:
-    """One batch's (id, bucket) rows + raw vectors into the index's
-    ``batch_id=N`` subdirs (overwrite — replays replace themselves).
-    Returns the batch row count (O(batch))."""
+    """One batch's (id, bucket) rows + raw vectors into the
+    version-``version`` data subtree's ``batch_id=N`` subdirs
+    (overwrite — replays replace themselves). Returns the batch row
+    count, ridden on the vecs write as an ``observe`` metric — the
+    input plan executes twice (bucket pass + vecs copy), never a third
+    time for a count job."""
+    from pyspark.sql import Observation
+
+    from projet_5spar_sparkstreaming_spark.fsio import versioned_subdir
+
     buckets = _lsh_buckets_arrow(
         vecs, id_col, vec_col, "id", n_planes, n_tables, dim
     )
     buckets.write.mode("overwrite").parquet(
-        f"{index_path}/buckets/batch_id={batch_id}"
+        f"{versioned_subdir(index_path, 'buckets', version)}/batch_id={batch_id}"
     )
+    obs = Observation()
     kept = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    kept.write.mode("overwrite").parquet(f"{index_path}/vecs/batch_id={batch_id}")
-    return kept.count()
+    kept.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).parquet(f"{versioned_subdir(index_path, 'vecs', version)}/batch_id={batch_id}")
+    return int(obs.get["rows"])
 
 
 def build_embed_lsh_index(
@@ -1121,6 +1159,12 @@ def build_embed_lsh_index(
     from projet_5spar_sparkstreaming_spark.fsio import delete_path, write_json
 
     spark = vecs.sparkSession
+    own_cache = False
+    if (n_planes == "auto" or n_tables == "auto") and expected_rows is None:
+        # the sizing count forces an extra scan of the input — cache it
+        # so the two index writes below read the materialized batch
+        vecs = vecs.cache()
+        own_cache = True
     if n_planes == "auto" or n_tables == "auto":
         sized_for = expected_rows or max(vecs.count(), 1) * 1024
         n_planes, n_tables = auto_lsh_params(
@@ -1130,10 +1174,13 @@ def build_embed_lsh_index(
     n_rows = _write_embed_batch(
         vecs, index_path, id_col, vec_col, n_planes, n_tables, dim, batch_id
     )
+    if own_cache:
+        vecs.unpersist()
     meta = {
         "n_planes": int(n_planes),
         "n_tables": int(n_tables),
         "dim": dim,
+        "version": 0,
         "batches": {str(batch_id): n_rows},
     }
     write_json(spark, _embed_meta_path(index_path), meta)
@@ -1168,6 +1215,7 @@ def append_to_embed_lsh_index(
         meta["n_tables"],
         meta["dim"],
         batch_id,
+        version=int(meta.get("version", 0)),
     )
     meta.setdefault("batches", {})[str(batch_id)] = n_rows
     write_json(spark, _embed_meta_path(index_path), meta)
@@ -1195,9 +1243,14 @@ def embed_lsh_query_index(
     meta = read_embed_lsh_meta(spark, index_path)
     if meta is None:
         raise FileNotFoundError(f"no embedding LSH index at {index_path}")
+    version = int(meta.get("version", 0))
 
     def _scan(sub: str) -> DataFrame:
-        df = spark.read.parquet(f"{index_path}/{sub}")
+        # version pointer from the loaded meta: dirs of that version
+        # survive a concurrent compaction until the one after it
+        from projet_5spar_sparkstreaming_spark.fsio import versioned_subdir
+
+        df = spark.read.parquet(versioned_subdir(index_path, sub, version))
         if max_batch_id_exclusive is not None:
             df = df.filter(F.col("batch_id") < F.lit(max_batch_id_exclusive))
         return df.drop("batch_id")
@@ -1233,12 +1286,18 @@ def compact_embed_lsh_index(
     ids (replay exclusion must still isolate exactly the latest batch),
     older ones merge under the minimum merged id (always < any future
     batch, so every future ``batch_id < current`` filter includes
-    them); query results identical pre/post (test-enforced); rewrite to
-    ``__compact`` siblings then checked rename-aside swap
-    (``fsio.replace_path`` — crash-recoverable, but not atomic for
-    concurrent readers: run offline / between micro-batches). Returns
-    the updated meta."""
-    from projet_5spar_sparkstreaming_spark.fsio import replace_path, write_json
+    them); query results identical pre/post (test-enforced). READER-
+    SAFE via versioned subtrees: compacted ``buckets_v{N+1}``/
+    ``vecs_v{N+1}`` are fully written, then the meta's ``version``
+    pointer flips in one crash-safe ``write_json`` — concurrent
+    readers keep the version-N dirs (retained until the next
+    compaction); writers serialize as usual (no append during
+    compaction). Returns the updated meta."""
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        clean_versions_except,
+        versioned_subdir,
+        write_json,
+    )
 
     meta = read_embed_lsh_meta(spark, index_path)
     if meta is None:
@@ -1248,25 +1307,26 @@ def compact_embed_lsh_index(
     if len(merged) < 2:
         return meta
     merged_id = min(merged)
+    version = int(meta.get("version", 0))
     n_parts = target_partitions or spark.sparkContext.defaultParallelism
     remap = F.when(
         F.col("batch_id").isin(merged), F.lit(merged_id)
     ).otherwise(F.col("batch_id"))
     for sub in ("buckets", "vecs"):
-        path = f"{index_path}/{sub}"
+        clean_versions_except(spark, index_path, sub, {version})
         (
-            spark.read.parquet(path)
+            spark.read.parquet(versioned_subdir(index_path, sub, version))
             .withColumn("batch_id", remap)
             .repartition(n_parts, "batch_id", "id")
             .write.mode("overwrite")
             .partitionBy("batch_id")
-            .parquet(path + "__compact")
+            .parquet(versioned_subdir(index_path, sub, version + 1))
         )
-        replace_path(spark, path + "__compact", path)
     batches = meta["batches"]
     merged_rows = sum(batches.pop(str(b)) for b in merged)
     batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
-    write_json(spark, _embed_meta_path(index_path), meta)
+    meta["version"] = version + 1
+    write_json(spark, _embed_meta_path(index_path), meta)  # the flip
     return meta
 
 

@@ -3215,6 +3215,32 @@ def q_embedding_neardup_containment(spark, sf_dir):
     return _pair_cosine_escapees(emitted, emb, emb, floor=0.25)
 
 
+def _session_store_path(spark, name: str, sf_dir: str) -> str:
+    """Deterministic scratch path for the graded stored-index queries:
+    one directory per (Spark application, sf_dir, index kind), REUSED
+    across invocations — the build_*_index call deletes-and-rebuilds it
+    — instead of leaking a fresh mkdtemp per sweep run. Registered for
+    best-effort removal at driver exit."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sparkgraft_stores_{spark.sparkContext.applicationId}",
+    )
+    if base not in _SESSION_STORE_BASES:
+        _SESSION_STORE_BASES.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return os.path.join(base, f"{name}_{tag}")
+
+
+_SESSION_STORE_BASES: set = set()
+
+
 def q_stored_minhash_containment(spark, sf_dir):
     # The PERSISTED-index daily shape executed inside the graded
     # contract: build the minhash index over the even-doc_id half
@@ -3223,8 +3249,6 @@ def q_stored_minhash_containment(spark, sf_dir):
     # scanned, never re-signed), then assert the containment contract:
     # every emitted pair must clear exact cross-set trigram Jaccard 0.3
     # (estimated J >= 0.5 with 64 hashes puts true pairs far above it).
-    import tempfile
-
     from projet_5spar_sparkstreaming_spark.operators.dedup import (
         build_minhash_index,
         minhash_query_index,
@@ -3234,7 +3258,7 @@ def q_stored_minhash_containment(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     new_batch = docs.filter(F.col("doc_id") % 2 == 1)
     index_docs = docs.filter(F.col("doc_id") % 2 == 0)
-    store = tempfile.mkdtemp(prefix="mh_store_")
+    store = _session_store_path(spark, "mh_store", sf_dir)
     build_minhash_index(index_docs, store, "doc_id", "text")
     emitted = minhash_query_index(
         new_batch, store, "doc_id", "text", threshold=0.5
@@ -3256,8 +3280,6 @@ def q_stored_embed_lsh_containment(spark, sf_dir):
     # re-bucketized), containment-check every emitted pair on the
     # independent expression path. expected_rows pinned (the embeddings
     # table is fixed-size at every sf) so params are deterministic.
-    import tempfile
-
     from projet_5spar_sparkstreaming_spark.operators.similarity import (
         build_embed_lsh_index,
         embed_lsh_query_index,
@@ -3266,7 +3288,7 @@ def q_stored_embed_lsh_containment(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     new_batch = emb.filter(F.col("vec_id") % 2 == 1)
     index_vecs = emb.filter(F.col("vec_id") % 2 == 0)
-    store = tempfile.mkdtemp(prefix="emb_store_")
+    store = _session_store_path(spark, "emb_store", sf_dir)
     build_embed_lsh_index(
         index_vecs, store, "vec_id", "embedding",
         recall_at=0.5, target_recall=0.9, expected_rows=2048,
@@ -3283,8 +3305,6 @@ def q_stored_ivf_containment(spark, sf_dir):
     # through the persisted quantizer with static partition pruning,
     # containment-check the emitted neighbors against the exact
     # relaxed top-40 on the expression path.
-    import tempfile
-
     from projet_5spar_sparkstreaming_spark.operators.similarity import (
         build_ivf_index,
         query_ivf_index,
@@ -3292,7 +3312,7 @@ def q_stored_ivf_containment(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    store = tempfile.mkdtemp(prefix="ivf_store_")
+    store = _session_store_path(spark, "ivf_store", sf_dir)
     build_ivf_index(emb, store, "vec_id", "embedding", n_centroids=16)
     emitted = query_ivf_index(
         spark, queries, store, "vec_id", "embedding", k=5, n_probe=6

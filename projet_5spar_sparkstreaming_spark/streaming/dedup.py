@@ -34,6 +34,29 @@ def stream_dedup(
     )
 
 
+def require_index_meta_consistent(spark, index_dir: str, meta) -> None:
+    """Refuse to treat an index whose data is on disk but whose
+    ``_meta.json`` read came back None as "no index": that state is
+    either the transient no-file instant of a concurrent crash-safe
+    meta swap (``fsio.write_json``) or a crashed build — in both cases
+    rebuilding would DELETE the accumulated store
+    (``build_minhash_index``/``build_embed_lsh_index`` start with a
+    recursive delete). Raising makes the micro-batch fail and RETRY
+    from the checkpoint instead; an operator restores the meta (its
+    ``.old`` aside survives a mid-swap crash) if the state persists."""
+    if meta is not None:
+        return
+    from projet_5spar_sparkstreaming_spark.fsio import path_exists
+
+    if path_exists(spark, index_dir):
+        raise IOError(
+            f"{index_dir}: index data present but its metadata read "
+            "returned None — transient meta swap or crashed build. "
+            "Refusing to rebuild over existing data; retry the batch "
+            "or restore the metadata file (check its .old aside)."
+        )
+
+
 def minhash_ingest_batch(
     batch: DataFrame,
     index_dir: str,
@@ -45,6 +68,7 @@ def minhash_ingest_batch(
     num_hashes: int | None = None,
     bands: int | None = None,
     precomputed_sig=None,
+    meta: dict | None = None,
 ) -> DataFrame:
     """One micro-batch of the text near-dup ingest guard as a pure
     batch plan — factored out so tests can ``explain`` it: the index
@@ -65,6 +89,10 @@ def minhash_ingest_batch(
         the caller, so the rule is "near-dup of anything previously
         SEEN", not "previously KEPT".
 
+    ``meta``: a pre-read ``_meta.json`` dict (the streaming guard
+    passes the one it already loaded — one meta read per micro-batch,
+    not two); None reads it here.
+
     Returns the surviving (id, text) rows."""
     from pyspark.sql import functions as F
 
@@ -75,7 +103,8 @@ def minhash_ingest_batch(
     )
 
     spark = batch.sparkSession
-    meta = read_minhash_meta(spark, index_dir)
+    if meta is None:
+        meta = read_minhash_meta(spark, index_dir)
     if meta is not None:
         # Pin BOTH legs to the index's stored parameters: the cross-batch
         # query always uses the meta's hash space, so the within-batch
@@ -175,8 +204,10 @@ def stream_neardup_ingest(
         batch = batch_df.select(id_col, text_col).cache()
         # parameters come FROM the index once it exists (a stream
         # resumed over an index built with different knobs must follow
-        # the index, or bucket joins compare incompatible hashes)
+        # the index, or bucket joins compare incompatible hashes);
+        # ONE meta read per micro-batch, shared with ingest_batch
         meta = read_minhash_meta(batch.sparkSession, index_dir)
+        require_index_meta_consistent(batch.sparkSession, index_dir, meta)
         p_n, p_hashes, p_bands = (
             (meta["n"], meta["num_hashes"], meta["bands"])
             if meta is not None
@@ -188,6 +219,7 @@ def stream_neardup_ingest(
         survivors = minhash_ingest_batch(
             batch, index_dir, batch_id, id_col, text_col, threshold,
             n=p_n, num_hashes=p_hashes, bands=p_bands, precomputed_sig=sig,
+            meta=meta,
         )
         survivors.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
@@ -220,6 +252,7 @@ def embed_ingest_batch(
     within_planes: int | str = "auto",
     within_tables: int | str = "auto",
     dim: int = 64,
+    meta: dict | None = None,
 ) -> DataFrame:
     """One micro-batch of the embedding near-dup ingest guard as a pure
     batch plan (testable via ``explain``: the index side is parquet
@@ -238,7 +271,8 @@ def embed_ingest_batch(
     )
 
     spark = batch.sparkSession
-    meta = read_embed_lsh_meta(spark, index_dir)
+    if meta is None:
+        meta = read_embed_lsh_meta(spark, index_dir)
     drop_cross = None
     if meta is not None and any(
         int(b) < batch_id for b in meta.get("batches", {})
@@ -308,13 +342,18 @@ def stream_embed_neardup_ingest(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(id_col, vec_col).cache()
+        # ONE meta read per micro-batch, shared with ingest_batch and
+        # the build-or-append decision below
+        meta = read_embed_lsh_meta(batch.sparkSession, index_dir)
+        require_index_meta_consistent(batch.sparkSession, index_dir, meta)
         survivors = embed_ingest_batch(
-            batch, index_dir, batch_id, id_col, vec_col, threshold, dim=dim
+            batch, index_dir, batch_id, id_col, vec_col, threshold, dim=dim,
+            meta=meta,
         )
         survivors.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
-        if read_embed_lsh_meta(batch.sparkSession, index_dir) is None:
+        if meta is None:
             build_embed_lsh_index(
                 batch, index_dir, id_col, vec_col,
                 dim=dim, recall_at=max(threshold, 0.99),

@@ -171,13 +171,19 @@ def test_minhash_compaction_preserves_results(spark, tmp_path):
     files_before = len(glob.glob(f"{idx}/sigs/batch_id=*/*.parquet"))
 
     meta = compact_minhash_index(spark, idx, keep_last=1, target_partitions=2)
-    # batches 0-3 merged under min id 0; batch 4 keeps its own id
+    # batches 0-3 merged under min id 0; batch 4 keeps its own id; the
+    # compacted data published under the NEXT version's subtree with
+    # the meta pointer flipped (readers resolve through it)
     assert set(meta["batches"]) == {"0", "4"}
     assert meta["batches"]["0"] == 40 and meta["batches"]["4"] == 10
-    dirs = sorted(glob.glob(f"{idx}/sigs/batch_id=*"))
+    assert meta["version"] == 1
+    dirs = sorted(glob.glob(f"{idx}/sigs_v1/batch_id=*"))
     assert [d.rsplit("=", 1)[1] for d in dirs] == ["0", "4"]
-    files_after = len(glob.glob(f"{idx}/sigs/batch_id=*/*.parquet"))
+    files_after = len(glob.glob(f"{idx}/sigs_v1/batch_id=*/*.parquet"))
     assert files_after < files_before
+    # the pre-compaction tree survives as the in-flight readers' grace
+    # copy until the NEXT compaction begins
+    assert glob.glob(f"{idx}/sigs/batch_id=*")
 
     after = {
         (r["id_a"], r["id_b"], r["est_jaccard"])
@@ -521,3 +527,249 @@ def test_minhash_ingest_batch_param_conflict_raises(spark, tmp_path):
         docs, idx, 0, "doc_id", "text", threshold=0.5, num_hashes=64
     )
     assert ok.count() == 5
+
+
+def test_minhash_compaction_reader_safe(spark, tmp_path):
+    """Reader-safety of versioned compaction: a query whose scan paths
+    were resolved from the PRE-compaction meta still executes correctly
+    AFTER the compaction flips the version pointer (the old subtree is
+    retained as a grace copy), and a fresh post-flip query reads the
+    new subtree — neither ever sees an absent directory. A second
+    compaction retires the grace copy."""
+    import glob as _glob
+
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        minhash_query_index,
+        read_minhash_meta,
+    )
+
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(
+        _docs_df(spark, [_doc(i, f"s{i}") for i in range(10)]),
+        idx, "doc_id", "text", batch_id=0,
+    )
+    for b in (1, 2):
+        append_to_minhash_index(
+            _docs_df(spark, [_doc(100 * b + i, f"s{10 * b + i}") for i in range(10)]),
+            idx, "doc_id", "text", batch_id=b,
+        )
+    new_df = _docs_df(spark, [_doc(900 + i, f"s{5 * i}", mutate=1) for i in range(5)])
+
+    def res(df):
+        return {(r["id_a"], r["id_b"], r["est_jaccard"]) for r in df.collect()}
+
+    # plan the reader BEFORE compaction: its parquet scans resolve the
+    # version-0 paths now
+    q_old = minhash_query_index(new_df, idx, "doc_id", "text", threshold=0.5)
+    before = res(minhash_query_index(new_df, idx, "doc_id", "text", threshold=0.5))
+    assert before
+
+    compact_minhash_index(spark, idx, keep_last=1, target_partitions=2)
+    assert read_minhash_meta(spark, idx)["version"] == 1
+    # in-flight reader (old meta, old paths): identical results
+    assert res(q_old) == before
+    # fresh reader (new meta, new paths): identical results
+    assert res(
+        minhash_query_index(new_df, idx, "doc_id", "text", threshold=0.5)
+    ) == before
+
+    # second compaction retires the v0 grace copy and grants v1 grace
+    append_to_minhash_index(
+        _docs_df(spark, [_doc(300 + i, f"s{30 + i}") for i in range(10)]),
+        idx, "doc_id", "text", batch_id=3,
+    )
+    compact_minhash_index(spark, idx, keep_last=1, target_partitions=2)
+    assert read_minhash_meta(spark, idx)["version"] == 2
+    assert not _glob.glob(f"{idx}/sigs/batch_id=*"), "v0 not retired"
+    assert _glob.glob(f"{idx}/sigs_v1/batch_id=*"), "v1 grace missing"
+    assert _glob.glob(f"{idx}/sigs_v2/batch_id=*")
+    assert res(
+        minhash_query_index(new_df, idx, "doc_id", "text", threshold=0.5)
+    ) == before
+
+
+def test_embed_and_ivf_compaction_reader_safe(spark, sf_dir, tmp_path):
+    """Same reader-across-the-flip guarantee for the embedding LSH and
+    IVF stores: pre-compaction-planned queries and post-flip queries
+    both return the pre-compaction results."""
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        append_to_embed_lsh_index,
+        append_to_ivf_index,
+        build_embed_lsh_index,
+        build_ivf_index,
+        compact_embed_lsh_index,
+        compact_ivf_index,
+        embed_lsh_query_index,
+        query_ivf_index,
+        read_embed_lsh_meta,
+    )
+
+    rng = np.random.RandomState(3)
+
+    def unit(v):
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    base = rng.randn(64)
+    b0 = [(i, unit(rng.randn(64))) for i in range(15)] + [(15, unit(base))]
+    b1 = [(100 + i, unit(rng.randn(64))) for i in range(10)]
+    b2 = [(200 + i, unit(rng.randn(64))) for i in range(10)]
+    probe = _vecs_df(spark, [(900, unit(base + 0.01 * rng.randn(64)))])
+
+    eidx = str(tmp_path / "emb_idx")
+    build_embed_lsh_index(_vecs_df(spark, b0), eidx, "vec_id", "embedding", batch_id=0)
+    append_to_embed_lsh_index(_vecs_df(spark, b1), eidx, "vec_id", "embedding", batch_id=1)
+    append_to_embed_lsh_index(_vecs_df(spark, b2), eidx, "vec_id", "embedding", batch_id=2)
+
+    def eres(df):
+        return {(r["id_a"], r["id_b"], r["cosine"]) for r in df.collect()}
+
+    q_old = embed_lsh_query_index(probe, eidx, "vec_id", "embedding", threshold=0.9)
+    before = eres(embed_lsh_query_index(probe, eidx, "vec_id", "embedding", threshold=0.9))
+    assert (900, 15) in {(a, b) for a, b, _ in before}
+    compact_embed_lsh_index(spark, eidx, keep_last=1, target_partitions=2)
+    assert read_embed_lsh_meta(spark, eidx)["version"] == 1
+    assert eres(q_old) == before
+    assert eres(
+        embed_lsh_query_index(probe, eidx, "vec_id", "embedding", threshold=0.9)
+    ) == before
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    iidx = str(tmp_path / "ivf_idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), iidx, "vec_id", "embedding", n_centroids=16)
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), iidx, "vec_id", "embedding", batch_id=1)
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 7 == 3), iidx, "vec_id", "embedding", batch_id=2)
+
+    def ires(df):
+        return {
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in df.collect()
+        }
+
+    iq_old = query_ivf_index(spark, queries, iidx, "vec_id", "embedding", k=5, n_probe=6)
+    ibefore = ires(query_ivf_index(spark, queries, iidx, "vec_id", "embedding", k=5, n_probe=6))
+    assert ibefore
+    compact_ivf_index(spark, iidx, keep_last=1, target_partitions=2)
+    assert read_json(spark, iidx + "/_centroids.json")["version"] == 1
+    assert ires(iq_old) == ibefore
+    assert ires(
+        query_ivf_index(spark, queries, iidx, "vec_id", "embedding", k=5, n_probe=6)
+    ) == ibefore
+
+
+def _row_counting_df(spark, rows, schema, acc):
+    """A DataFrame over ``rows`` that increments ``acc`` by one per row
+    per EXECUTION — counts how many times downstream actions actually
+    re-run the input plan (local mode: no task retries to inflate it)."""
+    def _count(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    return spark.createDataFrame(rows, schema).mapInPandas(_count, schema)
+
+
+def test_index_appends_execute_input_once(spark, tmp_path):
+    """The r6->r8 advice item: index appends must not re-execute the
+    uncached batch plan for their row-count bookkeeping (it runs on
+    every streaming micro-batch). The count now rides the write as an
+    observe metric: IVF appends execute the input exactly once; embed
+    appends exactly twice (bucket pass + vecs copy — two writes, no
+    third count scan); minhash appends once (cached signature). Meta
+    row counts stay correct."""
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        read_minhash_meta,
+    )
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        append_to_embed_lsh_index,
+        append_to_ivf_index,
+        build_embed_lsh_index,
+        build_ivf_index,
+        read_embed_lsh_meta,
+    )
+
+    rng = np.random.RandomState(5)
+    vec_rows = [
+        (i, [float(x) for x in rng.randn(64)]) for i in range(40)
+    ]
+    vschema = "vec_id long, embedding array<double>"
+
+    iidx = str(tmp_path / "ivf_idx")
+    build_ivf_index(_vecs_df(spark, vec_rows), iidx, "vec_id", "embedding", n_centroids=16)
+    acc = spark.sparkContext.accumulator(0)
+    batch = _row_counting_df(
+        spark, [(100 + i, [float(x) for x in rng.randn(64)]) for i in range(20)],
+        vschema, acc,
+    )
+    n = append_to_ivf_index(batch, iidx, "vec_id", "embedding", batch_id=1)
+    assert n == 20
+    assert read_json(spark, iidx + "/_centroids.json")["batches"]["1"] == 20
+    assert acc.value == 20, f"IVF append executed input {acc.value/20:.1f}x"
+
+    eidx = str(tmp_path / "emb_idx")
+    build_embed_lsh_index(_vecs_df(spark, vec_rows), eidx, "vec_id", "embedding", batch_id=0)
+    acc2 = spark.sparkContext.accumulator(0)
+    batch2 = _row_counting_df(
+        spark, [(200 + i, [float(x) for x in rng.randn(64)]) for i in range(20)],
+        vschema, acc2,
+    )
+    n2 = append_to_embed_lsh_index(batch2, eidx, "vec_id", "embedding", batch_id=1)
+    assert n2 == 20 and read_embed_lsh_meta(spark, eidx)["batches"]["1"] == 20
+    assert acc2.value == 40, f"embed append executed input {acc2.value/20:.1f}x (want 2x)"
+
+    midx = str(tmp_path / "mh_idx")
+    build_minhash_index(
+        _docs_df(spark, [_doc(i, f"s{i}") for i in range(10)]),
+        midx, "doc_id", "text", batch_id=0,
+    )
+    acc3 = spark.sparkContext.accumulator(0)
+    batch3 = _row_counting_df(
+        spark, [_doc(100 + i, f"t{i}") for i in range(8)],
+        "doc_id long, text string", acc3,
+    )
+    n3 = append_to_minhash_index(batch3, midx, "doc_id", "text", batch_id=1)
+    assert n3 == 8 and read_minhash_meta(spark, midx)["batches"]["1"] == 8
+    assert acc3.value == 8, f"minhash append executed input {acc3.value/8:.1f}x"
+
+
+def test_ingest_guard_refuses_rebuild_when_meta_missing(spark, tmp_path):
+    """Index data present + meta read None (mid-swap instant or crashed
+    build) must raise a retryable error, NOT fall into the fresh-build
+    path — build_minhash_index starts with a recursive delete, so a
+    silent rebuild would destroy the accumulated store."""
+    import pytest as _pytest
+
+    from projet_5spar_sparkstreaming_spark.fsio import delete_path, path_exists
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        build_minhash_index,
+        read_minhash_meta,
+    )
+    from projet_5spar_sparkstreaming_spark.streaming.dedup import (
+        require_index_meta_consistent,
+    )
+
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(
+        _docs_df(spark, [_doc(i, f"s{i}") for i in range(5)]),
+        idx, "doc_id", "text", batch_id=0,
+    )
+    delete_path(spark, idx + "/_meta.json")
+    meta = read_minhash_meta(spark, idx)
+    assert meta is None and path_exists(spark, idx + "/sigs")
+    with _pytest.raises(IOError, match="Refusing to rebuild"):
+        require_index_meta_consistent(spark, idx, meta)
+    # the non-index states stay permissive: no dir at all -> fresh
+    # build is correct; meta present -> append path
+    require_index_meta_consistent(spark, str(tmp_path / "absent"), None)
+    require_index_meta_consistent(spark, idx, {"n": 3})

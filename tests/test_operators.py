@@ -722,7 +722,9 @@ def test_ivf_index_build_query_matches_inline(spark, sf_dir, tmp_path):
     idx = str(tmp_path / "ivf_index")
     n_cells = build_ivf_index(emb, idx, "vec_id", "embedding", n_centroids=16)
     assert n_cells == 16
-    assert glob.glob(os.path.join(idx, "cell=*")), "cell partitions on disk"
+    # cell partitions under the version-0 data subtree (compactions
+    # publish data_v{N} siblings and flip the meta's version pointer)
+    assert glob.glob(os.path.join(idx, "data", "cell=*")), "cell partitions on disk"
 
     via_index = query_ivf_index(
         spark, queries, idx, "vec_id", "embedding", k=5, n_probe=4
