@@ -126,6 +126,107 @@ def _steady_state(progress: list) -> dict:
     }
 
 
+def bench_stored_index(spark, sf_dir: str) -> dict[str, dict]:
+    """Time the PRODUCTION daily shape — querying a pre-built persisted
+    index — against recompute-from-scratch at identical splits and
+    parameters, for all three index families. Stores are built once
+    (build time reported separately, amortized over every later query
+    in production); each query path then gets one unrecorded warm pass
+    and RECORDED_PASSES timed passes, reported as median + spread,
+    executed via a noop write like the headline section. The point on
+    record: query-through-store must beat its recompute twin, because
+    at 100 TB the index side is scanned, never re-signed. (Caveat for
+    reading the numbers: the test tables are fixed-size — 5k docs / 2k
+    vectors at every sf — so the minhash twin shows the real gap (the
+    recompute re-signs the index side) while the embed-LSH/IVF twins
+    are near fixed-overhead parity here; THEIR asymptotic advantage is
+    plan-shaped and plan-asserted in tests — stored buckets/cells are
+    scanned with pruning instead of re-derived from the corpus.)"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_incremental_pairs,
+        minhash_query_index,
+    )
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        build_embed_lsh_index,
+        build_ivf_index,
+        cosine_incremental_pairs,
+        embed_lsh_query_index,
+        ivf_top_k,
+        query_ivf_index,
+    )
+    from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_table
+
+    base = tempfile.mkdtemp(prefix="bench_store_")
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    idx_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    new_vecs = emb.filter(F.col("vec_id") % 2 == 1)
+    idx_vecs = emb.filter(F.col("vec_id") % 2 == 0)
+    q_vecs = emb.filter(F.col("vec_id") < 20)
+
+    builds: dict[str, float] = {}
+    mh_store = os.path.join(base, "mh")
+    el_store = os.path.join(base, "el")
+    ivf_store = os.path.join(base, "ivf")
+    for name, build in (
+        ("minhash", lambda: build_minhash_index(
+            idx_docs, mh_store, "doc_id", "text")),
+        ("embed_lsh", lambda: build_embed_lsh_index(
+            idx_vecs, el_store, "vec_id", "embedding",
+            recall_at=0.5, target_recall=0.9, expected_rows=2048)),
+        ("ivf", lambda: build_ivf_index(
+            emb, ivf_store, "vec_id", "embedding", n_centroids=16)),
+    ):
+        t0 = time.time()
+        build()
+        builds[name] = round(time.time() - t0, 3)
+
+    # stored-vs-recompute twins: same splits, same params, same result
+    # contract (identity is test-enforced in test_index_lifecycle.py)
+    plans = {
+        "stored_minhash_query": lambda: minhash_query_index(
+            new_docs, mh_store, "doc_id", "text", threshold=0.5),
+        "recompute_minhash": lambda: minhash_incremental_pairs(
+            new_docs, idx_docs, "doc_id", "text", threshold=0.5),
+        "stored_embed_lsh_query": lambda: embed_lsh_query_index(
+            new_vecs, el_store, "vec_id", "embedding", threshold=0.3),
+        "recompute_embed_lsh": lambda: cosine_incremental_pairs(
+            new_vecs, idx_vecs, "vec_id", "embedding", threshold=0.3,
+            recall_at=0.5, target_recall=0.9),
+        "stored_ivf_query": lambda: query_ivf_index(
+            spark, q_vecs, ivf_store, "vec_id", "embedding",
+            k=5, n_probe=6),
+        "recompute_ivf": lambda: ivf_top_k(
+            q_vecs, emb, "vec_id", "vec_id", k=5,
+            n_centroids=16, n_probe=6),
+    }
+    runs: dict[str, list[float]] = {n: [] for n in plans}
+    for record in [False] + [True] * RECORDED_PASSES:
+        for name, plan in plans.items():
+            t0 = time.time()
+            plan().write.format("noop").mode("overwrite").save()
+            if record:
+                runs[name].append(time.time() - t0)
+    out: dict[str, dict] = {
+        n: {
+            "sec": round(statistics.median(ts), 3),
+            "spread": [round(min(ts), 3), round(max(ts), 3)],
+        }
+        for n, ts in runs.items()
+    }
+    for name in builds:
+        out[f"stored_{name}_query"]["build_sec"] = builds[name]
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     """Throughput of the stateful streaming paths (the batch section
     never exercises them), measured over >= 5 REAL micro-batches each:
@@ -250,6 +351,7 @@ def main() -> None:
         n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in runs.items()
     }
 
+    stored_index = bench_stored_index(spark, sf_dir)
     streaming = bench_streaming(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -264,9 +366,10 @@ def main() -> None:
                 "queries": timings,
                 "runs_per_query": RECORDED_PASSES,
                 "spread": spread,
-                # separate key: keeps the headline total like-for-like
-                # across rounds while making stateful-path regressions
-                # visible (steady-state rows/s + per-batch times)
+                # separate keys: keep the headline total like-for-like
+                # across rounds while making stateful-path and
+                # stored-index-path regressions visible
+                "stored_index": stored_index,
                 "streaming": streaming,
                 "sf": float(sf) if sf else None,
             }
