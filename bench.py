@@ -250,10 +250,10 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     docs_path = _split_copy(spark, sf_dir, "documents", 6, base)
     emb_path = _split_copy(spark, sf_dir, "embeddings", 6, base)
 
-    def _file_stream(path: str):
+    def _file_stream(path: str, files_per_trigger: int = 1):
         return (
             spark.readStream.schema(spark.read.parquet(path).schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", str(files_per_trigger))
             .parquet(path)
         )
 
@@ -288,20 +288,20 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
             .start()
         )
 
-    def _neardup_ingest():
+    def _neardup_ingest(files_per_trigger: int = 1, suffix: str = ""):
         return stream_neardup_ingest(
-            _file_stream(docs_path).select("doc_id", "text"),
-            os.path.join(base, "nd_out"),
-            os.path.join(base, "nd_idx"),
+            _file_stream(docs_path, files_per_trigger).select("doc_id", "text"),
+            os.path.join(base, "nd_out" + suffix),
+            os.path.join(base, "nd_idx" + suffix),
             tempfile.mkdtemp(prefix="chk_b_", dir=base),
             trigger={"availableNow": True},
         )
 
-    def _embed_ingest():
+    def _embed_ingest(files_per_trigger: int = 1, suffix: str = ""):
         return stream_embed_neardup_ingest(
-            _file_stream(emb_path).select("vec_id", "embedding"),
-            os.path.join(base, "emb_out"),
-            os.path.join(base, "emb_idx"),
+            _file_stream(emb_path, files_per_trigger).select("vec_id", "embedding"),
+            os.path.join(base, "emb_out" + suffix),
+            os.path.join(base, "emb_idx" + suffix),
             tempfile.mkdtemp(prefix="chk_b_", dir=base),
             trigger={"availableNow": True},
             expected_index_rows=2_000_000,
@@ -313,6 +313,16 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
         ("stream_curate_corpus", _curate),
         ("stream_neardup_ingest", _neardup_ingest),
         ("stream_embed_neardup_ingest", _embed_ingest),
+        # "_tuned": same stream, same engine code, production trigger
+        # sizing — measured per-batch cost is ~2s of FIXED micro-batch
+        # overhead (3 output writes + multi-stage joins) regardless of
+        # batch size, so the standard Structured Streaming throughput
+        # knob is the trigger: 3 source files per micro-batch amortizes
+        # the fixed cost over 3x the rows. The 1-file variants above
+        # stay as the flatness/regression canaries (more batches =
+        # per-batch ramp visible); this pair is the throughput number.
+        ("stream_neardup_ingest_tuned", lambda: _neardup_ingest(3, "_t")),
+        ("stream_embed_neardup_ingest_tuned", lambda: _embed_ingest(3, "_t")),
     ):
         t0 = time.time()
         q = starter()

@@ -52,11 +52,44 @@ class SentimentModel:
         return scored.select(*keep, F.col("prediction").alias(output_col))
 
 
+def _drop_training_summary(pipeline_model: PipelineModel) -> None:
+    """Detach every fitted stage's training summary. The summary holds
+    a live SparkSession reference (Spark 4.1,
+    BinaryLogisticRegressionSummaryImpl.sparkSession, non-transient),
+    and once ANY ``Observation`` has been used on that session its
+    ``observationManager`` is populated with a non-serializable object
+    — after which serializing the model into a task closure (every
+    ``transform`` + collect) dies with "Task not serializable".
+    This engine uses ``observe`` metrics on index writes, so a scoring
+    query in the same application as an index build would fail without
+    this. The summary is training-time diagnostics we never read;
+    clearing the ``trainingSummary`` var (the state a model loaded
+    from disk starts without — persistence never carries a summary)
+    keeps classify() a pure column projection."""
+    from py4j.protocol import Py4JError
+    from pyspark import SparkContext
+
+    jvm = SparkContext._active_spark_context._jvm
+    for stage in pipeline_model.stages:
+        jobj = getattr(stage, "_java_obj", None)
+        if jobj is None:
+            continue
+        try:
+            if jobj.hasSummary():
+                getattr(jobj, "trainingSummary_$eq")(jvm.scala.Option.empty())
+        except Py4JError:
+            # stage type without the HasTrainingSummary trait
+            pass
+
+
 def train_sentiment(
     train_df: DataFrame,
     text_col: str = "text",
     label_col: str = "label",
     num_features: int = 1 << 16,
 ) -> SentimentModel:
-    pipeline = build_sentiment_pipeline(text_col, label_col, num_features)
-    return SentimentModel(model=pipeline.fit(train_df), text_col=text_col)
+    fitted = build_sentiment_pipeline(text_col, label_col, num_features).fit(
+        train_df
+    )
+    _drop_training_summary(fitted)
+    return SentimentModel(model=fitted, text_col=text_col)

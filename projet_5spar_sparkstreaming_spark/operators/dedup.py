@@ -1367,14 +1367,22 @@ def _write_minhash_batch(
             True,
         )
     obs = Observation()
+    # REBALANCE before each write: the signature stage runs at compute
+    # parallelism (_ensure_min_parallelism), but persisting its output
+    # at that partition count writes core-count sliver files per batch
+    # — the query path then scans batches x slivers tiny parquet files
+    # and file overhead dominates (measured 16 files/833 rows). The
+    # AQE rebalance shuffle (tiny: post-signature rows only) sizes
+    # output files to the advisory partition size instead — one file
+    # for a small micro-batch, ~64MB files for a 100 GB one.
     sig.select(F.col("__id").alias("id"), F.col("__sig").alias("sig")).observe(
         obs, F.count(F.lit(1)).alias("rows")
-    ).write.mode("overwrite").parquet(
+    ).hint("rebalance").write.mode("overwrite").parquet(
         f"{versioned_subdir(index_path, 'sigs', version)}/batch_id={batch_id}"
     )
     _banded_buckets(sig, bands, num_hashes // bands).select(
         F.col("__id").alias("id"), "band", "bucket"
-    ).write.mode("overwrite").parquet(
+    ).hint("rebalance").write.mode("overwrite").parquet(
         f"{versioned_subdir(index_path, 'bands', version)}/batch_id={batch_id}"
     )
     n_rows = int(obs.get["rows"])

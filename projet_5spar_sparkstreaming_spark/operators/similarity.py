@@ -464,6 +464,11 @@ def _write_ivf_batch(
         )
         .withColumn("batch_id", F.lit(int(batch_id)))
         .observe(obs, F.count(F.lit(1)).alias("rows"))
+        # REBALANCE on the hive-partition keys: each task otherwise
+        # fans its rows across every cell dir (partitions x cells
+        # sliver files per batch); rebalancing clusters rows by cell so
+        # each (cell, batch) partition gets AQE-sized files instead.
+        .hint("rebalance", "cell", "batch_id")
     )
     (
         assigned.write.mode("overwrite")
@@ -1116,14 +1121,20 @@ def _write_embed_batch(
     buckets = _lsh_buckets_arrow(
         vecs, id_col, vec_col, "id", n_planes, n_tables, dim
     )
-    buckets.write.mode("overwrite").parquet(
+    # REBALANCE before each write: without it every batch writes one
+    # file per compute partition (core-count slivers), and the stored-
+    # index query pays per-file overhead over batches x slivers files.
+    # AQE sizes the rebalanced output to the advisory partition size.
+    buckets.hint("rebalance").write.mode("overwrite").parquet(
         f"{versioned_subdir(index_path, 'buckets', version)}/batch_id={batch_id}"
     )
     obs = Observation()
     kept = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    kept.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-        "overwrite"
-    ).parquet(f"{versioned_subdir(index_path, 'vecs', version)}/batch_id={batch_id}")
+    kept.observe(obs, F.count(F.lit(1)).alias("rows")).hint(
+        "rebalance"
+    ).write.mode("overwrite").parquet(
+        f"{versioned_subdir(index_path, 'vecs', version)}/batch_id={batch_id}"
+    )
     return int(obs.get["rows"])
 
 

@@ -3456,30 +3456,69 @@ _SENTIMENT_NEG = [
 _SENTIMENT_MODEL_CACHE: dict[str, object] = {}
 
 
-def q_sentiment_scores(spark, sf_dir):
-    # M5 ML surface in the contract: train the TF-IDF + LR pipeline on a
-    # fixed synthetic labeled set, score the documents table, count
-    # positives per lang. Deterministic (fixed data + solver params);
-    # no SQL oracle (model output) -> rows-only check + tests.
+_SENTIMENT_NUM_FEATURES = 1 << 12
+
+
+def _sentiment_train_df(spark):
+    return spark.createDataFrame(
+        [(t, 1) for t in _SENTIMENT_POS] + [(t, 0) for t in _SENTIMENT_NEG],
+        ["text", "label"],
+    )
+
+
+def _sentiment_model(spark):
+    """Train-once-per-application sentiment model shared by the scoring
+    query and the artifact-contract query."""
     from projet_5spar_sparkstreaming_spark.ml.sentiment import train_sentiment
 
     cache_key = spark.sparkContext.applicationId
     model = _SENTIMENT_MODEL_CACHE.get(cache_key)
     if model is None:
-        train = spark.createDataFrame(
-            [(t, 1) for t in _SENTIMENT_POS] + [(t, 0) for t in _SENTIMENT_NEG],
-            ["text", "label"],
-        )
         # small feature space: 12 training docs, tiny vocab — keeps the
         # LR problem dense and the query fast without changing results
-        model = train_sentiment(train, num_features=1 << 12)
+        model = train_sentiment(
+            _sentiment_train_df(spark), num_features=_SENTIMENT_NUM_FEATURES
+        )
         _SENTIMENT_MODEL_CACHE.clear()
         _SENTIMENT_MODEL_CACHE[cache_key] = model
+    return model
+
+
+def q_sentiment_scores(spark, sf_dir):
+    # M5 ML surface in the contract: train the TF-IDF + LR pipeline on a
+    # fixed synthetic labeled set, score the documents table, count
+    # positives per lang. Deterministic (fixed data + solver params);
+    # no SQL oracle (model output) -> rows-only check + tests.
+    model = _sentiment_model(spark)
     docs = _t(spark, sf_dir, "documents")
     scored = model.classify(docs.select("doc_id", "lang", "text"))
     return scored.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("sentiment").cast("long")).alias("n_positive"),
+    )
+
+
+def q_sentiment_contract(spark, sf_dir):
+    # Oracle-checkable artifacts of the sentiment pipeline (the scoring
+    # query itself stays rows-only — model output isn't SQL): the
+    # trained LR must separate its fixed 12-doc training set perfectly
+    # (the texts are synthetic and linearly separable; regParam 0.01 /
+    # maxIter 50 converge to zero training error deterministically) and
+    # the coefficient vector length must equal the pinned feature-space
+    # size. Both are constants the DuckDB oracle pins literally — the
+    # same invariant-as-constant convention the *_containment queries
+    # use. sf_dir is unused: the contract is about the pipeline, not
+    # the corpus.
+    model = _sentiment_model(spark)
+    lr = model.model.stages[-1]
+    scored = model.classify(_sentiment_train_df(spark))
+    return scored.agg(
+        F.sum(
+            (F.col("sentiment").cast("int") != F.col("label")).cast("long")
+        ).alias("n_train_errors")
+    ).select(
+        "n_train_errors",
+        F.lit(int(lr.coefficients.size)).cast("long").alias("n_coef"),
     )
 
 
@@ -4408,6 +4447,13 @@ def _oracles() -> dict[str, str | None]:
             "FROM reach GROUP BY src"
         ),
         "sentiment_scores": None,  # trained model output: rows-only check
+        # invariant-as-constant oracle (same convention as the
+        # *_containment queries): pinned training-set separability and
+        # coefficient-space size of the sentiment pipeline
+        "sentiment_contract": (
+            "SELECT CAST(0 AS BIGINT) AS n_train_errors, "
+            f"CAST({_SENTIMENT_NUM_FEATURES} AS BIGINT) AS n_coef"
+        ),
         "word_counts": (
             f"SELECT token, COUNT(*) AS cnt FROM ("
             f"SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS token "
@@ -4714,6 +4760,7 @@ def catalog() -> list[CatalogQuery]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "sentiment_scores": q_sentiment_scores,
+        "sentiment_contract": q_sentiment_contract,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "minhash_pairs_containment": q_minhash_pairs_containment,

@@ -131,32 +131,28 @@ def minhash_ingest_batch(
     if meta is not None and any(
         int(b) < batch_id for b in meta.get("batches", {})
     ):
-        drop_cross = (
-            minhash_query_index(
-                batch,
-                index_dir,
-                id_col,
-                text_col,
-                threshold=threshold,
-                max_batch_id_exclusive=batch_id,
-                precomputed_sig=precomputed_sig,
-            )
-            .select(F.col("id_a").alias(id_col))
-            .distinct()
-        )
-    drop_within = (
-        minhash_near_dup_pairs(
-            batch, id_col, text_col,
-            n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        drop_cross = minhash_query_index(
+            batch,
+            index_dir,
+            id_col,
+            text_col,
+            threshold=threshold,
+            max_batch_id_exclusive=batch_id,
             precomputed_sig=precomputed_sig,
-        )
-        .select(F.col("id_b").alias(id_col))  # id_a < id_b: keep min id
-        .distinct()
-    )
+        ).select(F.col("id_a").alias(id_col))
+    drop_within = minhash_near_dup_pairs(
+        batch, id_col, text_col,
+        n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        precomputed_sig=precomputed_sig,
+    ).select(F.col("id_b").alias(id_col))  # id_a < id_b: keep min id
+    # one distinct over the unioned drop set (not per leg + again after
+    # the union — that plan paid three shuffle rounds per micro-batch
+    # where one suffices; left_anti ignores duplicate keys anyway, the
+    # distinct only bounds the join's build side)
     dropped = (
         drop_within if drop_cross is None
-        else drop_cross.unionByName(drop_within).distinct()
-    )
+        else drop_cross.unionByName(drop_within)
+    ).distinct()
     return batch.join(dropped, id_col, "left_anti")
 
 
@@ -277,30 +273,24 @@ def embed_ingest_batch(
     if meta is not None and any(
         int(b) < batch_id for b in meta.get("batches", {})
     ):
-        drop_cross = (
-            embed_lsh_query_index(
-                batch,
-                index_dir,
-                id_col,
-                vec_col,
-                threshold=threshold,
-                max_batch_id_exclusive=batch_id,
-            )
-            .select(F.col("id_a").alias(id_col))
-            .distinct()
-        )
-    drop_within = (
-        cosine_near_dup_pairs(
-            batch, id_col, vec_col, threshold=threshold,
-            n_planes=within_planes, n_tables=within_tables, dim=dim,
-        )
-        .select(F.col("id_b").alias(id_col))  # id_a < id_b: keep min id
-        .distinct()
-    )
+        drop_cross = embed_lsh_query_index(
+            batch,
+            index_dir,
+            id_col,
+            vec_col,
+            threshold=threshold,
+            max_batch_id_exclusive=batch_id,
+        ).select(F.col("id_a").alias(id_col))
+    drop_within = cosine_near_dup_pairs(
+        batch, id_col, vec_col, threshold=threshold,
+        n_planes=within_planes, n_tables=within_tables, dim=dim,
+    ).select(F.col("id_b").alias(id_col))  # id_a < id_b: keep min id
+    # single distinct over the unioned drop set (one shuffle round, not
+    # three) — left_anti semantics are unaffected by duplicate keys
     dropped = (
         drop_within if drop_cross is None
-        else drop_cross.unionByName(drop_within).distinct()
-    )
+        else drop_cross.unionByName(drop_within)
+    ).distinct()
     return batch.join(dropped, id_col, "left_anti")
 
 

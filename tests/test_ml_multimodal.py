@@ -46,6 +46,31 @@ def test_sentiment_train_and_classify(spark):
     assert set(model.classify(test).columns) == {"text", "sentiment"}
 
 
+def test_sentiment_classify_survives_observation_use(spark):
+    """Regression: after ANY Observation runs on the session (the
+    engine's index writes ride row counts on observe metrics), an LR
+    model that kept its trainingSummary fails task serialization
+    (summary -> SparkSession -> populated ObservationManager, Spark
+    4.1). train_sentiment drops the summary so scoring stays legal in
+    the same application as an index build/append."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    spark.range(10).observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    assert obs.get["n"] == 10
+    train = spark.createDataFrame(
+        [(t, 1) for t in POS] + [(t, 0) for t in NEG], ["text", "label"]
+    )
+    model = train_sentiment(train)
+    test = spark.createDataFrame(
+        [("great wonderful love",), ("terrible awful hate",)], ["text"]
+    )
+    out = {r["text"]: r["sentiment"] for r in model.classify(test).collect()}
+    assert out == {"great wonderful love": 1.0, "terrible awful hate": 0.0}
+
+
 def _media_df(spark):
     rows = [(i, bytes(range(i, i + 64))) for i in range(5)]
     return spark.createDataFrame(rows, ["media_id", "payload"])

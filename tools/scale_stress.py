@@ -608,7 +608,10 @@ def main() -> None:
         de = run_decontamination(spark, n)
         results.append(de)
         print(json.dumps(de), flush=True)
-    fl = run_stream_ingest_flatness(spark, sorted(tiers)[len(tiers) // 2])
+    # flatness tier pinned to the second-smallest (50k in the default
+    # set) so adding larger decades doesn't change WHICH corpus the
+    # per-batch ramp is measured on — round-over-round comparability
+    fl = run_stream_ingest_flatness(spark, sorted(tiers)[min(1, len(tiers) - 1)])
     results.append(fl)
     print(json.dumps(fl), flush=True)
     cur = run_curation(spark, max(tiers))
