@@ -343,30 +343,44 @@ def ngram_overlap_join(
     typically a vanishing fraction), not the corpus's full shingle
     multiset. Measured at the 500k-doc tier this replaced a
     train-sized distinct shuffle with a kilobyte-scale one (SCALE.md
-    decontamination curve).
+    decontamination curve). Both sides' shingle hashes come from the
+    Arrow-vectorized ``shingle_hash_rows`` (one consistent hash
+    family): the corpus scan is the whole cost at scale, and the
+    interpreted JVM shingle expression this replaced multiplied it
+    ~10x (260s -> ~40s on a 5M-doc corpus, SCALE_STRESS_r08).
     """
-    ev = evals.select(
-        F.col(id_col).alias("doc_id"),
-        _shingle_hashes(text_col, n).alias("__sh"),
-    ).cache()  # tiny benchmark side; reused for sizes and the explode
-    ev_ex = ev.select("doc_id", F.explode("__sh").alias("__s"))
-    ev_set = ev_ex.select("__s").distinct()
+    ev_ids = evals.select(F.col(id_col).alias("doc_id"))
+    # tiny benchmark side: per-doc DISTINCT shingle rows, reused for
+    # the broadcast probe set, per-doc sizes and the hit counts
+    ev_sh = (
+        shingle_hash_rows(evals, id_col, text_col, n)
+        .withColumnRenamed("__id", "doc_id")
+        .dropDuplicates(["doc_id", "__s"])
+        .cache()
+    )
+    ev_set = ev_sh.select("__s").distinct()
     # corpus side: scan -> broadcast semi-join (map-side, no shuffle of
     # train shingles) -> distinct over the O(overlap) survivors only
     tr_s = (
-        train.select(F.explode(_shingle_hashes(text_col, n)).alias("__s"))
+        shingle_hash_rows(train, id_col, text_col, n)
         .join(F.broadcast(ev_set), "__s", "left_semi")
         .groupBy("__s")
         .agg(F.lit(1))
         .select("__s")
     )
     hits = (
-        ev_ex.join(F.broadcast(tr_s), "__s")
+        ev_sh.join(F.broadcast(tr_s), "__s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
+    sizes = ev_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    # NULL-text eval docs have no shingle rows: the left joins keep
+    # their row with n_shingles NULL / n_contaminated 0 / rate NULL /
+    # flagged false — same shape as the old size(NULL-array) path
     return (
-        ev.select("doc_id", F.size("__sh").cast("bigint").alias("n_shingles"))
+        ev_ids.join(sizes, "doc_id", "left")
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",
@@ -682,6 +696,142 @@ def _arrow_ngram_hashes(t, n: int):
     return gflat, glens, goffs
 
 
+# distinct from every token hash (tokens are never empty strings under
+# the tokenizer regex): the one shingle a zero-token document emits —
+# the Arrow-side analogue of _shingle_hashes' xxhash64(array(''))
+_EMPTY_DOC_SHINGLE = 0x9E3779B97F4A7C15
+
+
+def _token_gram_hashes(toks, n: int):
+    """Per-document n-gram hashes for a pyarrow ListArray of TOKEN
+    lists (tokenization already done — by the JVM ``tokens()`` regex,
+    so the token stream is oracle-parity-exact, unlike
+    ``_arrow_ngram_hashes``' whitespace split).
+
+    Token hashes mix ALL bytes (8-byte words up to the batch's max
+    token length — no truncation aliasing) plus the byte length; the
+    n-gram combine is the same position-salted windowed mix as
+    ``_arrow_ngram_hashes``. Counts mirror ``_shingle_hashes``: >= n
+    tokens -> len-n+1 grams, 1..n-1 tokens -> ONE truncated gram
+    (only real tokens mix — equal iff the token sequences are equal),
+    ZERO tokens -> ONE ``_EMPTY_DOC_SHINGLE`` sentinel (all empty docs
+    share it, like the oracle's '' shingle). Returns
+    ``(gflat, glens, goffs)`` as uint64/int64 numpy arrays.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mix_c = np.array(
+        [(0x9E3779B97F4A7C15 * (2 * k + 1)) & 0xFFFFFFFFFFFFFFFF for k in range(n)],
+        dtype=np.uint64,
+    )
+    C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    C3 = np.uint64(0x165667B19E3779F9)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten().cast(pa.binary())
+    total = len(flat)
+    with np.errstate(over="ignore"):
+        if total:
+            blens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+            tlen = blens.astype(np.uint64)
+            # words sized to the batch max token length: full-byte
+            # hashing with a vectorized per-word Horner loop
+            nw = max(1, -(-int(blens.max()) // 8))
+            w = np.frombuffer(
+                flat.to_numpy(zero_copy_only=False).astype(f"S{nw * 8}").tobytes(),
+                dtype=np.uint64,
+            ).reshape(-1, nw)
+            th = np.full(total, np.uint64(0x165667B19E3779F9), dtype=np.uint64)
+            for j in range(nw):
+                th = (th ^ (w[:, j] * C2)) * C3
+            th ^= tlen * C2
+            th ^= th >> np.uint64(33)
+            th *= C2
+            th ^= th >> np.uint64(29)
+        else:
+            th = np.zeros(0, dtype=np.uint64)
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        pos = np.arange(total) - np.repeat(starts, lens)
+        doc_len = np.repeat(lens, lens)
+        gram = th * mix_c[0]
+        for k in range(1, n):
+            shifted = np.concatenate([th[k:], np.zeros(k, dtype=np.uint64)])[:total]
+            gram ^= np.where(pos + k < doc_len, shifted, np.uint64(0)) * mix_c[k]
+        gram ^= gram >> np.uint64(31)
+        gram *= mix_c[0]
+        glens = np.maximum(lens - (n - 1), 1)
+        goffs = np.concatenate([[0], np.cumsum(glens)])[:-1]
+        n_grams = int(glens.sum())
+        if total:
+            idx = np.repeat(starts, glens) + (
+                np.arange(n_grams) - np.repeat(goffs, glens)
+            )
+            # zero-token docs point at the NEXT doc's first token (or
+            # past the end): clip, then overwrite with the sentinel
+            gflat = gram[np.minimum(idx, total - 1)]
+        else:
+            gflat = np.zeros(n_grams, dtype=np.uint64)
+        empty_mask = np.repeat(lens == 0, glens)
+        if empty_mask.any():
+            gflat[empty_mask] = np.uint64(_EMPTY_DOC_SHINGLE)
+    return gflat, glens, goffs
+
+
+def shingle_hash_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Exploded (``__id``, ``__s``) n-gram shingle-hash rows, Arrow-
+    vectorized — the corpus-side fast path of ``ngram_overlap_join``
+    (the interpreted per-shingle HOF it replaces cost ~8us/shingle and
+    went to 260s on a 5M-doc corpus scan; this path tracks the
+    tokenize-only scan time — SCALE_STRESS_r08).
+
+    Tokenization stays JVM-side (``tokens()``: the same lowercase
+    regex the SQL oracles use), so hash-family aside the shingle
+    IDENTITY matches ``_shingle_hashes`` exactly. NULL-text docs emit
+    NO rows. Rows are NOT per-doc distinct — callers dedup as their
+    plan needs it (global ``groupBy(__s)`` on the corpus side, per-doc
+    ``dropDuplicates`` on the small side). The hash family is internal:
+    consumers compare hashes for equality only, and both sides of any
+    join must come from THIS function.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    rows = (
+        _ensure_min_parallelism(df, id_col)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tk"))
+    )
+
+    def _rows(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("__id"))
+            tk = batch.column(batch.schema.get_field_index("__tk"))
+            if isinstance(tk, pa.ChunkedArray):
+                tk = tk.combine_chunks()
+            gflat, glens, _ = _token_gram_hashes(tk, n)
+            out_id = np.repeat(ids.to_numpy(zero_copy_only=False), glens)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=ids.type),
+                    pa.array(gflat.astype(np.int64), type=pa.int64()),
+                ],
+                ["__id", "__s"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("__id", rows.schema["__id"].dataType, False),
+            T.StructField("__s", T.LongType(), False),
+        ]
+    )
+    return rows.mapInArrow(_rows, schema=schema)
+
+
 def minhash_signature_arrow(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
@@ -899,26 +1049,40 @@ def minhash_near_dup_pairs(
     # caller-cached precomputed_sig is a no-op.)
     sig = sig.cache()
     banded = _banded_buckets(sig, bands, rows_per_band)
+    # Candidates via ONE shuffle: group each (band, bucket) down to its
+    # sorted member list, then expand within-bucket pairs with a
+    # constant-size HOF. The banded SELF-join this replaces shuffled
+    # AND sorted the bands*docs-row banding table twice (sort-merge)
+    # and went superlinear at the 5M-doc tier (82.9s; this plan ~20s —
+    # SCALE_STRESS_r08). collect_list partial-aggregates map-side
+    # (ObjectHashAggregate), so shuffle bytes match ONE side of the old
+    # join; sort_array makes member order deterministic and yields
+    # id_a < id_b for free (an id appears at most once per bucket —
+    # one banded row per doc per band). A k-member bucket still emits
+    # k(k-1)/2 pair rows, exactly the old join's output; the
+    # max_bucket_size guard is now a free size() filter instead of a
+    # count window (which added a full per-partition sort).
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
     if max_bucket_size is not None:
-        # occupancy rides the same shuffle the join needs anyway (count
-        # window over the bucket key); oversized buckets drop before
-        # they can fan out k^2 candidate rows
-        occ_w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__occ", F.count(F.lit(1)).over(occ_w))
-            .filter(F.col("__occ") <= max_bucket_size)
-            .drop("__occ")
+        members = members.filter(F.size("__ids") <= max_bucket_size)
+    pairs_col = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                # elements strictly after position i (slice is 1-based;
+                # an over-long length clamps to the array end)
+                F.slice("__ids", i + F.lit(2), F.size("__ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        members.select(F.explode(pairs_col).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
