@@ -73,8 +73,17 @@ def fingerprint_dedup(
     (case/punctuation/whitespace-insensitive). Keeps the row with the
     minimum ``keep_by`` value per fingerprint group (deterministic),
     or an arbitrary row when ``keep_by`` is None.
+
+    The fingerprint comes from the Arrow scan kernel
+    (``textstats.score_rows``, row-identical to ``doc_fingerprint`` —
+    the interpreted ``[^a-z0-9\\s]`` replace costs ~140ns/char and
+    dominated cold corpus scans at the 500k+ tiers).
     """
-    with_fp = df.withColumn("__fp", doc_fingerprint(text_col))
+    from projet_5spar_sparkstreaming_spark.functions.textstats import score_rows
+
+    with_fp = score_rows(
+        df, text_col, n_tokens_col="__sr_nt", n_alpha_col="__sr_na", fp_col="__fp"
+    ).drop("__sr_nt", "__sr_na")
     if keep_by is None:
         return with_fp.dropDuplicates(["__fp"]).drop("__fp")
     w = Window.partitionBy("__fp").orderBy(F.col(keep_by).asc_nulls_last())

@@ -128,6 +128,13 @@ CHECKS = {
     ],
     "minhash_pairs": [
         ("banded equi-join, no cartesian", "!CartesianProduct"),
+        # r8 linearization: candidates come from ONE groupBy(band,
+        # bucket) collect_list + HOF pair expansion — the banded
+        # SELF-join it replaced sort-merge-shuffled the bands*docs
+        # table twice and went superlinear at the 5M tier (82.9s vs
+        # ~19s, SCALE_STRESS_r08)
+        ("no banded self-join", "!SortMergeJoin"),
+        ("bucket members via collect_list agg", "ObjectHashAggregate"),
     ],
     "embedding_neardup_pairs": [
         # bucket equi-join candidates; a cartesian here is the

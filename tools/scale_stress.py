@@ -587,6 +587,10 @@ def main() -> None:
     tiers = [int(x) for x in sys.argv[1:]] or [5_000, 50_000, 500_000]
     from projet_5spar_sparkstreaming_spark.session import get_spark
 
+    # The 5M tier needs real executor memory (the default 8g heap split
+    # across 32 local threads is ~250MB/task — a cluster executor would
+    # have 10-50x that). Default up; an explicit env still wins.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark("scale_stress")
     os.makedirs(WORK, exist_ok=True)
     results = []
