@@ -141,6 +141,14 @@ CHECKS = {
         # quadratic-corpus failure mode
         ("bucketed equi-join, no cartesian", "!CartesianProduct"),
     ],
+    "curate_corpus": [
+        # r8: all corpus scoring regex (tokens/alpha/fingerprint) runs
+        # in ONE Arrow RE2 kernel — java.util.regex in this plan means
+        # the 143s-per-500k expression path regressed back in, and the
+        # quality/length filter would double-evaluate it via pushdown
+        ("arrow scoring kernel present", "MapInArrow"),
+        ("no java-regex scoring", "!regexp"),
+    ],
     "incremental_neardup_pairs": [
         ("cross-set prefix equi-join, no cartesian", "!CartesianProduct"),
     ],
