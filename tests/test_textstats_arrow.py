@@ -116,6 +116,31 @@ def test_score_rows_matches_expressions_corpus(spark, sf_dir):
     _assert_identical(docs.select("doc_id", "text"))
 
 
+def test_score_rows_expression_fallback_identical(spark, monkeypatch):
+    """The no-pyarrow fallback must stay row-identical to the kernel —
+    it is the documented degradation path, so it must not drift.
+    Setting sys.modules['pyarrow'] = None makes ``import pyarrow``
+    raise ImportError inside score_rows without touching the session
+    (the reference/kernel computations below re-enable it)."""
+    import sys
+
+    df = _tricky_df(spark)
+    monkeypatch.setitem(sys.modules, "pyarrow", None)
+    fb = score_rows(df, "text")
+    # plain projection — collect BEFORE restoring pyarrow so the plan
+    # truly executed through the expression branch
+    fb_rows = {
+        r["doc_id"]: (r["__n_toks"], r["__n_alpha"], r["__fp"])
+        for r in fb.collect()
+    }
+    monkeypatch.undo()
+    k_rows = {
+        r["doc_id"]: (r["__n_toks"], r["__n_alpha"], r["__fp"])
+        for r in score_rows(df, "text").collect()
+    }
+    assert fb_rows == k_rows
+
+
 def test_score_rows_passthrough_and_schema(spark):
     df = _tricky_df(spark).withColumn("extra", F.col("doc_id") * 2)
     out = score_rows(df, "text")
