@@ -272,16 +272,16 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
             .start()
         )
 
-    def _curate():
+    def _curate(files_per_trigger: int = 1, suffix: str = ""):
         curated = curate_corpus_stream(
-            _file_stream(docs_path),
+            _file_stream(docs_path, files_per_trigger),
             min_quality=0.59,
             min_tokens=10,
             max_tokens=100_000,
         ).select("doc_id", "quality", "n_tokens")
         return (
             curated.writeStream.format("memory")
-            .queryName("bench_stream_curate")
+            .queryName("bench_stream_curate" + suffix)
             .outputMode("append")
             .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_b_", dir=base))
             .trigger(availableNow=True)
@@ -323,6 +323,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
         # per-batch ramp visible); this pair is the throughput number.
         ("stream_neardup_ingest_tuned", lambda: _neardup_ingest(3, "_t")),
         ("stream_embed_neardup_ingest_tuned", lambda: _embed_ingest(3, "_t")),
+        ("stream_curate_corpus_tuned", lambda: _curate(3, "_t")),
     ):
         t0 = time.time()
         q = starter()
