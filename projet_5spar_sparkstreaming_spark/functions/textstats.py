@@ -203,7 +203,15 @@ def score_rows(
 
         for batch in batches:
             text = batch.column(batch.schema.get_field_index(text_col))
-            lower = pc.utf8_lower(text)
+            # Java's toLowerCase applies Unicode SpecialCasing, whose
+            # ONLY unconditional multi-char LOWERCASE mapping is
+            # U+0130 İ -> i + U+0307 (combining dot); utf8_lower uses
+            # the simple 1:1 mapping (-> i), which would merge token
+            # runs the expression path splits ('İS' -> i/ s vs is).
+            # Pre-expanding İ makes the two lowercasings identical on
+            # every input (generative sweep in test_textstats_arrow).
+            text_l = pc.replace_substring(text, "İ", "i̇")
+            lower = pc.utf8_lower(text_l)
             n_toks = pc.count_substring_regex(lower, r"[A-Za-z0-9_']+")
             n_alpha = pc.count_substring_regex(text, "[A-Za-z]")
             cols = list(batch.columns)

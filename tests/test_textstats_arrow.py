@@ -116,6 +116,30 @@ def test_score_rows_matches_expressions_corpus(spark, sf_dir):
     _assert_identical(docs.select("doc_id", "text"))
 
 
+def test_score_rows_matches_expressions_random_unicode(spark):
+    """Generative sweep: 500 seeded random strings mixing ASCII tokens,
+    every Java \\s member, controls, combining marks, case-folding
+    oddities (İ K ẞ ﬁ), surrogate-adjacent codepoints and emoji — any
+    RE2-vs-java.util.regex or utf8_lower-vs-UTF8String.toLowerCase
+    divergence that changes counts or the fingerprint shows up as a
+    row mismatch here before it can flake an oracle."""
+    import random
+
+    rng = random.Random(20260815)
+    alphabet = (
+        [chr(c) for c in range(0x20, 0x7F)]
+        + list(" \t\n\x0b\x0c\r")
+        + ["é", "ß", "İ", "K", "ẞ", "ﬁ", "Ǆ", "ǅ", "ǆ", "̇", "́"]
+        + ["中", "文", "🙂", "𝔸", " ", " ", " "]
+    )
+    rows = []
+    for i in range(500):
+        n = rng.randint(0, 60)
+        rows.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    _assert_identical(df)
+
+
 def test_score_rows_expression_fallback_identical(spark, monkeypatch):
     """The no-pyarrow fallback must stay row-identical to the kernel —
     it is the documented degradation path, so it must not drift.
