@@ -23,8 +23,8 @@ from projet_5spar_sparkstreaming_spark.functions.textstats import (
 )
 
 
-def _scored(docs: DataFrame, text_col: str) -> DataFrame:
-    """(quality, n_tokens, __fp) via the one-pass Arrow kernel.
+def _scored(docs: DataFrame, text_col: str, with_fp: bool = True) -> DataFrame:
+    """(quality, n_tokens[, __fp]) via the one-pass Arrow kernel.
 
     ``score_rows`` carries the regex work (RE2, one evaluation); the
     quality blend itself is the shared JVM expression over the kernel's
@@ -32,7 +32,9 @@ def _scored(docs: DataFrame, text_col: str) -> DataFrame:
     quality/length filter cannot be pushed below the Python node, so
     nothing is evaluated twice (the expression form paid the pushdown
     re-eval double: cold 500k curation scan 143s -> ~3s)."""
-    with_counts = score_rows(docs, text_col)
+    with_counts = score_rows(
+        docs, text_col, fp_col="__fp" if with_fp else None
+    )
     quality = F.round(
         _quality_from_counts(
             F.length(F.col(text_col)).cast("double"),
@@ -59,23 +61,47 @@ def curate_corpus(
     """Quality-filter, length-bound and dedup a document corpus.
 
     Adds ``quality`` and ``n_tokens`` columns; keeps the minimum-id row
-    per normalization fingerprint.
+    per normalization fingerprint (``id_col`` must be unique — the
+    standard doc-corpus contract).
+
+    100 TB shuffle shape: the fingerprint dedup never shuffles the text
+    payload. Loser ids come from a NARROW branch — (id, fingerprint)
+    rows only, ~40 bytes each, through the one dedup shuffle — and the
+    scored corpus anti-joins that id set (duplicates are a small
+    fraction of a real corpus, so the drop set broadcasts; when it
+    doesn't, AQE degrades to an id-keyed shuffle join, which is what a
+    payload-carrying window would have cost anyway). The price is a
+    second kernel scan for the narrow branch — scans parallelize freely
+    at 100 TB, payload shuffles don't. The main branch skips the
+    fingerprint work entirely (no sha, no normalization replaces).
     """
     from pyspark.sql import Window
 
-    filtered = _scored(docs, text_col).filter(
+    cond = (
         (F.col("quality") >= min_quality)
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)
     )
-    # fingerprint_dedup's window shape, reusing the kernel's __fp so the
-    # fingerprint isn't re-derived with java regex
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc_nulls_last())
-    return (
-        filtered.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__fp")
+    kept = _scored(docs, text_col, with_fp=False).filter(cond)
+    # narrow loser derivation: dedup runs AMONG the filtered rows, so
+    # the branch applies the same scoring + condition, then keeps only
+    # (id, fp) for the shuffle
+    losers = (
+        _scored(docs.select(id_col, text_col), text_col, with_fp=True)
+        .filter(cond)
+        .select(id_col, "__fp")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__fp").orderBy(
+                    F.col(id_col).asc_nulls_last()
+                )
+            ),
+        )
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
     )
+    return kept.join(losers, id_col, "left_anti")
 
 
 def curate_corpus_stream(
