@@ -78,6 +78,14 @@ def fingerprint_dedup(
     (``textstats.score_rows``, row-identical to ``doc_fingerprint`` —
     the interpreted ``[^a-z0-9\\s]`` replace costs ~140ns/char and
     dominated cold corpus scans at the 500k+ tiers).
+
+    Shuffle shape: the window shuffles full rows KEYED by the 32-byte
+    digest. When the payload is wide AND rows carry a unique id (the
+    doc-corpus contract), prefer the narrow recipe in
+    ``plans.corpus.curate_corpus``: derive loser ids from an
+    (id, fingerprint)-only branch and anti-join them — the payload
+    never shuffles. This generic operator can't assume id uniqueness,
+    so it keeps the single-shuffle window form.
     """
     from projet_5spar_sparkstreaming_spark.functions.textstats import score_rows
 
