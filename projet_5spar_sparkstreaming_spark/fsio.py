@@ -63,22 +63,28 @@ def write_json(spark: SparkSession, path: str, obj: Any) -> None:
     finally:
         out.close()
     old = jpath(path + ".old")
-    if fs.exists(old):
-        # Stale aside from a prior crash — drop it UNCONDITIONALLY: after
-        # a crash between rename(live, old) and rename(tmp, live) the live
-        # file is absent, and cleaning only under `if exists(live)` would
-        # leave a .old older than the new content behind forever.
-        fs.delete(old, False)
     had_old = False
     if fs.exists(hpath):
+        if fs.exists(old):
+            # Stale aside from a prior crash; the live file is the
+            # durable copy, so dropping it now is safe (the slot must
+            # be free for the rename below).
+            fs.delete(old, False)
         if not fs.rename(hpath, old):
             raise IOError(f"rename {path} -> {path}.old failed")
         had_old = True
+    # Live-absent case (crash between the two renames last time): the
+    # surviving .old is the ONLY durable copy — it must outlive the
+    # publish rename, so its cleanup is deferred to the success path
+    # below. At every instant one durable copy (live or .old) exists.
     if not fs.rename(tmp, hpath):
         if had_old:
             fs.rename(old, hpath)  # best-effort restore
         raise IOError(f"rename {path}.tmp -> {path} failed")
-    if had_old:
+    if fs.exists(old):
+        # the new live file is durable: drop the aside (the fresh one
+        # from this write, or a crash-survivor from a previous one —
+        # cleaned here so it never lingers behind newer content)
         fs.delete(old, False)
 
 

@@ -726,7 +726,9 @@ def _token_gram_hashes(toks, n: int):
     ``_arrow_ngram_hashes``' whitespace split).
 
     Token hashes mix ALL bytes (8-byte words up to the batch's max
-    token length — no truncation aliasing) plus the byte length; the
+    token length — no truncation aliasing — with each word round
+    masked by the token's own length, so the hash is INDEPENDENT of
+    what else shares the batch) plus the byte length; the
     n-gram combine is the same position-salted windowed mix as
     ``_arrow_ngram_hashes``. Counts mirror ``_shingle_hashes``: >= n
     tokens -> len-n+1 grams, 1..n-1 tokens -> ONE truncated gram
@@ -760,8 +762,13 @@ def _token_gram_hashes(toks, n: int):
                 dtype=np.uint64,
             ).reshape(-1, nw)
             th = np.full(total, np.uint64(0x165667B19E3779F9), dtype=np.uint64)
+            # mask each word round by the token's OWN length: zero-pad
+            # words past the token must not mutate the hash, or the
+            # same token hashes differently in batches whose max token
+            # length (and hence nw) differs — and the eval/train sides
+            # of ngram_overlap_join hash in independent batches
             for j in range(nw):
-                th = (th ^ (w[:, j] * C2)) * C3
+                th = np.where(j * 8 < blens, (th ^ (w[:, j] * C2)) * C3, th)
             th ^= tlen * C2
             th ^= th >> np.uint64(33)
             th *= C2
@@ -1077,15 +1084,28 @@ def minhash_near_dup_pairs(
     # id_a < id_b for free (an id appears at most once per bucket —
     # one banded row per doc per band). A k-member bucket still emits
     # k(k-1)/2 pair rows, exactly the old join's output; the
-    # max_bucket_size guard is now a free size() filter instead of a
-    # count window (which added a full per-partition sort).
+    # max_bucket_size guard pre-counts on the narrow id stream so an
+    # over-cap bucket never reaches a collect_list buffer at all.
+    if max_bucket_size is not None:
+        # Pre-filter over-cap buckets BEFORE collect_list so a
+        # pathological mega-bucket (e.g. 10^5 identical docs) never
+        # materializes in any task's aggregation buffer. The count agg
+        # is map-side partial over the narrow (band,bucket) stream and
+        # its shuffle co-partitions with the join AND the groupBy
+        # below (same keys), so AQE plans one exchange of banded rows;
+        # shuffle_hash keeps the whole path sort-free.
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size))
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok.hint("shuffle_hash"), ["band", "bucket"])
     members = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
         .filter(F.size("__ids") >= 2)
     )
-    if max_bucket_size is not None:
-        members = members.filter(F.size("__ids") <= max_bucket_size)
     pairs_col = F.flatten(
         F.transform(
             "__ids",
@@ -1100,6 +1120,12 @@ def minhash_near_dup_pairs(
     cand = (
         members.select(F.explode(pairs_col).alias("__p"))
         .select("__p.id_a", "__p.id_b")
+        # ids are expected unique per doc, but if the input carries a
+        # duplicated id it appears twice in the sorted member list and
+        # the strictly-after slice would emit an (id, id) self-pair
+        # (which trivially verifies at jaccard 1.0) — drop it, matching
+        # the old self-join's a.__id < b.__id semantics
+        .filter(F.col("id_a") != F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:

@@ -434,6 +434,28 @@ def build_ivf_index(
     return len(cent)
 
 
+def _ivf_data_dir(spark, index_path: str, version: int) -> str:
+    """Resolve the IVF data tree for ``version``, with a LEGACY
+    fallback: indexes persisted before the versioned-subtree layout
+    kept their ``cell=*/batch_id=*`` hive dirs at the index ROOT (next
+    to ``_centroids.json``) and carry no ``version`` key in meta —
+    when version 0's ``{index}/data`` subtree is absent but the root
+    holds ``cell=`` dirs, resolve to the root so pre-existing indexes
+    keep querying/appending/compacting without a rebuild (r8 advice)."""
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        list_dir,
+        path_exists,
+        versioned_subdir,
+    )
+
+    p = versioned_subdir(index_path, "data", version)
+    if version == 0 and not path_exists(spark, p):
+        base = index_path.rstrip("/")
+        if any(n.startswith("cell=") for n in list_dir(spark, base)):
+            return base
+    return p
+
+
 def _write_ivf_batch(
     vecs: DataFrame,
     index_path: str,
@@ -451,8 +473,6 @@ def _write_ivf_batch(
     ``observe`` metric — one execution of the input plan per append,
     no separate count job."""
     from pyspark.sql import Observation
-
-    from projet_5spar_sparkstreaming_spark.fsio import versioned_subdir
 
     obs = Observation()
     assigned = (
@@ -474,7 +494,7 @@ def _write_ivf_batch(
         assigned.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell", "batch_id")
-        .parquet(versioned_subdir(index_path, "data", version))
+        .parquet(_ivf_data_dir(vecs.sparkSession, index_path, version))
     )
     return int(obs.get["rows"])
 
@@ -554,8 +574,10 @@ def compact_ivf_index(
         F.col("batch_id").isin(merged), F.lit(merged_id)
     ).otherwise(F.col("batch_id"))
     clean_versions_except(spark, index_path, "data", {version})
+    live_dir = _ivf_data_dir(spark, index_path, version)
+    legacy_root = version == 0 and live_dir == index_path.rstrip("/")
     (
-        spark.read.parquet(versioned_subdir(index_path, "data", version))
+        spark.read.parquet(live_dir)
         .withColumn("batch_id", remap)
         .repartition(n_parts, "cell", "batch_id")
         .write.mode("overwrite")
@@ -567,6 +589,21 @@ def compact_ivf_index(
     batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
     meta["version"] = version + 1
     write_json(spark, meta_path, meta)  # the flip
+    if legacy_root:
+        # migrating off the pre-versioning ROOT layout: the retired
+        # cell=* dirs sit next to _centroids.json where
+        # clean_versions_except can't name them — drop them now (no
+        # grace copy: the legacy layout predates reader-safe
+        # versioning, so its readers never had one)
+        from projet_5spar_sparkstreaming_spark.fsio import (
+            delete_path,
+            list_dir,
+        )
+
+        base = index_path.rstrip("/")
+        for name in list_dir(spark, base):
+            if name.startswith("cell="):
+                delete_path(spark, f"{base}/{name}")
     return meta
 
 
@@ -617,12 +654,10 @@ def query_ivf_index(
     )
     q_probes = spark.createDataFrame(probe_rows, probe_schema)
 
-    from projet_5spar_sparkstreaming_spark.fsio import versioned_subdir
-
     probed_cells = sorted({c for _, c, _ in probe_rows})
     index = (
         spark.read.parquet(
-            versioned_subdir(index_path, "data", int(meta.get("version", 0)))
+            _ivf_data_dir(spark, index_path, int(meta.get("version", 0)))
         )
         # static partition pruning: the listing itself skips cells
         .filter(F.col("cell").isin(probed_cells))

@@ -477,6 +477,64 @@ def test_ivf_index_append_query_compact(spark, sf_dir, tmp_path):
     assert _res() == after_append
 
 
+def test_ivf_legacy_root_layout_still_works(spark, sf_dir, tmp_path):
+    """Backward compat (r8 advice): an IVF index persisted by the
+    pre-versioning code kept its cell=*/batch_id=* hive dirs at the
+    index ROOT (no 'version' in meta, no data/ subtree). Query and
+    append must resolve version 0 to the root instead of failing on a
+    missing {index}/data; compaction migrates the data into the
+    versioned data_v1 subtree and retires the root dirs."""
+    import os
+    import shutil
+
+    from projet_5spar_sparkstreaming_spark.fsio import read_json, write_json
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b0 = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    idx = str(tmp_path / "ivf_legacy")
+    build_ivf_index(b0, idx, "vec_id", "embedding", n_centroids=8)
+
+    def _res():
+        return {
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in query_ivf_index(
+                spark, queries, idx, "vec_id", "embedding", k=5, n_probe=8
+            ).collect()
+        }
+
+    fresh = _res()
+    # rewrite the on-disk layout to the LEGACY shape: cell dirs at the
+    # root, no data/ subtree, meta without 'version'
+    data = os.path.join(idx, "data")
+    for name in os.listdir(data):
+        if name.startswith("cell="):
+            shutil.move(os.path.join(data, name), os.path.join(idx, name))
+    shutil.rmtree(data)
+    meta = read_json(spark, idx + "/_centroids.json")
+    del meta["version"]
+    write_json(spark, idx + "/_centroids.json", meta)
+
+    assert _res() == fresh  # query resolves to the root
+    append_to_ivf_index(b1, idx, "vec_id", "embedding", batch_id=1)
+    with_b1 = _res()
+    assert with_b1 != fresh or b1.count() == 0
+    # compaction migrates root -> data_v1 and retires the root dirs
+    meta2 = compact_ivf_index(spark, idx, keep_last=0, target_partitions=2)
+    assert meta2["version"] == 1
+    assert os.path.isdir(os.path.join(idx, "data_v1"))
+    assert not any(n.startswith("cell=") for n in os.listdir(idx))
+    assert _res() == with_b1
+
+
 def test_write_json_cleans_stale_old_when_live_absent(spark, tmp_path):
     """Regression (r7 advice): a crash between rename(live, .old) and
     rename(.tmp, live) leaves .old present and live absent; the NEXT

@@ -288,6 +288,66 @@ def test_minhash_bucket_cap_drops_mega_group_only(spark):
     assert not any(a < 30 and b < 30 for a, b in cp)  # mega-group dropped
 
 
+def test_minhash_bucket_cap_prefilters_100k_bucket(spark):
+    """A 120k-id mega-bucket (uncapped it would expand ~7.2e9 pairs)
+    is dropped BEFORE collect_list materializes it: the cap pre-counts
+    on the narrow (band, bucket) id stream, so the oversized bucket
+    never reaches any task's aggregation buffer. Runs in normal task
+    memory; an ordinary identical-sig 2-doc pair in the same corpus
+    survives, and the whole plan stays sort-free (!SortMergeJoin)."""
+    from tools.explain_audit import formatted_plan
+
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    mega = spark.range(120_000).select(
+        F.col("id").alias("__id"),
+        F.expr("transform(sequence(1, 64), x -> cast(x as bigint))").alias("__sig"),
+    )
+    organic = spark.range(200_000, 200_002).select(
+        F.col("id").alias("__id"),
+        F.expr("transform(sequence(1, 64), x -> cast(x * 7 + 1 as bigint))").alias(
+            "__sig"
+        ),
+    )
+    sig = mega.unionAll(organic)
+    capped = minhash_near_dup_pairs(
+        spark.range(0),  # ignored: precomputed_sig path
+        "id",
+        "text",
+        threshold=0.5,
+        max_bucket_size=10,
+        precomputed_sig=sig,
+    )
+    assert "SortMergeJoin" not in formatted_plan(capped)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(200_000, 200_001)}
+
+
+def test_minhash_duplicate_input_id_no_self_pair(spark):
+    """A duplicated input id (the same id appearing twice) must not
+    produce an (id, id) self-pair: the sorted member list contains the
+    id twice and the strictly-after slice would otherwise emit it (and
+    it verifies at jaccard 1.0)."""
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    text = "some document text that is entirely about itself and nothing else"
+    df = spark.createDataFrame(
+        [(1, text), (1, text), (2, "unrelated other content here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(
+            df, "doc_id", "text", n=2, threshold=0.5
+        ).collect()
+    }
+    assert (1, 1) not in got
+
+
 def test_jaccard_threshold_monotone(spark, sf_dir):
     """Invariant: raising the threshold can only REMOVE pairs — the
     prefix length shrinks with t, so a bug in the prefix-bound
@@ -425,6 +485,62 @@ def test_ngram_overlap_join_decontamination(spark):
     assert rows[2]["n_contaminated"] == 0
     assert rows[2]["flagged"] is False
     assert rows[2]["contamination_rate"] == 0.0
+
+
+def test_token_gram_hashes_batch_independent():
+    """The per-token hash must not depend on the batch's max token
+    length: zero-pad word rounds past a token's own length are masked
+    out, so the same token sequence produces identical gram hashes
+    whether it shares a batch with a 3-byte token or a 60-byte one
+    (regression: the unmasked Horner loop multiplied by C3 once per
+    pad word, silently losing decontamination matches whenever the
+    eval and train sides' batches had different max token lengths)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        _token_gram_hashes,
+    )
+
+    doc = ["one", "two", "three", "four", "five", "six"]
+    alone = pa.array([doc], type=pa.list_(pa.string()))
+    with_long = pa.array(
+        [doc, ["a" * 60, "short"]], type=pa.list_(pa.string())
+    )
+    g_alone, l_alone, _ = _token_gram_hashes(alone, 5)
+    g_mixed, l_mixed, _ = _token_gram_hashes(with_long, 5)
+    assert l_alone[0] == l_mixed[0] == 2
+    assert np.array_equal(g_alone[:2], g_mixed[:2])
+    # and the long token itself hashes consistently across batches
+    solo_long = pa.array([["a" * 60, "short"]], type=pa.list_(pa.string()))
+    g_long, _, _ = _token_gram_hashes(solo_long, 5)
+    assert np.array_equal(g_long, g_mixed[2:])
+
+
+def test_ngram_overlap_join_long_token_batch_skew(spark):
+    """A verbatim 5-gram is still detected when the TRAIN side's batch
+    contains an unrelated very long token (URL-ish) that the eval side
+    doesn't: before the length-masked hash, the two sides' word counts
+    (nw) differed and the equality join silently missed the match."""
+    from projet_5spar_sparkstreaming_spark.operators.dedup import ngram_overlap_join
+
+    train = spark.createDataFrame(
+        [
+            (100, "one two three four five six seven eight nine ten"),
+            (101, "see https://example.com/averyveryverylongpathsegmentindeed0123456789 ok"),
+        ],
+        ["doc_id", "text"],
+    ).coalesce(1)
+    evals = spark.createDataFrame(
+        [(1, "zz yy three four five six seven xx ww vv")],
+        ["doc_id", "text"],
+    ).coalesce(1)
+    rows = {
+        r["doc_id"]: r
+        for r in ngram_overlap_join(evals, train, "doc_id", "text", n=5).collect()
+    }
+    assert rows[1]["n_contaminated"] == 1
+    assert rows[1]["flagged"] is True
 
 
 def test_cosine_near_dup_pairs_recall_vs_exact(spark):
