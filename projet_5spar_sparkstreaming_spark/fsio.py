@@ -19,7 +19,10 @@ guards (streaming/dedup.py).
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import json
+import os as _os
+import time as _time
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -86,6 +89,100 @@ def write_json(spark: SparkSession, path: str, obj: Any) -> None:
         # from this write, or a crash-survivor from a previous one —
         # cleaned here so it never lingers behind newer content)
         fs.delete(old, False)
+
+
+@_contextlib.contextmanager
+def writer_lease(
+    spark: SparkSession,
+    index_path: str,
+    timeout_sec: float = 600.0,
+    stale_sec: float = 1800.0,
+    poll_sec: float = 0.25,
+):
+    """Cross-process writer lease for index mutations.
+
+    Every meta-mutating index operation (build / append / compact, all
+    three families) runs under this lease, which serializes WRITERS —
+    the race the versioned-subtree design can't solve alone: an append
+    landing between a compactor's meta snapshot and its version flip
+    would commit a batch subtree + meta entry that the compacted
+    ``v_{N+1}`` tree omits (silent data loss on the flip), and two
+    concurrent appends would lose one batch's meta entry to the
+    other's ``write_json``. Readers take no lease — reader-safety is
+    the versioned subtrees' job.
+
+    The lease is the sibling file ``{index}.writer.lock`` (OUTSIDE the
+    index dir, so builds can delete/recreate the tree they own while
+    holding it), acquired with Hadoop ``create(overwrite=false)`` —
+    atomic on local/HDFS (on S3 the create-if-absent race window is
+    object-store-consistency-bound; the compactors' abort-on-drift
+    re-validation at flip time is the backstop there and for
+    ``stale_sec`` breaks of a crashed holder's lock). Acquisition
+    polls up to ``timeout_sec`` then raises ``TimeoutError``; a lock
+    older than ``stale_sec`` is presumed crashed and broken. Release
+    deletes the file."""
+    fs, _ = _fs_path(spark, index_path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    lock = jpath(index_path.rstrip("/") + ".writer.lock")
+    deadline = _time.monotonic() + timeout_sec
+    while True:
+        try:
+            out = fs.create(lock, False)
+            try:
+                holder = {"pid": _os.getpid(), "acquired_unix": _time.time()}
+                out.write(bytearray(json.dumps(holder).encode("utf-8")))
+            finally:
+                out.close()
+            break
+        except Exception:
+            try:
+                st = fs.getFileStatus(lock)
+                age = _time.time() - st.getModificationTime() / 1000.0
+                if age > stale_sec:
+                    # presumed-crashed holder: break the lock and
+                    # re-race the atomic create
+                    fs.delete(lock, False)
+                    continue
+            except Exception:
+                pass  # released between create and stat — retry now
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"writer lease {lock} not acquired within "
+                    f"{timeout_sec}s (another build/append/compaction "
+                    "is running; or break a crashed holder's lock "
+                    "manually)"
+                )
+            _time.sleep(poll_sec)
+    try:
+        yield
+    finally:
+        try:
+            fs.delete(lock, False)
+        except Exception:
+            pass
+
+
+def require_no_meta_drift(
+    current: Any, snapshot_batches: set, version: int, index_path: str
+) -> None:
+    """Compactor flip-time drift guard, shared by all three index
+    families: the compacted ``v_{N+1}`` tree was derived from a meta
+    snapshot, so if the live meta's batch set or version pointer moved
+    since (a writer slipped past the ``writer_lease`` — stale-lease
+    break or an object store's create-if-absent race), publishing the
+    flip would silently drop that writer's batch. Abort instead: the
+    index stays live on version N, the orphan ``v_{N+1}`` tree is
+    cleaned by the next compaction, and nothing is lost."""
+    cur_batches = set((current or {}).get("batches", {}))
+    cur_version = int((current or {}).get("version", 0))
+    if current is None or cur_batches != snapshot_batches or cur_version != version:
+        raise RuntimeError(
+            f"meta drift at {index_path} during compaction: snapshot had "
+            f"batches {sorted(snapshot_batches)} at version {version}, live "
+            f"meta has {sorted(cur_batches)} at version {cur_version} — a "
+            "concurrent writer bypassed the lease; flip ABORTED (index "
+            "unchanged, re-run compaction)"
+        )
 
 
 def read_json(spark: SparkSession, path: str) -> Any | None:

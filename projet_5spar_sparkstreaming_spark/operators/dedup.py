@@ -1524,25 +1524,30 @@ def build_minhash_index(
     the live data subtree (``sigs``/``bands`` for version 0,
     ``sigs_v{N}``/``bands_v{N}`` after N compactions) — readers resolve
     their scan paths through it."""
-    from projet_5spar_sparkstreaming_spark.fsio import delete_path, write_json
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        delete_path,
+        write_json,
+        writer_lease,
+    )
 
     spark = docs.sparkSession
-    delete_path(spark, index_path)
-    n_rows = _write_minhash_batch(
-        docs, index_path, id_col, text_col, n, num_hashes, bands, batch_id,
-        precomputed_sig=precomputed_sig,
-    )
-    write_json(
-        spark,
-        _minhash_meta_path(index_path),
-        {
-            "n": n,
-            "num_hashes": num_hashes,
-            "bands": bands,
-            "version": 0,
-            "batches": {str(batch_id): n_rows},
-        },
-    )
+    with writer_lease(spark, index_path):
+        delete_path(spark, index_path)
+        n_rows = _write_minhash_batch(
+            docs, index_path, id_col, text_col, n, num_hashes, bands, batch_id,
+            precomputed_sig=precomputed_sig,
+        )
+        write_json(
+            spark,
+            _minhash_meta_path(index_path),
+            {
+                "n": n,
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "version": 0,
+                "batches": {str(batch_id): n_rows},
+            },
+        )
 
 
 def _write_minhash_batch(
@@ -1613,30 +1618,35 @@ def append_to_minhash_index(
     bands land in their own ``batch_id=N`` subdirs (overwrite, so a
     replayed batch replaces itself instead of duplicating), and the
     meta's per-batch row counts gain/replace the entry. Cost is
-    O(batch): the stored index is neither read nor re-signed. Returns
-    the batch row count."""
-    from projet_5spar_sparkstreaming_spark.fsio import write_json
+    O(batch): the stored index is neither read nor re-signed. Appends
+    run under the cross-process ``writer_lease`` — serialized against
+    compactions (whose version flip would silently abandon a batch
+    landed mid-rewrite) and against each other (two concurrent meta
+    updates would lose one batch's entry). Returns the batch row
+    count."""
+    from projet_5spar_sparkstreaming_spark.fsio import write_json, writer_lease
 
     spark = docs.sparkSession
-    meta = read_minhash_meta(spark, index_path)
-    if meta is None:
-        raise FileNotFoundError(
-            f"no minhash index at {index_path} (build_minhash_index first)"
+    with writer_lease(spark, index_path):
+        meta = read_minhash_meta(spark, index_path)
+        if meta is None:
+            raise FileNotFoundError(
+                f"no minhash index at {index_path} (build_minhash_index first)"
+            )
+        n_rows = _write_minhash_batch(
+            docs,
+            index_path,
+            id_col,
+            text_col,
+            meta["n"],
+            meta["num_hashes"],
+            meta["bands"],
+            batch_id,
+            precomputed_sig=precomputed_sig,
+            version=int(meta.get("version", 0)),
         )
-    n_rows = _write_minhash_batch(
-        docs,
-        index_path,
-        id_col,
-        text_col,
-        meta["n"],
-        meta["num_hashes"],
-        meta["bands"],
-        batch_id,
-        precomputed_sig=precomputed_sig,
-        version=int(meta.get("version", 0)),
-    )
-    meta.setdefault("batches", {})[str(batch_id)] = n_rows
-    write_json(spark, _minhash_meta_path(index_path), meta)
+        meta.setdefault("batches", {})[str(batch_id)] = n_rows
+        write_json(spark, _minhash_meta_path(index_path), meta)
     return n_rows
 
 
@@ -1669,50 +1679,59 @@ def compact_minhash_index(
     after it reads N+1; neither ever sees an absent directory, and
     both return identical results (test-enforced). A crash before the
     flip leaves the index live on version N with a stale N+1 tree that
-    the next compaction deletes before writing. WRITERS still
-    serialize: run compaction between appends (an append racing the
-    rewrite would land its batch in a subtree the flip abandons) — the
-    single-writer / many-reader discipline of every table format
-    without a lock service. Returns the updated meta."""
+    the next compaction deletes before writing. WRITERS are
+    coordinated by the cross-process ``writer_lease`` (fsio), which
+    appends and compactions both take — plus a belt-and-braces drift
+    re-validation at flip time (``_require_no_meta_drift``) that
+    aborts the flip if a writer slipped past the lease (stale-lease
+    break, S3 create-if-absent race), so a mid-rewrite append can
+    never be silently dropped. Returns the updated meta."""
     from projet_5spar_sparkstreaming_spark.fsio import (
         clean_versions_except,
+        require_no_meta_drift,
         versioned_subdir,
         write_json,
+        writer_lease,
     )
 
-    meta = read_minhash_meta(spark, index_path)
-    if meta is None:
-        raise FileNotFoundError(f"no minhash index at {index_path}")
-    batch_ids = sorted(int(b) for b in meta.get("batches", {}))
-    merged = batch_ids[: max(0, len(batch_ids) - keep_last)]
-    if len(merged) < 2:
-        return meta  # nothing to merge
-    merged_id = min(merged)
-    version = int(meta.get("version", 0))
-    n_parts = target_partitions or spark.sparkContext.defaultParallelism
-    remap = F.when(
-        F.col("batch_id").isin(merged), F.lit(merged_id)
-    ).otherwise(F.col("batch_id"))
-    for sub in ("sigs", "bands"):
-        # drop crashed next-version trees AND grace copies older than
-        # the live version — in-flight readers of the LIVE version are
-        # untouched (their grace window runs until the next compaction)
-        clean_versions_except(spark, index_path, sub, {version})
-        (
-            spark.read.parquet(versioned_subdir(index_path, sub, version))
-            .withColumn("batch_id", remap)
-            # spread each partition value over up to n_parts tasks by id
-            # hash: bounded file count without one-giant-file skew
-            .repartition(n_parts, "batch_id", "id")
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(versioned_subdir(index_path, sub, version + 1))
+    with writer_lease(spark, index_path):
+        meta = read_minhash_meta(spark, index_path)
+        if meta is None:
+            raise FileNotFoundError(f"no minhash index at {index_path}")
+        batch_ids = sorted(int(b) for b in meta.get("batches", {}))
+        merged = batch_ids[: max(0, len(batch_ids) - keep_last)]
+        if len(merged) < 2:
+            return meta  # nothing to merge
+        merged_id = min(merged)
+        version = int(meta.get("version", 0))
+        snapshot = set(meta["batches"])
+        n_parts = target_partitions or spark.sparkContext.defaultParallelism
+        remap = F.when(
+            F.col("batch_id").isin(merged), F.lit(merged_id)
+        ).otherwise(F.col("batch_id"))
+        for sub in ("sigs", "bands"):
+            # drop crashed next-version trees AND grace copies older than
+            # the live version — in-flight readers of the LIVE version are
+            # untouched (their grace window runs until the next compaction)
+            clean_versions_except(spark, index_path, sub, {version})
+            (
+                spark.read.parquet(versioned_subdir(index_path, sub, version))
+                .withColumn("batch_id", remap)
+                # spread each partition value over up to n_parts tasks by id
+                # hash: bounded file count without one-giant-file skew
+                .repartition(n_parts, "batch_id", "id")
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(versioned_subdir(index_path, sub, version + 1))
+            )
+        require_no_meta_drift(
+            read_minhash_meta(spark, index_path), snapshot, version, index_path
         )
-    batches = meta["batches"]
-    merged_rows = sum(batches.pop(str(b)) for b in merged)
-    batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
-    meta["version"] = version + 1
-    write_json(spark, _minhash_meta_path(index_path), meta)  # the flip
+        batches = meta["batches"]
+        merged_rows = sum(batches.pop(str(b)) for b in merged)
+        batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
+        meta["version"] = version + 1
+        write_json(spark, _minhash_meta_path(index_path), meta)  # the flip
     return meta
 
 

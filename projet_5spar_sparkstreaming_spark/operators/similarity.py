@@ -413,7 +413,11 @@ def build_ivf_index(
     rebuild-when-the-corpus-outgrows-the-quantizer decision
     mechanical), bound small files with ``compact_ivf_index``.
     Returns the cell count."""
-    from projet_5spar_sparkstreaming_spark.fsio import delete_path, write_json
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        delete_path,
+        write_json,
+        writer_lease,
+    )
 
     spark = corpus.sparkSession
     # the quantizer training pays a count + a sample collect and the
@@ -423,14 +427,15 @@ def build_ivf_index(
     cent = _train_ivf_centroids(
         corpus, corpus_id, corpus_vec, n_centroids, kmeans_iters, sample_limit
     )
-    delete_path(spark, index_path)
-    n_rows = _write_ivf_batch(corpus, index_path, corpus_id, corpus_vec, cent, 0)
-    corpus.unpersist()
-    write_json(
-        spark,
-        index_path.rstrip("/") + "/_centroids.json",
-        {"centroids": cent.tolist(), "version": 0, "batches": {"0": n_rows}},
-    )
+    with writer_lease(spark, index_path):
+        delete_path(spark, index_path)
+        n_rows = _write_ivf_batch(corpus, index_path, corpus_id, corpus_vec, cent, 0)
+        corpus.unpersist()
+        write_json(
+            spark,
+            index_path.rstrip("/") + "/_centroids.json",
+            {"centroids": cent.tolist(), "version": 0, "batches": {"0": n_rows}},
+        )
     return len(cent)
 
 
@@ -518,20 +523,25 @@ def append_to_ivf_index(
     (~4x is the usual rule). Returns the batch row count."""
     import numpy as np
 
-    from projet_5spar_sparkstreaming_spark.fsio import read_json, write_json
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        read_json,
+        write_json,
+        writer_lease,
+    )
 
     spark = vecs.sparkSession
     meta_path = index_path.rstrip("/") + "/_centroids.json"
-    meta = read_json(spark, meta_path)
-    if meta is None:
-        raise FileNotFoundError(f"no IVF index at {index_path}")
-    cent = np.array(meta["centroids"], dtype=np.float64)
-    n_rows = _write_ivf_batch(
-        vecs, index_path, id_col, vec_col, cent, batch_id,
-        version=int(meta.get("version", 0)),
-    )
-    meta.setdefault("batches", {})[str(batch_id)] = n_rows
-    write_json(spark, meta_path, meta)
+    with writer_lease(spark, index_path):
+        meta = read_json(spark, meta_path)
+        if meta is None:
+            raise FileNotFoundError(f"no IVF index at {index_path}")
+        cent = np.array(meta["centroids"], dtype=np.float64)
+        n_rows = _write_ivf_batch(
+            vecs, index_path, id_col, vec_col, cent, batch_id,
+            version=int(meta.get("version", 0)),
+        )
+        meta.setdefault("batches", {})[str(batch_id)] = n_rows
+        write_json(spark, meta_path, meta)
     return n_rows
 
 
@@ -550,60 +560,68 @@ def compact_ivf_index(
     flips in one crash-safe ``write_json``; concurrent readers keep
     the version-N tree (retained until the next compaction). The
     quantizer file sits outside the data trees and is untouched.
-    Writers serialize as usual (no append during compaction). Returns
+    Writers coordinate via the cross-process ``writer_lease`` plus the
+    flip-time drift guard (see ``compact_minhash_index``). Returns
     the updated meta."""
     from projet_5spar_sparkstreaming_spark.fsio import (
         clean_versions_except,
         read_json,
+        require_no_meta_drift,
         versioned_subdir,
         write_json,
+        writer_lease,
     )
 
     meta_path = index_path.rstrip("/") + "/_centroids.json"
-    meta = read_json(spark, meta_path)
-    if meta is None:
-        raise FileNotFoundError(f"no IVF index at {index_path}")
-    batch_ids = sorted(int(b) for b in meta.get("batches", {}))
-    merged = batch_ids[: max(0, len(batch_ids) - keep_last)]
-    if len(merged) < 2:
-        return meta
-    merged_id = min(merged)
-    version = int(meta.get("version", 0))
-    n_parts = target_partitions or spark.sparkContext.defaultParallelism
-    remap = F.when(
-        F.col("batch_id").isin(merged), F.lit(merged_id)
-    ).otherwise(F.col("batch_id"))
-    clean_versions_except(spark, index_path, "data", {version})
-    live_dir = _ivf_data_dir(spark, index_path, version)
-    legacy_root = version == 0 and live_dir == index_path.rstrip("/")
-    (
-        spark.read.parquet(live_dir)
-        .withColumn("batch_id", remap)
-        .repartition(n_parts, "cell", "batch_id")
-        .write.mode("overwrite")
-        .partitionBy("cell", "batch_id")
-        .parquet(versioned_subdir(index_path, "data", version + 1))
-    )
-    batches = meta["batches"]
-    merged_rows = sum(batches.pop(str(b)) for b in merged)
-    batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
-    meta["version"] = version + 1
-    write_json(spark, meta_path, meta)  # the flip
-    if legacy_root:
-        # migrating off the pre-versioning ROOT layout: the retired
-        # cell=* dirs sit next to _centroids.json where
-        # clean_versions_except can't name them — drop them now (no
-        # grace copy: the legacy layout predates reader-safe
-        # versioning, so its readers never had one)
-        from projet_5spar_sparkstreaming_spark.fsio import (
-            delete_path,
-            list_dir,
+    with writer_lease(spark, index_path):
+        meta = read_json(spark, meta_path)
+        if meta is None:
+            raise FileNotFoundError(f"no IVF index at {index_path}")
+        batch_ids = sorted(int(b) for b in meta.get("batches", {}))
+        merged = batch_ids[: max(0, len(batch_ids) - keep_last)]
+        if len(merged) < 2:
+            return meta
+        merged_id = min(merged)
+        version = int(meta.get("version", 0))
+        snapshot = set(meta["batches"])
+        n_parts = target_partitions or spark.sparkContext.defaultParallelism
+        remap = F.when(
+            F.col("batch_id").isin(merged), F.lit(merged_id)
+        ).otherwise(F.col("batch_id"))
+        clean_versions_except(spark, index_path, "data", {version})
+        live_dir = _ivf_data_dir(spark, index_path, version)
+        legacy_root = version == 0 and live_dir == index_path.rstrip("/")
+        (
+            spark.read.parquet(live_dir)
+            .withColumn("batch_id", remap)
+            .repartition(n_parts, "cell", "batch_id")
+            .write.mode("overwrite")
+            .partitionBy("cell", "batch_id")
+            .parquet(versioned_subdir(index_path, "data", version + 1))
         )
+        require_no_meta_drift(
+            read_json(spark, meta_path), snapshot, version, index_path
+        )
+        batches = meta["batches"]
+        merged_rows = sum(batches.pop(str(b)) for b in merged)
+        batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
+        meta["version"] = version + 1
+        write_json(spark, meta_path, meta)  # the flip
+        if legacy_root:
+            # migrating off the pre-versioning ROOT layout: the retired
+            # cell=* dirs sit next to _centroids.json where
+            # clean_versions_except can't name them — drop them now (no
+            # grace copy: the legacy layout predates reader-safe
+            # versioning, so its readers never had one)
+            from projet_5spar_sparkstreaming_spark.fsio import (
+                delete_path,
+                list_dir,
+            )
 
-        base = index_path.rstrip("/")
-        for name in list_dir(spark, base):
-            if name.startswith("cell="):
-                delete_path(spark, f"{base}/{name}")
+            base = index_path.rstrip("/")
+            for name in list_dir(spark, base):
+                if name.startswith("cell="):
+                    delete_path(spark, f"{base}/{name}")
     return meta
 
 
@@ -1202,7 +1220,11 @@ def build_embed_lsh_index(
     with tables at whatever plane count results. When the corpus
     outgrows the sizing by another ~2^10, rebuild (parameters live in
     the meta precisely so a rebuild is mechanical). Returns the meta."""
-    from projet_5spar_sparkstreaming_spark.fsio import delete_path, write_json
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        delete_path,
+        write_json,
+        writer_lease,
+    )
 
     spark = vecs.sparkSession
     own_cache = False
@@ -1216,20 +1238,21 @@ def build_embed_lsh_index(
         n_planes, n_tables = auto_lsh_params(
             sized_for, dim=dim, recall_at=recall_at, target_recall=target_recall
         )
-    delete_path(spark, index_path)
-    n_rows = _write_embed_batch(
-        vecs, index_path, id_col, vec_col, n_planes, n_tables, dim, batch_id
-    )
-    if own_cache:
-        vecs.unpersist()
-    meta = {
-        "n_planes": int(n_planes),
-        "n_tables": int(n_tables),
-        "dim": dim,
-        "version": 0,
-        "batches": {str(batch_id): n_rows},
-    }
-    write_json(spark, _embed_meta_path(index_path), meta)
+    with writer_lease(spark, index_path):
+        delete_path(spark, index_path)
+        n_rows = _write_embed_batch(
+            vecs, index_path, id_col, vec_col, n_planes, n_tables, dim, batch_id
+        )
+        if own_cache:
+            vecs.unpersist()
+        meta = {
+            "n_planes": int(n_planes),
+            "n_tables": int(n_tables),
+            "dim": dim,
+            "version": 0,
+            "batches": {str(batch_id): n_rows},
+        }
+        write_json(spark, _embed_meta_path(index_path), meta)
     return meta
 
 
@@ -1243,28 +1266,30 @@ def append_to_embed_lsh_index(
     """Append a batch to a stored embedding index — params from the
     meta, O(batch) cost (the store is neither read nor re-bucketized),
     idempotent under replay (``batch_id=N`` overwrite + meta key
-    replace). Returns the batch row count."""
-    from projet_5spar_sparkstreaming_spark.fsio import write_json
+    replace), serialized against compactions and other appends by the
+    cross-process ``writer_lease``. Returns the batch row count."""
+    from projet_5spar_sparkstreaming_spark.fsio import write_json, writer_lease
 
     spark = vecs.sparkSession
-    meta = read_embed_lsh_meta(spark, index_path)
-    if meta is None:
-        raise FileNotFoundError(
-            f"no embedding LSH index at {index_path} (build_embed_lsh_index first)"
+    with writer_lease(spark, index_path):
+        meta = read_embed_lsh_meta(spark, index_path)
+        if meta is None:
+            raise FileNotFoundError(
+                f"no embedding LSH index at {index_path} (build_embed_lsh_index first)"
+            )
+        n_rows = _write_embed_batch(
+            vecs,
+            index_path,
+            id_col,
+            vec_col,
+            meta["n_planes"],
+            meta["n_tables"],
+            meta["dim"],
+            batch_id,
+            version=int(meta.get("version", 0)),
         )
-    n_rows = _write_embed_batch(
-        vecs,
-        index_path,
-        id_col,
-        vec_col,
-        meta["n_planes"],
-        meta["n_tables"],
-        meta["dim"],
-        batch_id,
-        version=int(meta.get("version", 0)),
-    )
-    meta.setdefault("batches", {})[str(batch_id)] = n_rows
-    write_json(spark, _embed_meta_path(index_path), meta)
+        meta.setdefault("batches", {})[str(batch_id)] = n_rows
+        write_json(spark, _embed_meta_path(index_path), meta)
     return n_rows
 
 
@@ -1337,42 +1362,50 @@ def compact_embed_lsh_index(
     ``vecs_v{N+1}`` are fully written, then the meta's ``version``
     pointer flips in one crash-safe ``write_json`` — concurrent
     readers keep the version-N dirs (retained until the next
-    compaction); writers serialize as usual (no append during
-    compaction). Returns the updated meta."""
+    compaction); writers coordinate via the cross-process
+    ``writer_lease`` plus the flip-time drift guard (see
+    ``compact_minhash_index``). Returns the updated meta."""
     from projet_5spar_sparkstreaming_spark.fsio import (
         clean_versions_except,
+        require_no_meta_drift,
         versioned_subdir,
         write_json,
+        writer_lease,
     )
 
-    meta = read_embed_lsh_meta(spark, index_path)
-    if meta is None:
-        raise FileNotFoundError(f"no embedding LSH index at {index_path}")
-    batch_ids = sorted(int(b) for b in meta.get("batches", {}))
-    merged = batch_ids[: max(0, len(batch_ids) - keep_last)]
-    if len(merged) < 2:
-        return meta
-    merged_id = min(merged)
-    version = int(meta.get("version", 0))
-    n_parts = target_partitions or spark.sparkContext.defaultParallelism
-    remap = F.when(
-        F.col("batch_id").isin(merged), F.lit(merged_id)
-    ).otherwise(F.col("batch_id"))
-    for sub in ("buckets", "vecs"):
-        clean_versions_except(spark, index_path, sub, {version})
-        (
-            spark.read.parquet(versioned_subdir(index_path, sub, version))
-            .withColumn("batch_id", remap)
-            .repartition(n_parts, "batch_id", "id")
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(versioned_subdir(index_path, sub, version + 1))
+    with writer_lease(spark, index_path):
+        meta = read_embed_lsh_meta(spark, index_path)
+        if meta is None:
+            raise FileNotFoundError(f"no embedding LSH index at {index_path}")
+        batch_ids = sorted(int(b) for b in meta.get("batches", {}))
+        merged = batch_ids[: max(0, len(batch_ids) - keep_last)]
+        if len(merged) < 2:
+            return meta
+        merged_id = min(merged)
+        version = int(meta.get("version", 0))
+        snapshot = set(meta["batches"])
+        n_parts = target_partitions or spark.sparkContext.defaultParallelism
+        remap = F.when(
+            F.col("batch_id").isin(merged), F.lit(merged_id)
+        ).otherwise(F.col("batch_id"))
+        for sub in ("buckets", "vecs"):
+            clean_versions_except(spark, index_path, sub, {version})
+            (
+                spark.read.parquet(versioned_subdir(index_path, sub, version))
+                .withColumn("batch_id", remap)
+                .repartition(n_parts, "batch_id", "id")
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(versioned_subdir(index_path, sub, version + 1))
+            )
+        require_no_meta_drift(
+            read_embed_lsh_meta(spark, index_path), snapshot, version, index_path
         )
-    batches = meta["batches"]
-    merged_rows = sum(batches.pop(str(b)) for b in merged)
-    batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
-    meta["version"] = version + 1
-    write_json(spark, _embed_meta_path(index_path), meta)  # the flip
+        batches = meta["batches"]
+        merged_rows = sum(batches.pop(str(b)) for b in merged)
+        batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
+        meta["version"] = version + 1
+        write_json(spark, _embed_meta_path(index_path), meta)  # the flip
     return meta
 
 

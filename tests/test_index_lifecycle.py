@@ -477,6 +477,188 @@ def test_ivf_index_append_query_compact(spark, sf_dir, tmp_path):
     assert _res() == after_append
 
 
+def test_writer_lease_mutual_exclusion_and_stale_break(spark, tmp_path):
+    """The cross-process writer lease: a held lease blocks a second
+    acquisition until released (TimeoutError on a short deadline), a
+    crashed holder's lock older than stale_sec is broken, and release
+    makes the lease immediately available."""
+    import os
+    import time
+
+    from projet_5spar_sparkstreaming_spark.fsio import writer_lease
+
+    idx = str(tmp_path / "leased_idx")
+    lock_file = idx + ".writer.lock"
+    with writer_lease(spark, idx):
+        assert os.path.exists(lock_file)
+        with pytest.raises(TimeoutError):
+            with writer_lease(spark, idx, timeout_sec=1.0, poll_sec=0.1):
+                pass
+    assert not os.path.exists(lock_file)  # released
+    with writer_lease(spark, idx, timeout_sec=1.0):
+        pass
+    # stale break: a lock from a presumed-crashed holder (old mtime)
+    with open(lock_file, "w") as f:
+        f.write("{}")
+    old = time.time() - 3600
+    os.utime(lock_file, (old, old))
+    with writer_lease(spark, idx, timeout_sec=5.0, stale_sec=60.0):
+        pass
+    assert not os.path.exists(lock_file)
+
+
+def _noop_lease(*args, **kwargs):
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        yield
+
+    return cm()
+
+
+def _drift_scenario(spark, monkeypatch, compact, sneak_append, read_meta, idx):
+    """Shared drift-guard harness: bypass the lease (simulating a
+    stale-lease break), slip ``sneak_append`` in between the
+    compactor's meta snapshot and its version flip, and assert the
+    flip ABORTS with the appended batch fully intact."""
+    import projet_5spar_sparkstreaming_spark.fsio as fsio
+
+    monkeypatch.setattr(fsio, "writer_lease", _noop_lease)
+    real_clean = fsio.clean_versions_except
+    state = {"fired": False}
+
+    def sneaky(spark_, index_path_, sub, keep):
+        # interleave the append between the compactor's meta snapshot
+        # and its version flip — exactly the window the drift guard
+        # exists for (clean_versions_except is the first thing every
+        # compactor does after snapshotting)
+        real_clean(spark_, index_path_, sub, keep)
+        if not state["fired"]:
+            state["fired"] = True
+            sneak_append()  # lands batch 9 + its meta entry
+
+    monkeypatch.setattr(fsio, "clean_versions_except", sneaky)
+    with pytest.raises(RuntimeError, match="drift"):
+        compact()
+    monkeypatch.setattr(fsio, "clean_versions_except", real_clean)
+    meta = read_meta()
+    assert set(meta["batches"]) == {"0", "1", "2", "9"}, "append was lost"
+    assert int(meta.get("version", 0)) == 0, "flip must have aborted"
+    # recovery: a clean re-run compacts WITH the slipped batch included
+    meta2 = compact()
+    assert set(meta2["batches"]) == {"0", "9"}
+    assert meta2["version"] == 1
+
+
+def test_minhash_compaction_drift_guard(spark, monkeypatch, tmp_path):
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        minhash_query_index,
+    )
+
+    idx = str(tmp_path / "mh_drift")
+    build_minhash_index(_docs_df(spark, [_doc(0, 0)]), idx, "doc_id", "text")
+    for b in (1, 2):
+        append_to_minhash_index(
+            _docs_df(spark, [_doc(b, b)]), idx, "doc_id", "text", batch_id=b
+        )
+    _drift_scenario(
+        spark,
+        monkeypatch,
+        lambda: compact_minhash_index(spark, idx, keep_last=1),
+        lambda: append_to_minhash_index(
+            _docs_df(spark, [_doc(9, 9)]), idx, "doc_id", "text", batch_id=9
+        ),
+        lambda: read_json(spark, idx + "/_meta.json"),
+        idx,
+    )
+    # the slipped batch is genuinely queryable after recovery
+    hits = minhash_query_index(
+        _docs_df(spark, [_doc(99, 9)]), idx, "doc_id", "text", threshold=0.5
+    )
+    assert {r["id_b"] for r in hits.collect()} == {9}
+
+
+def test_embed_lsh_compaction_drift_guard(spark, monkeypatch, tmp_path):
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        append_to_embed_lsh_index,
+        build_embed_lsh_index,
+        compact_embed_lsh_index,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.standard_normal(8)]) for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+
+    idx = str(tmp_path / "el_drift")
+    build_embed_lsh_index(
+        vecs([0]), idx, "vec_id", "embedding", n_planes=4, n_tables=2, dim=8
+    )
+    for b in (1, 2):
+        append_to_embed_lsh_index(
+            vecs([b]), idx, "vec_id", "embedding", batch_id=b
+        )
+    _drift_scenario(
+        spark,
+        monkeypatch,
+        lambda: compact_embed_lsh_index(spark, idx, keep_last=1),
+        lambda: append_to_embed_lsh_index(
+            vecs([9]), idx, "vec_id", "embedding", batch_id=9
+        ),
+        lambda: read_json(spark, idx + "/_meta.json"),
+        idx,
+    )
+
+
+def test_ivf_compaction_drift_guard(spark, monkeypatch, tmp_path):
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+    )
+
+    rng = np.random.default_rng(11)
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.standard_normal(8)]) for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+
+    idx = str(tmp_path / "ivf_drift")
+    build_ivf_index(
+        vecs(range(20)), idx, "vec_id", "embedding", n_centroids=2
+    )
+    for b in (1, 2):
+        append_to_ivf_index(
+            vecs([100 + b]), idx, "vec_id", "embedding", batch_id=b
+        )
+    _drift_scenario(
+        spark,
+        monkeypatch,
+        lambda: compact_ivf_index(spark, idx, keep_last=1),
+        lambda: append_to_ivf_index(
+            vecs([999]), idx, "vec_id", "embedding", batch_id=9
+        ),
+        lambda: read_json(spark, idx + "/_centroids.json"),
+        idx,
+    )
+
+
 def test_ivf_legacy_root_layout_still_works(spark, sf_dir, tmp_path):
     """Backward compat (r8 advice): an IVF index persisted by the
     pre-versioning code kept its cell=*/batch_id=* hive dirs at the
