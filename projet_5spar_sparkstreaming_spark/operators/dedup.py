@@ -653,6 +653,72 @@ def _ensure_min_parallelism(df: DataFrame, key_col: str) -> DataFrame:
     return df
 
 
+def _binary_padded_words(flat, width_bytes: int):
+    """(total, width_bytes//8) uint64 word matrix of a pyarrow binary
+    array's values, each token truncated/zero-padded to ``width_bytes``
+    — built by a vectorized gather over the array's offset/value
+    BUFFERS. Byte-identical to the ``to_numpy().astype("S{W}")`` it
+    replaces (same truncate/pad layout, same little-endian word view),
+    but that path materialized one Python bytes object PER TOKEN
+    (~1.5us and ~60B of transient heap each): on a 10k-row batch of
+    2,400-token docs that is 24M objects and tens of seconds per task
+    — the hash math itself is milliseconds. Returns
+    ``(words, lens_int64)``."""
+    import numpy as np
+
+    total = len(flat)
+    nw = width_bytes // 8
+    if total == 0:
+        return np.zeros((0, nw), dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    off = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+        flat.offset : flat.offset + total + 1
+    ].astype(np.int64)
+    vbuf = flat.buffers()[2]
+    data = np.frombuffer(vbuf, dtype=np.uint8) if vbuf is not None else np.zeros(
+        0, dtype=np.uint8
+    )
+    lens = off[1:] - off[:-1]
+    # zero tail so the last tokens' 8-byte windows never run off the
+    # buffer (over-read bytes are masked to zero below anyway)
+    pad = np.concatenate([data, np.zeros(width_bytes + 8, dtype=np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(pad, 8)  # O(1) view
+    # low-k-bytes masks, little-endian: MASKS[k] keeps bytes [0, k)
+    masks = np.zeros(9, dtype=np.uint64)
+    for k in range(1, 9):
+        masks[k] = (masks[k - 1] << np.uint64(8)) | np.uint64(0xFF)
+    words = np.empty((total, nw), dtype=np.uint64)
+    starts = off[:-1]
+    for j in range(nw):
+        # one gather of total x 8 bytes per word — bytes past the
+        # token's own length (the zero-pad of the old astype("S{W}"))
+        # come from the NEXT token in the value buffer, so mask them
+        wj = win[starts + 8 * j].view(np.uint64).ravel()
+        k = np.clip(lens - 8 * j, 0, 8)
+        words[:, j] = wj & masks[k]
+    return words, lens
+
+
+def _bounded_batch_slices(batch, col_name: str, max_value_bytes: int = 8 << 20):
+    """Zero-copy row slices of an Arrow RecordBatch whose ``col_name``
+    payload stays under ``max_value_bytes`` per slice. The text kernels'
+    numpy temporaries are O(tokens in the batch), so a row-count-bounded
+    batch (spark.sql.execution.arrow.maxRecordsPerBatch) of LONG
+    documents explodes memory: 10k rows x 2,400 tokens is ~0.5 GB of
+    transients per task, and 32 concurrent tasks thrash the allocator
+    (measured: the same kernel work runs 10x slower). Payload-bounded
+    slices keep per-task transients ~tens of MB regardless of document
+    length — the property that must hold for the kernels to be safe on
+    a real corpus, where document length is unbounded."""
+    n = batch.num_rows
+    nbytes = batch.column(batch.schema.get_field_index(col_name)).nbytes
+    if n <= 1 or nbytes <= max_value_bytes:
+        yield batch
+        return
+    rows = max(1, int(n * max_value_bytes / nbytes))
+    for s in range(0, n, rows):
+        yield batch.slice(s, rows)
+
+
 def _arrow_ngram_hashes(t, n: int):
     """Per-document n-gram hashes for a pyarrow StringArray of texts —
     the shared text front-end of the Arrow signature kernels (minhash,
@@ -684,11 +750,11 @@ def _arrow_ngram_hashes(t, n: int):
     flat = toks.flatten().cast(pa.binary())
     total = len(flat)
     with np.errstate(over="ignore"):
-        w = np.frombuffer(
-            flat.to_numpy(zero_copy_only=False).astype("S24").tobytes(),
-            dtype=np.uint64,
-        ).reshape(-1, 3)
-        tlen = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(np.uint64)
+        # buffer-gather word matrix: identical values to the old
+        # to_numpy().astype("S24") path without the per-token Python
+        # object materialization (see _binary_padded_words)
+        w, blens = _binary_padded_words(flat, 24)
+        tlen = blens.astype(np.uint64)
         th = (w[:, 0] * mix_c[0]) ^ (w[:, 1] * C2) ^ (w[:, 2] * C3)
         th ^= tlen * C2
         th ^= th >> np.uint64(33)
@@ -752,15 +818,15 @@ def _token_gram_hashes(toks, n: int):
     total = len(flat)
     with np.errstate(over="ignore"):
         if total:
-            blens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
-            tlen = blens.astype(np.uint64)
             # words sized to the batch max token length: full-byte
-            # hashing with a vectorized per-word Horner loop
-            nw = max(1, -(-int(blens.max()) // 8))
-            w = np.frombuffer(
-                flat.to_numpy(zero_copy_only=False).astype(f"S{nw * 8}").tobytes(),
-                dtype=np.uint64,
-            ).reshape(-1, nw)
+            # hashing with a vectorized per-word Horner loop; the word
+            # matrix comes from a buffer gather, never per-token Python
+            # objects (see _binary_padded_words)
+            blens_i = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+            nw = max(1, -(-int(blens_i.max()) // 8))
+            w, blens64 = _binary_padded_words(flat, nw * 8)
+            blens = blens64
+            tlen = blens64.astype(np.uint64)
             th = np.full(total, np.uint64(0x165667B19E3779F9), dtype=np.uint64)
             # mask each word round by the token's OWN length: zero-pad
             # words past the token must not mutate the hash, or the
@@ -832,20 +898,21 @@ def shingle_hash_rows(
     def _rows(batches):
         import numpy as np
 
-        for batch in batches:
-            ids = batch.column(batch.schema.get_field_index("__id"))
-            tk = batch.column(batch.schema.get_field_index("__tk"))
-            if isinstance(tk, pa.ChunkedArray):
-                tk = tk.combine_chunks()
-            gflat, glens, _ = _token_gram_hashes(tk, n)
-            out_id = np.repeat(ids.to_numpy(zero_copy_only=False), glens)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(out_id, type=ids.type),
-                    pa.array(gflat.astype(np.int64), type=pa.int64()),
-                ],
-                ["__id", "__s"],
-            )
+        for batch0 in batches:
+            for batch in _bounded_batch_slices(batch0, "__tk"):
+                ids = batch.column(batch.schema.get_field_index("__id"))
+                tk = batch.column(batch.schema.get_field_index("__tk"))
+                if isinstance(tk, pa.ChunkedArray):
+                    tk = tk.combine_chunks()
+                gflat, glens, _ = _token_gram_hashes(tk, n)
+                out_id = np.repeat(ids.to_numpy(zero_copy_only=False), glens)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_id, type=ids.type),
+                        pa.array(gflat.astype(np.int64), type=pa.int64()),
+                    ],
+                    ["__id", "__s"],
+                )
 
     schema = T.StructType(
         [
@@ -894,33 +961,36 @@ def minhash_signature_arrow(
     )
 
     def _sig(batches):
-        for batch in batches:
-            i_id = batch.schema.get_field_index("__id")
-            t = batch.column(batch.schema.get_field_index("__t"))
-            if isinstance(t, pa.ChunkedArray):
-                t = t.combine_chunks()
-            gflat, glens, goffs = _arrow_ngram_hashes(t, n)
-            n_docs = len(glens)
-            with np.errstate(over="ignore"):
-                # one salt at a time: the per-salt product is a
-                # flat-sized temporary instead of a (num_hashes x flat)
-                # matrix — the big-matrix variant is memory-bandwidth-
-                # bound and measured 30x slower
-                mins = np.empty((num_hashes, n_docs), dtype=np.uint64)
-                roffs = goffs.astype(np.intp)
-                for s_i in range(num_hashes):
-                    mins[s_i] = np.minimum.reduceat(salts[s_i] * gflat, roffs)
-            out = mins.T.astype(np.int64)
-            sig_arr = pa.ListArray.from_arrays(
-                pa.array(
-                    np.arange(0, (n_docs + 1) * num_hashes, num_hashes),
-                    type=pa.int32(),
-                ),
-                pa.array(out.reshape(-1), type=pa.int64()),
-            )
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(i_id), sig_arr], ["__id", "__sig"]
-            )
+        for batch0 in batches:
+            for batch in _bounded_batch_slices(batch0, "__t"):
+                i_id = batch.schema.get_field_index("__id")
+                t = batch.column(batch.schema.get_field_index("__t"))
+                if isinstance(t, pa.ChunkedArray):
+                    t = t.combine_chunks()
+                gflat, glens, goffs = _arrow_ngram_hashes(t, n)
+                n_docs = len(glens)
+                with np.errstate(over="ignore"):
+                    # one salt at a time: the per-salt product is a
+                    # flat-sized temporary instead of a (num_hashes x
+                    # flat) matrix — the big-matrix variant is memory-
+                    # bandwidth-bound and measured 30x slower
+                    mins = np.empty((num_hashes, n_docs), dtype=np.uint64)
+                    roffs = goffs.astype(np.intp)
+                    for s_i in range(num_hashes):
+                        mins[s_i] = np.minimum.reduceat(
+                            salts[s_i] * gflat, roffs
+                        )
+                out = mins.T.astype(np.int64)
+                sig_arr = pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (n_docs + 1) * num_hashes, num_hashes),
+                        type=pa.int32(),
+                    ),
+                    pa.array(out.reshape(-1), type=pa.int64()),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(i_id), sig_arr], ["__id", "__sig"]
+                )
 
     schema = T.StructType(
         [
@@ -1336,40 +1406,41 @@ def simhash64_arrow(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> Da
     )
 
     def _sig(batches):
-        for batch in batches:
-            i_id = batch.schema.get_field_index("__id")
-            t = batch.column(batch.schema.get_field_index("__t"))
-            if isinstance(t, pa.ChunkedArray):
-                t = t.combine_chunks()
-            gflat, glens, _ = _arrow_ngram_hashes(t, n)
-            n_docs = len(glens)
-            out = np.zeros(n_docs, dtype=np.int64)
-            if n_docs:
-                # per-doc distinct: sort (doc, hash), keep boundaries
-                doc_idx = np.repeat(
-                    np.arange(n_docs, dtype=np.int64), glens
+        for batch0 in batches:
+            for batch in _bounded_batch_slices(batch0, "__t"):
+                i_id = batch.schema.get_field_index("__id")
+                t = batch.column(batch.schema.get_field_index("__t"))
+                if isinstance(t, pa.ChunkedArray):
+                    t = t.combine_chunks()
+                gflat, glens, _ = _arrow_ngram_hashes(t, n)
+                n_docs = len(glens)
+                out = np.zeros(n_docs, dtype=np.int64)
+                if n_docs:
+                    # per-doc distinct: sort (doc, hash), keep boundaries
+                    doc_idx = np.repeat(
+                        np.arange(n_docs, dtype=np.int64), glens
+                    )
+                    order = np.lexsort((gflat, doc_idx))
+                    gs, ds = gflat[order], doc_idx[order]
+                    keep = np.ones(len(gs), dtype=bool)
+                    keep[1:] = (gs[1:] != gs[:-1]) | (ds[1:] != ds[:-1])
+                    uflat, udoc = gs[keep], ds[keep]
+                    ulens = np.bincount(udoc, minlength=n_docs)
+                    uoffs = np.concatenate([[0], np.cumsum(ulens)])[:-1].astype(
+                        np.intp
+                    )
+                    sh = np.zeros(n_docs, dtype=np.uint64)
+                    with np.errstate(over="ignore"):
+                        for b in range(64):
+                            ones = np.add.reduceat(
+                                (uflat >> np.uint64(b)) & np.uint64(1), uoffs
+                            )
+                            sh |= ((2 * ones > ulens).astype(np.uint64)) << np.uint64(b)
+                    out = sh.view(np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(i_id), pa.array(out, type=pa.int64())],
+                    ["__id", "__sh"],
                 )
-                order = np.lexsort((gflat, doc_idx))
-                gs, ds = gflat[order], doc_idx[order]
-                keep = np.ones(len(gs), dtype=bool)
-                keep[1:] = (gs[1:] != gs[:-1]) | (ds[1:] != ds[:-1])
-                uflat, udoc = gs[keep], ds[keep]
-                ulens = np.bincount(udoc, minlength=n_docs)
-                uoffs = np.concatenate([[0], np.cumsum(ulens)])[:-1].astype(
-                    np.intp
-                )
-                sh = np.zeros(n_docs, dtype=np.uint64)
-                with np.errstate(over="ignore"):
-                    for b in range(64):
-                        ones = np.add.reduceat(
-                            (uflat >> np.uint64(b)) & np.uint64(1), uoffs
-                        )
-                        sh |= ((2 * ones > ulens).astype(np.uint64)) << np.uint64(b)
-                out = sh.view(np.int64)
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(i_id), pa.array(out, type=pa.int64())],
-                ["__id", "__sh"],
-            )
 
     return rows.mapInArrow(_sig, schema=schema)
 
@@ -1454,16 +1525,34 @@ def _estimated_jaccard_pairs(
     sig_b: DataFrame,
     num_hashes: int,
     threshold: float,
+    broadcast_cand: bool = False,
 ) -> DataFrame:
     """Shared verify tail of every minhash candidate path: join the
     deduped (id_a, id_b) candidate set back to the two signature tables
     (``sig_a``: (id_a, __siga), ``sig_b``: (id_b, __sigb)), estimate
     Jaccard as the fraction of agreeing signature positions, filter by
     ``threshold``. The joins run on the DEDUPED pair set, so signature
-    arrays never ride the banding shuffle (see ``_banded_buckets``)."""
+    arrays never ride the banding shuffle (see ``_banded_buckets``).
+
+    ``broadcast_cand`` (the stored-index query path): broadcast the
+    NARROW candidate pair set into the big ``sig_b`` scan (the stored
+    index streams map-side instead of being shuffled and sorted — the
+    planner can't pick this itself because the Arrow/join-derived
+    candidate side has no size statistics and is presumed huge), then
+    broadcast the small ``sig_a`` (probe-side signatures) into the
+    result. Only ids and the probe's signatures ever cross the driver;
+    the wide index-side arrays never sit in a broadcast. Only for
+    callers whose candidates are O(small batch x near-dup rate); the
+    self-join path at 100 TB can have more candidates than fit a
+    broadcast and keeps the default."""
+    if broadcast_cand:
+        left = F.broadcast(cand).join(sig_b, "id_b").join(
+            F.broadcast(sig_a), "id_a"
+        )
+    else:
+        left = cand.join(sig_a, "id_a").join(sig_b, "id_b")
     return (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
+        left
         .withColumn(
             "est_jaccard",
             F.size(
@@ -1744,6 +1833,7 @@ def minhash_query_index(
     verify: bool = True,
     max_batch_id_exclusive: int | None = None,
     precomputed_sig: DataFrame | None = None,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Near-dup pairs of a new batch against a STORED minhash index
     (``build_minhash_index``): identical semantics and — same corpus,
@@ -1751,6 +1841,18 @@ def minhash_query_index(
     (test-enforced), but the index side costs two parquet scans instead
     of a full re-signature. (id_a = new batch, id_b = index; equal ids
     across sides are legitimate cross-set matches.)
+
+    ``broadcast_new`` (default on — this path's contract IS
+    small-batch-vs-big-store): broadcast the new batch's band rows and
+    the candidate set through the index-side joins, so the stored
+    bands/sigs scans stream map-side with ZERO index-side shuffle.
+    Without the hint the planner sort-merge-joins (the Arrow-derived
+    probe side has no size statistics and is presumed huge), shuffling
+    and sorting the whole stored index per query — measured 2.3x
+    slower than recompute at a 200k-doc store instead of 2x faster.
+    Disable for batches too large to broadcast (~100MB+ of band rows,
+    i.e. millions of docs — at which point use
+    ``minhash_incremental_pairs``).
 
     ``max_batch_id_exclusive`` drops index batches with
     ``batch_id >= `` it from BOTH scans — the replay-idempotency guard
@@ -1785,7 +1887,10 @@ def minhash_query_index(
         sig_new = minhash_signature_arrow(new_docs, id_col, text_col, n, num_hashes)
         if verify:
             sig_new = sig_new.cache()
-    a = _banded_buckets(sig_new, bands, num_hashes // bands).alias("a")
+    a = _banded_buckets(sig_new, bands, num_hashes // bands)
+    if broadcast_new:
+        a = F.broadcast(a)
+    a = a.alias("a")
     b = _scan("bands").select(F.col("id").alias("__id"), "band", "bucket").alias("b")
     cand = (
         a.join(
@@ -1802,4 +1907,6 @@ def minhash_query_index(
     sb = _scan("sigs").select(
         F.col("id").alias("id_b"), F.col("sig").alias("__sigb")
     )
-    return _estimated_jaccard_pairs(cand, sa, sb, num_hashes, threshold)
+    return _estimated_jaccard_pairs(
+        cand, sa, sb, num_hashes, threshold, broadcast_cand=broadcast_new
+    )

@@ -673,11 +673,28 @@ def query_ivf_index(
     q_probes = spark.createDataFrame(probe_rows, probe_schema)
 
     probed_cells = sorted({c for _, c, _ in probe_rows})
+    data_dir = _ivf_data_dir(spark, index_path, int(meta.get("version", 0)))
+    # Probe-bounded LISTING, not just probe-bounded reading: a plain
+    # read.parquet(data_dir) discovers the ENTIRE cell=* partition tree
+    # before pruning, so probe cost grows with the number of cells even
+    # though the pruned data doesn't (measured 1.5x going 62 -> 625
+    # cells; at 100 TB with 10^4-10^5 cells the listing would dominate
+    # every query). Reading the probed cells' dirs explicitly under a
+    # basePath keeps `cell` a partition column while listing O(n_probe)
+    # directories; one names-only list_dir bounds it against absent
+    # cells (empty under a fresh quantizer). The isin filter stays as
+    # the in-plan pruning witness (PartitionFilters INSET, test-pinned).
+    from projet_5spar_sparkstreaming_spark.fsio import list_dir
+
+    existing = {
+        int(n.split("=", 1)[1])
+        for n in list_dir(spark, data_dir)
+        if n.startswith("cell=")
+    }
+    cell_paths = [f"{data_dir}/cell={c}" for c in probed_cells if c in existing]
+    reader = spark.read.option("basePath", data_dir)
     index = (
-        spark.read.parquet(
-            _ivf_data_dir(spark, index_path, int(meta.get("version", 0)))
-        )
-        # static partition pruning: the listing itself skips cells
+        (reader.parquet(*cell_paths) if cell_paths else reader.parquet(data_dir))
         .filter(F.col("cell").isin(probed_cells))
         .select(
             F.col("id").alias("__cid"),
@@ -1301,6 +1318,7 @@ def embed_lsh_query_index(
     threshold: float = 0.9,
     verify: bool = True,
     max_batch_id_exclusive: int | None = None,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Near-dup pairs of a new vector batch against a STORED embedding
     LSH index: bucketize the batch with the index's pinned params, one
@@ -1309,7 +1327,17 @@ def embed_lsh_query_index(
     re-bucketized. Same semantics as ``cosine_incremental_pairs`` at
     the same params (test-enforced). ``max_batch_id_exclusive`` is the
     streaming replay guard: index batches >= it are excluded from both
-    scans so a crashed-then-replayed micro-batch never self-matches."""
+    scans so a crashed-then-replayed micro-batch never self-matches.
+
+    ``broadcast_new`` (default on — this path's contract IS
+    small-batch-vs-big-store): broadcast the batch's bucket rows and
+    the candidate+batch-vector set through the index-side joins so the
+    stored buckets/vecs scans stream map-side with zero index-side
+    shuffle (the Arrow-derived probe side has no size statistics, so
+    the planner would otherwise sort-merge-join, shuffling the whole
+    store per query — see ``minhash_query_index``). Disable for
+    probe batches too large to broadcast (millions of vectors — use
+    ``cosine_incremental_pairs`` there)."""
     spark = new_vecs.sparkSession
     meta = read_embed_lsh_meta(spark, index_path)
     if meta is None:
@@ -1330,19 +1358,30 @@ def embed_lsh_query_index(
         new_vecs, id_col, vec_col, "id_a",
         meta["n_planes"], meta["n_tables"], meta["dim"],
     )
+    if broadcast_new:
+        a = F.broadcast(a)
     b = _scan("buckets").select(F.col("id").alias("id_b"), "__bucket")
     cand = a.join(b, "__bucket").select("id_a", "id_b").dropDuplicates(
         ["id_a", "id_b"]
     )
     if not verify:
         return cand
-    joined = cand.join(
-        new_vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")),
-        "id_a",
-    ).join(
-        _scan("vecs").select(F.col("id").alias("id_b"), F.col("vec").alias("__vb")),
-        "id_b",
+    new_va = new_vecs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
     )
+    stored_vb = _scan("vecs").select(
+        F.col("id").alias("id_b"), F.col("vec").alias("__vb")
+    )
+    if broadcast_new:
+        # NARROW pair set broadcast into the big stored-vecs scan (the
+        # index streams map-side), then the small batch's vectors
+        # broadcast into the result — index-side vectors never sit in
+        # a broadcast (at real dims a cand-with-vectors broadcast OOMs)
+        joined = F.broadcast(cand).join(stored_vb, "id_b").join(
+            F.broadcast(new_va), "id_a"
+        )
+    else:
+        joined = cand.join(new_va, "id_a").join(stored_vb, "id_b")
     return _cosine_verify_arrow(joined, threshold)
 
 

@@ -60,6 +60,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- scan sizing: keep parquet splits memory-friendly ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Columnar reader batches sized for WIDE array columns (the
+        # engine's embedding tables): the 4096-row default puts a 25MB
+        # column batch per task on the heap at dim-768 (4096 x 768
+        # doubles) — 32 concurrent tasks then GC-thrash or OOM the
+        # vectorized reader ("Cannot reserve additional contiguous
+        # bytes"). 1024 rows keeps wide batches ~6MB with no measured
+        # regression on narrow tables (headline spot-check r9).
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         # --- heap: local mode puts driver+executors in ONE JVM; the 1g
         # default dies under long multi-query sessions (sweeps, bench).
         # Applied at JVM launch, so only effective for sessions this

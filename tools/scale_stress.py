@@ -46,21 +46,24 @@ N_QUERIES = 100
 K = 10
 
 
-def _base_tokens(i: int):
+def _base_tokens(i: int, doc_tokens: int = DOC_TOKENS):
     """Per-doc deterministic token stream (40% from a 200-word common
     head, rest uniform over VOCAB) — the ONE corpus token model, shared
     by gen_documents and gen_batch so the planted cross-set near-dup
-    structure can't silently diverge."""
+    structure can't silently diverge. ``doc_tokens`` scales the payload
+    (bench_stored_index_scaled uses longer docs: stored sigs/bands are
+    O(1) per doc while re-signing is O(text bytes), so doc length is
+    the axis that separates stored-index cost from recompute cost)."""
     import numpy as np
 
     rng = np.random.RandomState(1_000_003 + int(i))
-    toks = rng.randint(0, VOCAB, DOC_TOKENS)
-    common = rng.random(DOC_TOKENS) < 0.4
+    toks = rng.randint(0, VOCAB, doc_tokens)
+    common = rng.random(doc_tokens) < 0.4
     toks[common] = rng.randint(0, 200, int(common.sum()))
     return toks
 
 
-def gen_documents(spark, n: int, path: str) -> None:
+def gen_documents(spark, n: int, path: str, doc_tokens: int = DOC_TOKENS) -> None:
     """Distributed deterministic doc generation: per-doc RNG seeded by
     doc_id, so content is independent of partitioning.
 
@@ -86,13 +89,13 @@ def gen_documents(spark, n: int, path: str) -> None:
                 if i > 0 and dup_rng.random() < NEAR_DUP_RATE:
                     # near-dup of predecessor: replay ITS base tokens,
                     # then swap a couple of positions
-                    toks = _base_tokens(int(i) - 1).copy()
+                    toks = _base_tokens(int(i) - 1, doc_tokens).copy()
                     pos = dup_rng.choice(
-                        DOC_TOKENS, size=PERTURB_TOKENS, replace=False
+                        doc_tokens, size=PERTURB_TOKENS, replace=False
                     )
                     toks[pos] = dup_rng.randint(0, VOCAB, size=PERTURB_TOKENS)
                 else:
-                    toks = _base_tokens(int(i))
+                    toks = _base_tokens(int(i), doc_tokens)
                 texts.append(" ".join(f"w{t}" for t in toks))
             yield pd.DataFrame({"doc_id": ids, "text": texts})
 
@@ -105,14 +108,16 @@ def gen_documents(spark, n: int, path: str) -> None:
     )
 
 
-def gen_embeddings(spark, n: int, path: str) -> None:
+def gen_embeddings(spark, n: int, path: str, dim: int = DIM) -> None:
     """Clustered unit vectors: center + noise, normalized — gives IVF a
-    real cluster structure to quantize."""
+    real cluster structure to quantize. ``dim`` scales the payload
+    (bench_stored_index_scaled uses wider vectors: stored buckets are
+    O(n_tables) per vector while re-bucketizing is O(dim))."""
     import numpy as np
     import pandas as pd
 
     def _gen(batches):
-        centers = np.random.RandomState(77).randn(N_CENTERS, DIM)
+        centers = np.random.RandomState(77).randn(N_CENTERS, dim)
         centers /= np.linalg.norm(centers, axis=1, keepdims=True)
         for pdf in batches:
             ids = pdf["id"].to_numpy()
@@ -126,9 +131,9 @@ def gen_embeddings(spark, n: int, path: str) -> None:
             # not depend on which Arrow batch a row lands in, or the
             # committed numbers change with core count / batch size.
             noise = np.stack(
-                [np.random.RandomState(31 + int(i)).randn(DIM) for i in ids]
+                [np.random.RandomState(31 + int(i)).randn(dim) for i in ids]
             )
-            v = c + (0.5 / np.sqrt(DIM)) * noise
+            v = c + (0.5 / np.sqrt(dim)) * noise
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
             yield pd.DataFrame(
                 {"vec_id": ids, "embedding": [r.astype(float).tolist() for r in v]}
