@@ -487,6 +487,90 @@ def test_ngram_overlap_join_decontamination(spark):
     assert rows[2]["contamination_rate"] == 0.0
 
 
+def test_binary_padded_words_matches_astype_layout():
+    """The buffer-gather word matrix must be BYTE-IDENTICAL to the
+    numpy astype('S{W}') conversion it replaced (truncate at W,
+    zero-pad, little-endian word view) — the minhash signature family
+    is persisted in stored indexes, so any drift here silently breaks
+    every index built before the change. Covers empty tokens, exact
+    word boundaries, >W tokens, non-ASCII bytes, and sliced arrays."""
+    import numpy as np
+    import pyarrow as pa
+
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        _binary_padded_words,
+    )
+
+    toks = [
+        b"", b"a", b"abcdefgh", b"abcdefghi", b"x" * 23, b"y" * 24,
+        b"z" * 100, "é".encode() * 5, b"\x00mid\x00nul\x00",
+    ]
+    flat = pa.array(toks, type=pa.binary())
+    for width in (8, 24, 104):
+        w_new, lens = _binary_padded_words(flat, width)
+        w_old = np.frombuffer(
+            flat.to_numpy(zero_copy_only=False).astype(f"S{width}").tobytes(),
+            dtype=np.uint64,
+        ).reshape(-1, width // 8)
+        assert np.array_equal(w_new, w_old), width
+        assert np.array_equal(lens, np.array([len(t) for t in toks]))
+    # sliced arrays resolve their offset into the shared buffers
+    sl = flat.slice(2, 4)
+    w_sl, _ = _binary_padded_words(sl, 24)
+    w_full, _ = _binary_padded_words(flat, 24)
+    assert np.array_equal(w_sl, w_full[2:6])
+    # empty array
+    w0, l0 = _binary_padded_words(flat.slice(0, 0), 24)
+    assert w0.shape == (0, 3) and len(l0) == 0
+
+
+def test_kernel_results_invariant_under_batch_slicing(spark, monkeypatch):
+    """The payload-bounded batch slicing must not change any kernel's
+    output: signatures, simhashes and shingle rows computed with a
+    pathologically small slice budget (forcing many slices per batch)
+    must equal the unsliced results. Guards the slice/offset handling
+    in the Arrow kernels (a sliced ListArray's flatten/offsets are the
+    classic way to silently hash the wrong tokens)."""
+    import projet_5spar_sparkstreaming_spark.operators.dedup as dedup
+
+    rows = [
+        (i, " ".join(f"tok{i}_{j}" for j in range(5 + (i % 37))))
+        for i in range(300)
+    ]
+    rows.append((999, "a" * 500))  # one token bigger than the budget
+    df = _docs_df_ops(spark, rows)
+
+    def run_all():
+        sig = {
+            r["__id"]: tuple(r["__sig"])
+            for r in dedup.minhash_signature_arrow(
+                df, "doc_id", "text"
+            ).collect()
+        }
+        sh = {
+            r["__id"]: r["__sh"]
+            for r in dedup.simhash64_arrow(df, "doc_id", "text").collect()
+        }
+        shingles = {
+            (r["__id"], r["__s"])
+            for r in dedup.shingle_hash_rows(df, "doc_id", "text", 3).collect()
+        }
+        return sig, sh, shingles
+
+    base = run_all()
+    real = dedup._bounded_batch_slices
+
+    def tiny(batch, col_name, max_value_bytes=200):
+        yield from real(batch, col_name, max_value_bytes=200)
+
+    monkeypatch.setattr(dedup, "_bounded_batch_slices", tiny)
+    assert run_all() == base
+
+
+def _docs_df_ops(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
 def test_token_gram_hashes_batch_independent():
     """The per-token hash must not depend on the batch's max token
     length: zero-pad word rounds past a token's own length are masked
