@@ -60,14 +60,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- scan sizing: keep parquet splits memory-friendly ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # Columnar reader batches sized for WIDE array columns (the
-        # engine's embedding tables): the 4096-row default puts a 25MB
-        # column batch per task on the heap at dim-768 (4096 x 768
-        # doubles) — 32 concurrent tasks then GC-thrash or OOM the
-        # vectorized reader ("Cannot reserve additional contiguous
-        # bytes"). 1024 rows keeps wide batches ~6MB with no measured
-        # regression on narrow tables (headline spot-check r9).
-        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        # spark.sql.parquet.columnarReaderBatchSize stays at its 4096
+        # default: shrinking it globally costs ~2x on narrow 5M-row
+        # scans (measured r9). For VERY wide array columns (dim-768+
+        # embeddings) 4096 rows is a 25MB column batch per task and can
+        # OOM the vectorized reader under high concurrency — it is a
+        # RUNTIME conf, so set it per-workload
+        # (spark.conf.set(..., "1024")) around wide-vector jobs if
+        # that materializes; the engine's wide-array query paths avoid
+        # the main pressure source (wide broadcasts) by construction.
         # --- heap: local mode puts driver+executors in ONE JVM; the 1g
         # default dies under long multi-query sessions (sweeps, bench).
         # Applied at JVM launch, so only effective for sessions this
