@@ -161,6 +161,12 @@ def timed(fn, warm: bool = False):
 
 
 def run_tier(spark, n: int) -> dict:
+    # tier hygiene: earlier stages' internal .cache()s (sig tables at
+    # the 5M tier are GBs) otherwise stay pinned across stages and turn
+    # later second-scale measurements into full-GC lotteries (r9:
+    # identical code measured 1.6s and 21.3s for the same stage in two
+    # runs; untouched knn_arrow swung 10x with them)
+    spark.catalog.clearCache()
     from pyspark.sql import functions as F
 
     from projet_5spar_sparkstreaming_spark.operators.dedup import (
@@ -201,6 +207,10 @@ def run_tier(spark, n: int) -> dict:
     res["cluster_rows"], res["clusters_s"] = timed(clusters.count)
     verified.unpersist()
     cand_cached.unpersist()
+    # drop minhash_near_dup_pairs' INTERNAL sig caches too (GBs at the
+    # 5M tier) before the second-scale ANN timings below — pinned
+    # cache + 48g heap turned knn_arrow into a 10x GC lottery (r9)
+    spark.catalog.clearCache()
 
     # --- ANN ---
     queries = embs.filter(F.col("vec_id") < N_QUERIES)
@@ -286,6 +296,12 @@ def run_embed_neardup(spark, n: int) -> dict:
     true-duplicate cosine) + exact verify, with the mega-bucket cap
     armed. Twin recall is exact-checkable without an all-pairs join
     because twins are planted at known ids."""
+    # tier hygiene: earlier stages' internal .cache()s (sig tables at
+    # the 5M tier are GBs) otherwise stay pinned across stages and turn
+    # later second-scale measurements into full-GC lotteries (r9:
+    # identical code measured 1.6s and 21.3s for the same stage in two
+    # runs; untouched knn_arrow swung 10x with them)
+    spark.catalog.clearCache()
     from pyspark.sql import functions as F
 
     from projet_5spar_sparkstreaming_spark.operators.similarity import (
@@ -363,6 +379,12 @@ def run_incremental(spark, index_n: int, batch_n: int = 5_000) -> dict:
     steady state (index signatures cached — the production framing
     where the index's deterministic signatures/bands are precomputed
     and stored; the warm-up run pays that one-time scan)."""
+    # tier hygiene: earlier stages' internal .cache()s (sig tables at
+    # the 5M tier are GBs) otherwise stay pinned across stages and turn
+    # later second-scale measurements into full-GC lotteries (r9:
+    # identical code measured 1.6s and 21.3s for the same stage in two
+    # runs; untouched knn_arrow swung 10x with them)
+    spark.catalog.clearCache()
     from projet_5spar_sparkstreaming_spark.operators.dedup import (
         minhash_incremental_pairs,
     )
@@ -411,6 +433,12 @@ def run_embed_incremental(spark, index_n: int, batch_n: int = 5_000) -> dict:
     """Daily-crawl embedding dedup: a 5k new batch (20% planted copies)
     against the biggest twin-embedding tier as the index — the index is
     never self-joined; auto LSH params derive from the INDEX size."""
+    # tier hygiene: earlier stages' internal .cache()s (sig tables at
+    # the 5M tier are GBs) otherwise stay pinned across stages and turn
+    # later second-scale measurements into full-GC lotteries (r9:
+    # identical code measured 1.6s and 21.3s for the same stage in two
+    # runs; untouched knn_arrow swung 10x with them)
+    spark.catalog.clearCache()
     from projet_5spar_sparkstreaming_spark.operators.similarity import (
         cosine_incremental_pairs,
     )
@@ -438,6 +466,12 @@ def run_decontamination(spark, n: int, bench_n: int = 1_000) -> dict:
     side cost is ONE shingle scan — run at every tier, the per-tier
     times are the linearity curve (growth should track corpus scan
     size, not shuffle volume)."""
+    # tier hygiene: earlier stages' internal .cache()s (sig tables at
+    # the 5M tier are GBs) otherwise stay pinned across stages and turn
+    # later second-scale measurements into full-GC lotteries (r9:
+    # identical code measured 1.6s and 21.3s for the same stage in two
+    # runs; untouched knn_arrow swung 10x with them)
+    spark.catalog.clearCache()
     import numpy as np
     import pandas as pd
 
@@ -540,6 +574,12 @@ def run_curation(spark, n: int) -> dict:
     -> keep-best-per-cluster — end to end on the generated corpus, no
     driver-side step. Survivor counts make silent stage regressions
     visible (e.g. a filter that starts dropping everything)."""
+    # tier hygiene: earlier stages' internal .cache()s (sig tables at
+    # the 5M tier are GBs) otherwise stay pinned across stages and turn
+    # later second-scale measurements into full-GC lotteries (r9:
+    # identical code measured 1.6s and 21.3s for the same stage in two
+    # runs; untouched knn_arrow swung 10x with them)
+    spark.catalog.clearCache()
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
