@@ -477,6 +477,47 @@ def test_ivf_index_append_query_compact(spark, sf_dir, tmp_path):
     assert _res() == after_append
 
 
+def test_stored_query_paths_broadcast_probe_side(spark, sf_dir, tmp_path):
+    """Plan pin for the stored-index query direction: the probe-derived
+    sides are broadcast, so the stored index is NEVER sort-merge-joined
+    (which would shuffle and sort the whole store per query — measured
+    2.3x slower than recompute before the r9 fix). Also pins the
+    opt-out: broadcast_new=False must drop the broadcast hints (the
+    escape hatch for probe batches too large to broadcast)."""
+    from tools.explain_audit import formatted_plan
+
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_query_index,
+    )
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        build_embed_lsh_index,
+        embed_lsh_query_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    midx = str(tmp_path / "mh_bcast")
+    eidx = str(tmp_path / "el_bcast")
+    build_minhash_index(docs, midx, "doc_id", "text")
+    build_embed_lsh_index(
+        emb, eidx, "vec_id", "embedding", n_planes=6, n_tables=3,
+    )
+
+    mq = minhash_query_index(docs.limit(50), midx, "doc_id", "text")
+    eq = embed_lsh_query_index(emb.limit(50), eidx, "vec_id", "embedding")
+    for plan in (formatted_plan(mq), formatted_plan(eq)):
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+    # results must be identical either way (broadcast is plan-only)
+    off = minhash_query_index(
+        docs.limit(50), midx, "doc_id", "text", broadcast_new=False
+    )
+    assert sorted(map(tuple, mq.collect())) == sorted(map(tuple, off.collect()))
+
+
 def test_writer_lease_mutual_exclusion_and_stale_break(spark, tmp_path):
     """The cross-process writer lease: a held lease blocks a second
     acquisition until released (TimeoutError on a short deadline), a
