@@ -352,6 +352,25 @@ def _train_ivf_centroids(
     return cent
 
 
+def _pandas_row_chunks(pdf, vec_col: str, extra_cols: int = 0, max_bytes: int = 8 << 20):
+    """Row chunks of a pandas batch bounded by VECTOR payload bytes —
+    the mapInPandas twin of ``dedup._bounded_batch_slices``. A
+    row-bounded batch (10k rows) of dim-4096 embeddings is a ~330MB
+    float64 matrix per task (plus any per-row derived matrix of width
+    ``extra_cols``); chunking by estimated bytes keeps kernel
+    transients ~tens of MB at any dimensionality."""
+    n = len(pdf)
+    if n == 0:
+        return
+    dim = len(pdf[vec_col].iloc[0]) + extra_cols
+    rows = max(1, int(max_bytes / max(dim * 8, 1)))
+    if rows >= n:
+        yield pdf
+        return
+    for s in range(0, n, rows):
+        yield pdf.iloc[s : s + rows]
+
+
 def _assign_ivf_cells(
     corpus: DataFrame, cent, corpus_id: str, corpus_vec: str
 ) -> DataFrame:
@@ -371,15 +390,17 @@ def _assign_ivf_cells(
     cidc, cvecc = corpus_id, corpus_vec
 
     def _assign_corpus(batches):
-        for pdf in batches:
-            if not len(pdf):  # empty batch: axis-1 ops are ill-defined
-                continue
-            m = np.array(list(pdf[cvecc]), dtype=np.float64)
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-            cells = np.argmax(m @ cent.T, axis=1).astype(np.int32)
-            yield pd.DataFrame(
-                {"__cid": pdf[cidc], "__cell": cells, "__cv": pdf[cvecc]}
-            )
+        for pdf0 in batches:
+            # payload-bounded row chunks (see dedup._bounded_batch_slices):
+            # the (rows x dim) matrix plus the (rows x cells) distance
+            # matrix must stay tens-of-MB per task at ANY dim/cell count
+            for pdf in _pandas_row_chunks(pdf0, cvecc, extra_cols=len(cent)):
+                m = np.array(list(pdf[cvecc]), dtype=np.float64)
+                m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+                cells = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+                yield pd.DataFrame(
+                    {"__cid": pdf[cidc], "__cell": cells, "__cv": pdf[cvecc]}
+                )
 
     return _ensure_min_parallelism(corpus.select(cidc, cvecc), cidc).mapInPandas(
         _assign_corpus, cell_schema
@@ -866,17 +887,21 @@ def _lsh_buckets_arrow(
     idc, vecc = id_col, vec_col
 
     def _bucketize(batches):
-        for pdf in batches:
-            if not len(pdf):  # empty batch: axis-1 ops are ill-defined
-                continue
-            m = np.array(list(pdf[vecc]), dtype=np.float64)  # (N, dim)
-            bits = (m @ planes.T) > 0  # (N, tables*planes)
-            per_table = bits.reshape(len(m), n_tables, n_planes)
-            buckets = (per_table * weights[None, None, :]).sum(axis=2) + offsets[
-                None, :
-            ]  # (N, tables)
-            ids = np.repeat(pdf[idc].to_numpy(), n_tables)
-            yield pd.DataFrame({id_alias: ids, "__bucket": buckets.reshape(-1)})
+        for pdf0 in batches:
+            # payload-bounded row chunks: (rows x dim) input and
+            # (rows x tables*planes) bit matrices stay tens-of-MB per
+            # task at any dim (see _pandas_row_chunks)
+            for pdf in _pandas_row_chunks(pdf0, vecc, extra_cols=len(planes)):
+                m = np.array(list(pdf[vecc]), dtype=np.float64)  # (N, dim)
+                bits = (m @ planes.T) > 0  # (N, tables*planes)
+                per_table = bits.reshape(len(m), n_tables, n_planes)
+                buckets = (per_table * weights[None, None, :]).sum(
+                    axis=2
+                ) + offsets[None, :]  # (N, tables)
+                ids = np.repeat(pdf[idc].to_numpy(), n_tables)
+                yield pd.DataFrame(
+                    {id_alias: ids, "__bucket": buckets.reshape(-1)}
+                )
 
     from projet_5spar_sparkstreaming_spark.operators.dedup import (
         _ensure_min_parallelism,
@@ -905,35 +930,40 @@ def _cosine_verify_arrow(joined: DataFrame, threshold: float) -> DataFrame:
     )
 
     def _score(batches):
-        for batch in batches:
-            if batch.num_rows == 0:  # reshape(0, -1) is ill-defined
-                continue
-            names = batch.schema.names
-            cols = {n: batch.column(i) for i, n in enumerate(names)}
+        from projet_5spar_sparkstreaming_spark.operators.dedup import (
+            _bounded_batch_slices,
+        )
 
-            def _mat(arr):
-                if isinstance(arr, pa.ChunkedArray):
-                    arr = arr.combine_chunks()
-                n_rows = len(arr)
-                flat = arr.flatten().to_numpy(zero_copy_only=False)
-                return np.asarray(flat, dtype=np.float64).reshape(n_rows, -1)
+        for batch0 in batches:
+            for batch in _bounded_batch_slices(batch0, "__va"):
+                if batch.num_rows == 0:  # reshape(0, -1) is ill-defined
+                    continue
+                names = batch.schema.names
+                cols = {n: batch.column(i) for i, n in enumerate(names)}
 
-            va = _mat(cols["__va"])
-            vb = _mat(cols["__vb"])
-            dots = np.einsum("ij,ij->i", va, vb)
-            na = np.maximum(np.linalg.norm(va, axis=1), 1e-300)
-            nb = np.maximum(np.linalg.norm(vb, axis=1), 1e-300)
-            cos = np.round(dots / (na * nb), 6)
-            keep = np.nonzero(cos >= threshold)[0]
-            idx = pa.array(keep, type=pa.int64())
-            yield pa.RecordBatch.from_arrays(
-                [
-                    cols["id_a"].take(idx),
-                    cols["id_b"].take(idx),
-                    pa.array(cos[keep], type=pa.float64()),
-                ],
-                ["id_a", "id_b", "cosine"],
-            )
+                def _mat(arr):
+                    if isinstance(arr, pa.ChunkedArray):
+                        arr = arr.combine_chunks()
+                    n_rows = len(arr)
+                    flat = arr.flatten().to_numpy(zero_copy_only=False)
+                    return np.asarray(flat, dtype=np.float64).reshape(n_rows, -1)
+
+                va = _mat(cols["__va"])
+                vb = _mat(cols["__vb"])
+                dots = np.einsum("ij,ij->i", va, vb)
+                na = np.maximum(np.linalg.norm(va, axis=1), 1e-300)
+                nb = np.maximum(np.linalg.norm(vb, axis=1), 1e-300)
+                cos = np.round(dots / (na * nb), 6)
+                keep = np.nonzero(cos >= threshold)[0]
+                idx = pa.array(keep, type=pa.int64())
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        cols["id_a"].take(idx),
+                        cols["id_b"].take(idx),
+                        pa.array(cos[keep], type=pa.float64()),
+                    ],
+                    ["id_a", "id_b", "cosine"],
+                )
 
     return joined.select("id_a", "id_b", "__va", "__vb").mapInArrow(
         _score, schema=schema

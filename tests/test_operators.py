@@ -571,6 +571,55 @@ def _docs_df_ops(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_similarity_kernels_invariant_under_chunking(spark, monkeypatch):
+    """The embedding kernels' payload-bounded chunking (row chunks in
+    the pandas kernels, batch slices in the Arrow verify kernel) must
+    not change any result: bucketize/assign/verify with a tiny budget
+    must equal the unchunked outputs."""
+    import numpy as np
+
+    import projet_5spar_sparkstreaming_spark.operators.dedup as dedup
+    import projet_5spar_sparkstreaming_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(3)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def run_all():
+        pairs = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in sim.cosine_near_dup_pairs(
+                vecs, "vec_id", "embedding", threshold=0.3,
+                n_planes=4, n_tables=4, dim=16,
+            ).collect()
+        }
+        knn = {
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in sim.ivf_top_k(
+                vecs.filter("vec_id < 10"), vecs, "vec_id", "vec_id",
+                k=3, n_centroids=4, n_probe=4,
+            ).collect()
+        }
+        return pairs, knn
+
+    base = run_all()
+    real_chunks = sim._pandas_row_chunks
+    real_slices = dedup._bounded_batch_slices
+    monkeypatch.setattr(
+        sim, "_pandas_row_chunks",
+        lambda pdf, c, extra_cols=0, max_bytes=0: real_chunks(
+            pdf, c, extra_cols, max_bytes=512
+        ),
+    )
+    monkeypatch.setattr(
+        dedup, "_bounded_batch_slices",
+        lambda b, c, max_value_bytes=0: real_slices(b, c, max_value_bytes=512),
+    )
+    assert run_all() == base
+
+
 def test_token_gram_hashes_batch_independent():
     """The per-token hash must not depend on the batch's max token
     length: zero-pad word rounds past a token's own length are masked
