@@ -244,8 +244,8 @@ def bench_stored_index_scaled(spark) -> dict:
     asymptotic claim rested on plan assertions alone — r8 verdict).
 
     One large store per family at PRODUCTION-SHAPED payloads —
-    800-token docs (~4 KB, a real web page; the pinned test docs are
-    ~120 tokens) and dim-256 vectors — because payload size is the
+    2,400-token docs (~13 KB, a real web page; the pinned test docs
+    are ~120 tokens) and dim-768 vectors — because payload size is the
     axis the stored index actually wins on: stored sigs/bands/buckets
     are O(1) per row while re-signing/re-bucketizing is O(payload
     bytes). Stores are built once per bench run (deterministic

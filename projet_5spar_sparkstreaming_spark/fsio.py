@@ -23,6 +23,7 @@ import contextlib as _contextlib
 import json
 import os as _os
 import time as _time
+import uuid as _uuid
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -119,40 +120,70 @@ def writer_lease(
     re-validation at flip time is the backstop there and for
     ``stale_sec`` breaks of a crashed holder's lock). Acquisition
     polls up to ``timeout_sec`` then raises ``TimeoutError``; a lock
-    older than ``stale_sec`` is presumed crashed and broken. Release
-    deletes the file."""
+    older than ``stale_sec`` is presumed crashed and broken — the
+    break is claimed ATOMICALLY by renaming the stale lock to a
+    per-breaker tombstone name (rename succeeds for exactly one
+    process), so two waiters that both observed staleness can never
+    interleave a delete under each other's fresh create and both walk
+    away "holding" the lease. Release deletes the file."""
     fs, _ = _fs_path(spark, index_path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
-    lock = jpath(index_path.rstrip("/") + ".writer.lock")
+    lock_name = index_path.rstrip("/") + ".writer.lock"
+    lock = jpath(lock_name)
     deadline = _time.monotonic() + timeout_sec
     while True:
         try:
             out = fs.create(lock, False)
-            try:
-                holder = {"pid": _os.getpid(), "acquired_unix": _time.time()}
-                out.write(bytearray(json.dumps(holder).encode("utf-8")))
-            finally:
-                out.close()
-            break
         except Exception:
+            out = None  # held by someone (or FS hiccup): fall through
+        if out is not None:
+            # the lock file exists and is OURS; if the holder-metadata
+            # write faults (disk full, stream fault) we must not orphan
+            # it — every other writer would block until stale_sec
             try:
-                st = fs.getFileStatus(lock)
-                age = _time.time() - st.getModificationTime() / 1000.0
-                if age > stale_sec:
-                    # presumed-crashed holder: break the lock and
-                    # re-race the atomic create
-                    fs.delete(lock, False)
-                    continue
+                try:
+                    holder = {
+                        "pid": _os.getpid(),
+                        "acquired_unix": _time.time(),
+                    }
+                    out.write(bytearray(json.dumps(holder).encode("utf-8")))
+                finally:
+                    out.close()
             except Exception:
-                pass  # released between create and stat — retry now
-            if _time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"writer lease {lock} not acquired within "
-                    f"{timeout_sec}s (another build/append/compaction "
-                    "is running; or break a crashed holder's lock "
-                    "manually)"
+                try:
+                    fs.delete(lock, False)
+                except Exception:
+                    pass
+                raise
+            break
+        try:
+            st = fs.getFileStatus(lock)
+            age = _time.time() - st.getModificationTime() / 1000.0
+            if age > stale_sec:
+                # presumed-crashed holder: claim the break by RENAME to
+                # a unique tombstone — exactly one breaker's rename
+                # succeeds; only that one deletes the tombstone. Losers
+                # (rename false / src vanished) just re-race the create.
+                tomb = jpath(
+                    f"{lock_name}.break.{_os.getpid()}."
+                    f"{_uuid.uuid4().hex[:8]}"
                 )
-            _time.sleep(poll_sec)
+                try:
+                    if fs.rename(lock, tomb):
+                        fs.delete(tomb, False)
+                except Exception:
+                    pass
+                continue
+        except Exception:
+            pass  # released between create and stat — retry now
+        if _time.monotonic() > deadline:
+            raise TimeoutError(
+                f"writer lease {lock} not acquired within "
+                f"{timeout_sec}s (another build/append/compaction "
+                "is running; or break a crashed holder's lock "
+                "manually)"
+            )
+        _time.sleep(poll_sec)
     try:
         yield
     finally:
@@ -163,22 +194,37 @@ def writer_lease(
 
 
 def require_no_meta_drift(
-    current: Any, snapshot_batches: set, version: int, index_path: str
+    current: Any,
+    snapshot_batches: "set | dict",
+    version: int,
+    index_path: str,
 ) -> None:
     """Compactor flip-time drift guard, shared by all three index
     families: the compacted ``v_{N+1}`` tree was derived from a meta
-    snapshot, so if the live meta's batch set or version pointer moved
+    snapshot, so if the live meta's batches or version pointer moved
     since (a writer slipped past the ``writer_lease`` — stale-lease
     break or an object store's create-if-absent race), publishing the
     flip would silently drop that writer's batch. Abort instead: the
     index stays live on version N, the orphan ``v_{N+1}`` tree is
-    cleaned by the next compaction, and nothing is lost."""
-    cur_batches = set((current or {}).get("batches", {}))
+    cleaned by the next compaction, and nothing is lost.
+
+    ``snapshot_batches`` should be the FULL ``dict(meta["batches"])``
+    (ids AND row counts): a lease-bypassing writer that REPLAYS an
+    existing batch_id leaves the key set unchanged but moves its row
+    count, and a key-set-only compare would publish a compacted tree
+    derived from the pre-replay data. A plain ``set`` is still
+    accepted (keys-only compare) for older callers."""
     cur_version = int((current or {}).get("version", 0))
-    if current is None or cur_batches != snapshot_batches or cur_version != version:
+    if isinstance(snapshot_batches, dict):
+        cur_batches: Any = dict((current or {}).get("batches", {}))
+        snap: Any = snapshot_batches
+    else:
+        cur_batches = set((current or {}).get("batches", {}))
+        snap = set(snapshot_batches)
+    if current is None or cur_batches != snap or cur_version != version:
         raise RuntimeError(
             f"meta drift at {index_path} during compaction: snapshot had "
-            f"batches {sorted(snapshot_batches)} at version {version}, live "
+            f"batches {sorted(snap)} at version {version}, live "
             f"meta has {sorted(cur_batches)} at version {cur_version} — a "
             "concurrent writer bypassed the lease; flip ABORTED (index "
             "unchanged, re-run compaction)"

@@ -1793,7 +1793,7 @@ def compact_minhash_index(
             return meta  # nothing to merge
         merged_id = min(merged)
         version = int(meta.get("version", 0))
-        snapshot = set(meta["batches"])
+        snapshot = dict(meta["batches"])  # ids AND row counts: detects replayed appends too
         n_parts = target_partitions or spark.sparkContext.defaultParallelism
         remap = F.when(
             F.col("batch_id").isin(merged), F.lit(merged_id)
@@ -1834,6 +1834,7 @@ def minhash_query_index(
     max_batch_id_exclusive: int | None = None,
     precomputed_sig: DataFrame | None = None,
     broadcast_new: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a new batch against a STORED minhash index
     (``build_minhash_index``): identical semantics and — same corpus,
@@ -1862,7 +1863,21 @@ def minhash_query_index(
     ``precomputed_sig``: caller-supplied (__id, __sig) table for the
     new batch (MUST have been computed with the index's pinned params —
     the streaming guard guarantees this by reading them from the meta
-    first); skips this function's own signature pass."""
+    first); skips this function's own signature pass.
+
+    ``max_bucket_size`` bounds the forced candidate broadcast on
+    boilerplate-heavy STORES: one (band, bucket) holding k
+    near-identical stored docs makes the candidate set
+    O(probe_rows x k), and with ``broadcast_new`` the mandatory
+    broadcast hint bypasses autoBroadcastJoinThreshold and can OOM the
+    driver. When set, index-side buckets larger than it are dropped
+    BEFORE the candidate join via a broadcast anti-join of the (rare)
+    over-cap keys — the stored bands still stream map-side with zero
+    index-side shuffle (the cap count is a map-side partial agg over
+    the narrow (band, bucket) stream). Lossy by design (matches inside
+    a dropped mega-bucket that share no other bucket are missed), same
+    contract as ``minhash_near_dup_pairs``'s knob; default None keeps
+    the exact semantics."""
     spark = new_docs.sparkSession
     meta = read_minhash_meta(spark, index_path)
     if meta is None:
@@ -1891,7 +1906,20 @@ def minhash_query_index(
     if broadcast_new:
         a = F.broadcast(a)
     a = a.alias("a")
-    b = _scan("bands").select(F.col("id").alias("__id"), "band", "bucket").alias("b")
+    b = _scan("bands").select(F.col("id").alias("__id"), "band", "bucket")
+    if max_bucket_size is not None:
+        # over-cap (band,bucket) keys are rare by construction (random
+        # hash buckets; only pathological boilerplate makes one), so
+        # the key list is tiny: broadcast it and anti-join map-side —
+        # the stored bands scan still never shuffles
+        over = (
+            b.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        b = b.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+    b = b.alias("b")
     cand = (
         a.join(
             b,

@@ -604,7 +604,7 @@ def compact_ivf_index(
             return meta
         merged_id = min(merged)
         version = int(meta.get("version", 0))
-        snapshot = set(meta["batches"])
+        snapshot = dict(meta["batches"])  # ids AND row counts: detects replayed appends too
         n_parts = target_partitions or spark.sparkContext.defaultParallelism
         remap = F.when(
             F.col("batch_id").isin(merged), F.lit(merged_id)
@@ -1349,6 +1349,7 @@ def embed_lsh_query_index(
     verify: bool = True,
     max_batch_id_exclusive: int | None = None,
     broadcast_new: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a new vector batch against a STORED embedding
     LSH index: bucketize the batch with the index's pinned params, one
@@ -1367,7 +1368,15 @@ def embed_lsh_query_index(
     the planner would otherwise sort-merge-join, shuffling the whole
     store per query — see ``minhash_query_index``). Disable for
     probe batches too large to broadcast (millions of vectors — use
-    ``cosine_incremental_pairs`` there)."""
+    ``cosine_incremental_pairs`` there).
+
+    ``max_bucket_size`` bounds the forced candidate broadcast against
+    boilerplate-heavy stores (k near-identical stored vectors in one
+    bucket make cand O(probe_rows x k), and the mandatory hint bypasses
+    autoBroadcastJoinThreshold): stored buckets over the cap are
+    dropped before the candidate join via a broadcast anti-join of the
+    (rare) over-cap keys — lossy by design, zero index-side shuffle,
+    same contract as ``minhash_query_index``'s knob."""
     spark = new_vecs.sparkSession
     meta = read_embed_lsh_meta(spark, index_path)
     if meta is None:
@@ -1391,6 +1400,14 @@ def embed_lsh_query_index(
     if broadcast_new:
         a = F.broadcast(a)
     b = _scan("buckets").select(F.col("id").alias("id_b"), "__bucket")
+    if max_bucket_size is not None:
+        over = (
+            b.groupBy("__bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("__bucket")
+        )
+        b = b.join(F.broadcast(over), ["__bucket"], "left_anti")
     cand = a.join(b, "__bucket").select("id_a", "id_b").dropDuplicates(
         ["id_a", "id_b"]
     )
@@ -1452,7 +1469,7 @@ def compact_embed_lsh_index(
             return meta
         merged_id = min(merged)
         version = int(meta.get("version", 0))
-        snapshot = set(meta["batches"])
+        snapshot = dict(meta["batches"])  # ids AND row counts: detects replayed appends too
         n_parts = target_partitions or spark.sparkContext.defaultParallelism
         remap = F.when(
             F.col("batch_id").isin(merged), F.lit(merged_id)

@@ -1054,3 +1054,179 @@ def test_ingest_guard_refuses_rebuild_when_meta_missing(spark, tmp_path):
     # build is correct; meta present -> append path
     require_index_meta_consistent(spark, str(tmp_path / "absent"), None)
     require_index_meta_consistent(spark, idx, {"n": 3})
+
+
+def test_writer_lease_holder_write_failure_releases_lock(spark, tmp_path):
+    """ADVICE r9: if fs.create(lock, false) succeeds but writing the
+    holder JSON faults (disk full, stream fault), the lock must NOT be
+    orphaned — a swallowed failure here would block every other writer
+    for stale_sec (30 min default). The fault must propagate AND the
+    lock must be gone, so the next acquisition is immediate."""
+    import os
+
+    import projet_5spar_sparkstreaming_spark.fsio as fsio
+
+    idx = str(tmp_path / "faulty_holder_idx")
+    lock_file = idx + ".writer.lock"
+
+    class _BoomOS:
+        @staticmethod
+        def getpid():
+            raise OSError("simulated holder-write fault")
+
+    real_os = fsio._os
+    fsio._os = _BoomOS
+    try:
+        with pytest.raises(OSError, match="simulated holder-write"):
+            with fsio.writer_lease(spark, idx, timeout_sec=2.0):
+                pass
+    finally:
+        fsio._os = real_os
+    assert not os.path.exists(lock_file), "faulted acquire orphaned the lock"
+    # and the lease is immediately available, no stale_sec wait
+    with fsio.writer_lease(spark, idx, timeout_sec=1.0):
+        assert os.path.exists(lock_file)
+
+
+def test_writer_lease_break_tombstone_is_harmless(spark, tmp_path):
+    """The atomic stale break renames the lock to a per-breaker
+    tombstone before deleting it; a breaker crashing between rename and
+    delete leaves the tombstone behind. It must never block or be
+    mistaken for the lock."""
+    import os
+    import time
+
+    from projet_5spar_sparkstreaming_spark.fsio import writer_lease
+
+    idx = str(tmp_path / "tomb_idx")
+    lock_file = idx + ".writer.lock"
+    # crashed breaker's leftover tombstone
+    with open(lock_file + ".break.999.deadbeef", "w") as f:
+        f.write("{}")
+    # plus a stale lock from a crashed holder
+    with open(lock_file, "w") as f:
+        f.write("{}")
+    old = time.time() - 3600
+    os.utime(lock_file, (old, old))
+    with writer_lease(spark, idx, timeout_sec=5.0, stale_sec=60.0):
+        assert os.path.exists(lock_file)
+    assert not os.path.exists(lock_file)
+
+
+def test_compaction_drift_guard_detects_replayed_batch(
+    spark, monkeypatch, tmp_path
+):
+    """ADVICE r9: a lease-bypassing writer that REPLAYS an existing
+    batch_id between the compactor's snapshot and its flip leaves the
+    batch-id KEY SET unchanged — only the row count moves. The
+    full-dict snapshot compare must still trip the guard, or the flip
+    publishes a tree derived from the pre-replay data."""
+    import projet_5spar_sparkstreaming_spark.fsio as fsio
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        minhash_query_index,
+    )
+
+    idx = str(tmp_path / "mh_replay_drift")
+    build_minhash_index(_docs_df(spark, [_doc(0, 0)]), idx, "doc_id", "text")
+    for b in (1, 2):
+        append_to_minhash_index(
+            _docs_df(spark, [_doc(b, b)]), idx, "doc_id", "text", batch_id=b
+        )
+    monkeypatch.setattr(fsio, "writer_lease", _noop_lease)
+    real_clean = fsio.clean_versions_except
+    state = {"fired": False}
+
+    def sneaky(spark_, index_path_, sub, keep):
+        real_clean(spark_, index_path_, sub, keep)
+        if not state["fired"]:
+            state["fired"] = True
+            # replay batch 2 with DIFFERENT contents: keys {0,1,2}
+            # unchanged, row count 1 -> 2
+            append_to_minhash_index(
+                _docs_df(spark, [_doc(2, 7), _doc(22, 8)]),
+                idx, "doc_id", "text", batch_id=2,
+            )
+
+    monkeypatch.setattr(fsio, "clean_versions_except", sneaky)
+    with pytest.raises(RuntimeError, match="drift"):
+        compact_minhash_index(spark, idx, keep_last=1)
+    monkeypatch.setattr(fsio, "clean_versions_except", real_clean)
+    meta = fsio.read_json(spark, idx + "/_meta.json")
+    assert int(meta.get("version", 0)) == 0, "flip must have aborted"
+    assert meta["batches"]["2"] == 2, "replayed batch's meta entry intact"
+    # recovery: a clean re-run compacts the replayed contents in
+    meta2 = compact_minhash_index(spark, idx, keep_last=1)
+    assert meta2["version"] == 1
+    hits = minhash_query_index(
+        _docs_df(spark, [_doc(99, 8)]), idx, "doc_id", "text", threshold=0.5
+    )
+    assert {r["id_b"] for r in hits.collect()} == {22}, (
+        "replayed batch's data must survive the recovered compaction"
+    )
+
+
+def test_stored_query_max_bucket_size_caps_minhash(spark, tmp_path):
+    """ADVICE r9: the stored-index query path's forced candidate
+    broadcast needs a mega-bucket bound. With max_bucket_size set, a
+    boilerplate bucket (k identical stored docs) is dropped before the
+    candidate join; normal matches are unaffected; default None keeps
+    exact semantics."""
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_query_index,
+    )
+
+    idx = str(tmp_path / "mh_megabucket")
+    mega = [(i, _doc(0, 0)[1]) for i in range(30)]  # 30 identical docs
+    normal = [_doc(1000, 5)]
+    build_minhash_index(
+        _docs_df(spark, mega + normal), idx, "doc_id", "text"
+    )
+    probes = _docs_df(spark, [(1, _doc(0, 0)[1]), (2, _doc(2000, 5)[1])])
+    full = minhash_query_index(probes, idx, "doc_id", "text", threshold=0.5)
+    assert {r["id_b"] for r in full.collect()} == set(range(30)) | {1000}
+    capped = minhash_query_index(
+        probes, idx, "doc_id", "text", threshold=0.5, max_bucket_size=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(2, 1000)}, f"mega-bucket not dropped: {got}"
+    # plan stays shuffle-free on the index side: no SortMergeJoin
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
+def test_stored_query_max_bucket_size_caps_embed_lsh(spark, tmp_path):
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        build_embed_lsh_index,
+        embed_lsh_query_index,
+    )
+
+    rng = np.random.default_rng(3)
+    boiler = [float(x) for x in rng.standard_normal(8)]
+    other = [float(x) for x in rng.standard_normal(8)]
+    rows = [(i, boiler) for i in range(25)] + [(1000, other)]
+    idx = str(tmp_path / "el_megabucket")
+    build_embed_lsh_index(
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ),
+        idx, "vec_id", "embedding", n_planes=4, n_tables=2, dim=8,
+    )
+    probes = spark.createDataFrame(
+        [(1, boiler), (2, other)], "vec_id long, embedding array<double>"
+    )
+    full = embed_lsh_query_index(
+        probes, idx, "vec_id", "embedding", threshold=0.99
+    )
+    assert {r["id_b"] for r in full.collect()} == set(range(25)) | {1000}
+    capped = embed_lsh_query_index(
+        probes, idx, "vec_id", "embedding", threshold=0.99,
+        max_bucket_size=10,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(2, 1000)}, f"mega-bucket not dropped: {got}"
