@@ -190,6 +190,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_candidate_pairs: int | str | None = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (id_a, id_b, jaccard).
 
@@ -209,6 +210,26 @@ def ngram_jaccard_pairs(
     shingles) degrade this exact join. Beyond ~10M docs — or when twin
     structure is suspected — generate candidates with
     ``minhash_near_dup_pairs`` and use this only as the exact verifier.
+
+    ``max_candidate_pairs`` is the budget that makes that boundary
+    ENFORCED instead of advisory: before the self-join runs, the
+    candidate volume is upper-bounded from the prefix index's posting
+    lists (sum of C(len,2) over prefix shingles — one narrow
+    aggregation whose action also warms the prefix cache the join
+    reuses, so the happy path pays only the collect latency). Over
+    budget raises RuntimeError naming the measured bound and the
+    generate-then-verify recipe (``minhash_near_dup_pairs(...,
+    verify=False)`` + ``verify_pairs_exact``) — on adversarial/
+    boilerplate corpora an unbudgeted exact join burns its runtime to
+    return nothing, and at 100 TB such structure is a certainty.
+    The default ``"auto"`` budget is RELATIVE — ``1M + 64 x n_docs``
+    candidate pairs — because the honest-corpus bound is linear in the
+    corpus (measured ~25 bound-pairs/doc on the test tables at every
+    sf) while twin/boilerplate structure is an order of magnitude
+    denser (~340/doc on the committed adversarial corpus, which an
+    absolute cap sized for big corpora would wave through at small n).
+    Pass an int for an absolute cap, ``None`` to disable (exact
+    legacy behavior).
     """
     # Shingles are hashed to int64 up front: the prefix index, join keys
     # and verification intersect then work on fixed-width ints instead of
@@ -273,6 +294,48 @@ def ngram_jaccard_pairs(
         # unconditional and is ~(1-t) of the exploded scan in size.)
         .cache()
     )
+    if max_candidate_pairs is not None:
+        # Upper-bound the prefix equi-join's output on the NARROW
+        # posting stream (ids and sizes never ride this agg): a prefix
+        # shingle with a posting list of length k emits at most
+        # C(k,2) raw candidates. The action that collects the bound is
+        # also the first action over ``prefix``, so it materializes the
+        # cache the self-join reads — the non-adversarial path pays one
+        # driver round-trip, not a second pipeline execution.
+        est_row = (
+            prefix.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__k"))
+            .agg(
+                F.sum(
+                    F.col("__k").cast("double")
+                    * (F.col("__k") - F.lit(1)).cast("double")
+                    / F.lit(2.0)
+                ).alias("__est")
+            )
+            .collect()[0]
+        )
+        est = int(est_row["__est"] or 0)
+        if max_candidate_pairs == "auto":
+            # sh is cached and just materialized by the estimate action
+            # (prefix's lineage reads it), so this count is a cache scan
+            budget = 1_000_000 + 64 * sh.count()
+        else:
+            budget = int(max_candidate_pairs)
+        if est > budget:
+            sh.unpersist()
+            prefix.unpersist()
+            raise RuntimeError(
+                f"ngram_jaccard_pairs candidate budget exceeded: prefix "
+                f"posting lists bound the candidate join at ~{est:,} pairs "
+                f"(budget {budget:,}, max_candidate_pairs="
+                f"{max_candidate_pairs!r}). The corpus has large near-miss "
+                "groups sharing rare shingles (boilerplate/twin structure) "
+                "— the regime where an exact prefix join goes quadratic. "
+                "Generate candidates with minhash_near_dup_pairs(..., "
+                "verify=False) and verify them exactly with "
+                "verify_pairs_exact, or raise/disable max_candidate_pairs "
+                "to force the exact join."
+            )
     a = prefix.alias("a")
     b = prefix.alias("b")
     # Full PPJoin pruning at the equi-join, BEFORE the dedup shuffle and

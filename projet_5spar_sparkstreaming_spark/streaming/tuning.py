@@ -64,3 +64,62 @@ def recommend_files_per_trigger(
         return max_files
     rec = int(round(current * target_batch_sec / med)) or 1
     return max(min_files, min(max_files, rec))
+
+
+def start_with_auto_trigger(
+    make_query,
+    canary_batches: int = 3,
+    target_batch_sec: float = 10.0,
+    current: int = 1,
+    min_files: int = 1,
+    max_files: int = 256,
+    poll_sec: float = 0.25,
+    canary_timeout_sec: float = 300.0,
+):
+    """Cold-start an ingest stream with the trigger auto-sized from its
+    OWN first batches — the guards' default start-up since r10 (the
+    fixed ``maxFilesPerTrigger=1`` path stays available as a
+    diagnostic): sizing is no longer a hand-picked constant the
+    operator must know per workload.
+
+    ``make_query(files_per_trigger) -> StreamingQuery`` must start the
+    SAME pipeline against the SAME checkpoint each call — Structured
+    Streaming pins source options for a query's lifetime, so re-sizing
+    is only possible at (re)start, and the shared checkpoint is what
+    makes the canary-then-restart sequence exactly-once end to end
+    (committed canary batches are not replayed; an in-flight batch cut
+    off by ``stop()`` is, and the ingest guards' ``batch_id``-based
+    replay exclusion already makes that idempotent).
+
+    Runs a canary at ``current`` files/trigger until ``canary_batches``
+    steady batches are observed (or the query finishes/times out),
+    stops it, feeds the observed progress to
+    ``recommend_files_per_trigger``, and restarts at the
+    recommendation. Returns ``(query, files_per_trigger, canary_progress)``
+    — the caller awaits the returned query exactly as it would an
+    untuned one."""
+    import time as _time
+
+    q = make_query(current)
+    deadline = _time.monotonic() + canary_timeout_sec
+    progress: list = []
+    while _time.monotonic() < deadline and q.isActive:
+        progress = list(q.recentProgress)
+        # +1: the first batch is startup-dominated and excluded from
+        # the steady-state estimate by batch_durations_sec
+        if len(progress) >= canary_batches + 1:
+            break
+        _time.sleep(poll_sec)
+    q.stop()
+    q.awaitTermination(60)
+    progress = list(q.recentProgress) or progress
+    # StreamingQueryProgress supports dict-style access, so the raw
+    # objects feed recommend_files_per_trigger directly
+    n = recommend_files_per_trigger(
+        progress,
+        current=current,
+        target_batch_sec=target_batch_sec,
+        min_files=min_files,
+        max_files=max_files,
+    )
+    return make_query(n), n, progress

@@ -1033,3 +1033,35 @@ def test_minhash_index_build_query_matches_incremental(spark, tmp_path):
         ).collect()
     }
     assert via_index == inline and len(via_index) >= 10
+
+
+def test_ngram_jaccard_candidate_budget(spark):
+    """r9 verdict task 1: the exact prefix join must trip a candidate
+    budget on twin-structured corpora instead of burning an unbounded
+    quadratic scan — and the budget must not change results when the
+    corpus is within it."""
+    import pytest
+
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    # 40 docs that all share one rare 30-token core (every prefix
+    # shingle's posting list is ~40 long -> bound ~ C(40,2) per shingle)
+    core = " ".join(f"tok{j}" for j in range(30))
+    rows = [(i, core + f" filler{i} pad{i} extra{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    with pytest.raises(RuntimeError, match="candidate budget exceeded"):
+        ngram_jaccard_pairs(docs, "id", "text", max_candidate_pairs=100)
+    # within budget (default) and disabled (None) agree exactly
+    dflt = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(docs, "id", "text", threshold=0.8).collect()
+    }
+    off = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, "id", "text", threshold=0.8, max_candidate_pairs=None
+        ).collect()
+    }
+    assert dflt == off and len(dflt) > 0

@@ -109,13 +109,24 @@ def main() -> None:
         for name, build in methods.items():
             spark.catalog.clearCache()  # COLD: the unhappy path
             t0 = time.time()
-            rows = build().count()
-            rec = {
-                "n": n,
-                "method": name,
-                "pairs": rows,
-                "sec": round(time.time() - t0, 2),
-            }
+            try:
+                rows = build().count()
+                rec = {
+                    "n": n,
+                    "method": name,
+                    "pairs": rows,
+                    "sec": round(time.time() - t0, 2),
+                }
+            except RuntimeError as e:
+                # the r10 candidate budget: on this corpus the exact
+                # join is SUPPOSED to trip instead of burning the scan
+                rec = {
+                    "n": n,
+                    "method": name,
+                    "pairs": None,
+                    "sec": round(time.time() - t0, 2),
+                    "budget_tripped": str(e).split(".")[0],
+                }
             results.append(rec)
             print(json.dumps(rec), flush=True)
 
@@ -125,6 +136,8 @@ def main() -> None:
     for name in ("ngram_exact_t0.8", "minhash_t0.8", "simhash_h8"):
         cells = [
             f"{r['pairs']}, {r['sec']}s"
+            if r["pairs"] is not None
+            else f"BUDGET TRIP, {r['sec']}s"
             for r in results
             if r["method"] == name
         ]
