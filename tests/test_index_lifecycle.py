@@ -507,7 +507,12 @@ def test_stored_query_paths_broadcast_probe_side(spark, sf_dir, tmp_path):
     )
 
     mq = minhash_query_index(docs.limit(50), midx, "doc_id", "text")
-    eq = embed_lsh_query_index(emb.limit(50), eidx, "vec_id", "embedding")
+    # small_store_rows=0: pin the LARGE-store verify plan (the small
+    # test store would otherwise route to the unforced verify joins —
+    # covered by test_embed_stored_query_small_store_routing below)
+    eq = embed_lsh_query_index(
+        emb.limit(50), eidx, "vec_id", "embedding", small_store_rows=0
+    )
     for plan in (formatted_plan(mq), formatted_plan(eq)):
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
@@ -516,6 +521,60 @@ def test_stored_query_paths_broadcast_probe_side(spark, sf_dir, tmp_path):
         docs.limit(50), midx, "doc_id", "text", broadcast_new=False
     )
     assert sorted(map(tuple, mq.collect())) == sorted(map(tuple, off.collect()))
+
+
+def test_embed_stored_query_small_store_routing(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r9 verdict task 2: at a small store the forced
+    broadcast-the-candidates verify plan pays two serial driver
+    round-trips that invert stored-vs-recompute (2.9 s vs 1.5 s at the
+    2k-vector bench store), so embed_lsh_query_index routes the verify
+    stage by the store's meta row count: small store -> planner-chosen
+    verify joins; large store (forced here via small_store_rows=0) ->
+    the pinned broadcast plan. Results identical on both routes; the
+    candidate-stage probe broadcast survives routing."""
+    from tools.explain_audit import formatted_plan
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        build_embed_lsh_index,
+        embed_lsh_query_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eidx = str(tmp_path / "el_route")
+    build_embed_lsh_index(
+        emb, eidx, "vec_id", "embedding", n_planes=6, n_tables=3
+    )
+    probe = emb.limit(50)
+    # spy on the forced-broadcast HINT applications (plan-text counts
+    # can't distinguish: at a tiny store the static planner broadcasts
+    # the parquet sides by stats either way)
+    import projet_5spar_sparkstreaming_spark.operators.similarity as S
+
+    calls = {"n": 0}
+    real_bc = S.F.broadcast
+
+    def counting(df):
+        calls["n"] += 1
+        return real_bc(df)
+
+    monkeypatch.setattr(S.F, "broadcast", counting)
+    routed = embed_lsh_query_index(probe, eidx, "vec_id", "embedding")
+    n_routed = calls["n"]
+    calls["n"] = 0
+    forced = embed_lsh_query_index(
+        probe, eidx, "vec_id", "embedding", small_store_rows=0
+    )
+    n_forced = calls["n"]
+    # routed: ONLY the candidate-stage probe-bucket broadcast; forced:
+    # plus cand + probe-vector broadcasts in the verify stage
+    assert n_routed == 1 and n_forced == 3, (n_routed, n_forced)
+    # the candidate stage still broadcasts the probe buckets
+    assert "BroadcastHashJoin" in formatted_plan(routed)
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, forced.collect())
+    )
 
 
 def test_writer_lease_mutual_exclusion_and_stale_break(spark, tmp_path):
@@ -1230,3 +1289,182 @@ def test_stored_query_max_bucket_size_caps_embed_lsh(spark, tmp_path):
     )
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {(2, 1000)}, f"mega-bucket not dropped: {got}"
+
+
+def test_lease_race_two_appenders_lose_no_data(spark, monkeypatch, tmp_path):
+    """r9 verdict task 7 (object-store lease semantics): when
+    create-if-absent admits BOTH racers (S3 consistency window), two
+    concurrent appends interleave read-modify-write on the meta and
+    one batch's META ENTRY is lost to write_json last-writer-wins —
+    but its DATA subtree must stay fully queryable (scans read the
+    versioned dir wholesale, not through the batch list), and a replay
+    of the lost batch must converge the meta. This is the documented
+    degradation mode the lease exists to prevent and the drift guard
+    cannot see (no flip involved)."""
+    import projet_5spar_sparkstreaming_spark.fsio as fsio
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        minhash_query_index,
+        read_minhash_meta,
+    )
+
+    idx = str(tmp_path / "mh_race_append")
+    build_minhash_index(_docs_df(spark, [_doc(0, 0)]), idx, "doc_id", "text")
+    # both racers admitted == lease is a no-op for this scenario
+    monkeypatch.setattr(fsio, "writer_lease", _noop_lease)
+    real_write = fsio.write_json
+    state = {"fired": False}
+
+    def interleaved(spark_, path, obj):
+        # appender A is about to publish its meta (with batch 5).
+        # Interleave appender B COMPLETELY inside the window: B read
+        # the pre-A meta, lands batch 6's data + meta, then A's write
+        # below clobbers B's meta entry (last-writer-wins).
+        if not state["fired"] and path.endswith("_meta.json"):
+            state["fired"] = True
+            append_to_minhash_index(
+                _docs_df(spark, [_doc(6, 6)]), idx, "doc_id", "text",
+                batch_id=6,
+            )
+        real_write(spark_, path, obj)
+
+    monkeypatch.setattr(fsio, "write_json", interleaved)
+    append_to_minhash_index(
+        _docs_df(spark, [_doc(5, 5)]), idx, "doc_id", "text", batch_id=5
+    )
+    monkeypatch.setattr(fsio, "write_json", real_write)
+
+    meta = read_minhash_meta(spark, idx)
+    assert set(meta["batches"]) == {"0", "5"}, "B's meta entry lost (expected)"
+    # ... but NO DATA is lost: both batches' docs are live in queries
+    probes = _docs_df(spark, [(95, _doc(0, 5)[1]), (96, _doc(0, 6)[1])])
+    hits = minhash_query_index(probes, idx, "doc_id", "text", threshold=0.5)
+    assert {r["id_b"] for r in hits.collect()} == {5, 6}
+    # replay of the lost batch converges the meta (idempotent append)
+    append_to_minhash_index(
+        _docs_df(spark, [_doc(6, 6)]), idx, "doc_id", "text", batch_id=6
+    )
+    meta = read_minhash_meta(spark, idx)
+    assert set(meta["batches"]) == {"0", "5", "6"}
+    hits2 = minhash_query_index(probes, idx, "doc_id", "text", threshold=0.5)
+    assert {r["id_b"] for r in hits2.collect()} == {5, 6}
+
+
+def test_lease_race_two_compactors_one_flip_wins(spark, monkeypatch, tmp_path):
+    """Two compactors both admitted (create-if-absent race): both
+    snapshot the same meta, both rewrite a v1 tree; the first flip
+    wins, the second compactor's flip-time drift guard sees the moved
+    version pointer and ABORTS — at most one flip ever publishes, and
+    the index stays complete and queryable throughout."""
+    import projet_5spar_sparkstreaming_spark.fsio as fsio
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        minhash_query_index,
+        read_minhash_meta,
+    )
+
+    idx = str(tmp_path / "mh_race_compact")
+    build_minhash_index(_docs_df(spark, [_doc(0, 0)]), idx, "doc_id", "text")
+    for b in (1, 2):
+        append_to_minhash_index(
+            _docs_df(spark, [_doc(b, b)]), idx, "doc_id", "text", batch_id=b
+        )
+    monkeypatch.setattr(fsio, "writer_lease", _noop_lease)
+    real_clean = fsio.clean_versions_except
+    state = {"fired": False}
+
+    def second_compactor(spark_, index_path_, sub, keep):
+        real_clean(spark_, index_path_, sub, keep)
+        if not state["fired"]:
+            state["fired"] = True
+            # the OTHER compactor runs to completion inside the first
+            # one's snapshot->flip window and publishes version 1
+            inner = compact_minhash_index(spark, idx, keep_last=1)
+            assert inner["version"] == 1
+
+    monkeypatch.setattr(fsio, "clean_versions_except", second_compactor)
+    with pytest.raises(RuntimeError, match="drift"):
+        compact_minhash_index(spark, idx, keep_last=1)
+    monkeypatch.setattr(fsio, "clean_versions_except", real_clean)
+
+    meta = read_minhash_meta(spark, idx)
+    assert meta["version"] == 1, "exactly one flip must have won"
+    assert set(meta["batches"]) == {"0", "2"}
+    # every doc ever appended is still queryable after the race
+    probes = _docs_df(
+        spark, [(90 + s, _doc(0, s)[1]) for s in (0, 1, 2)]
+    )
+    hits = minhash_query_index(probes, idx, "doc_id", "text", threshold=0.5)
+    assert {r["id_b"] for r in hits.collect()} == {0, 1, 2}
+
+
+def test_read_json_falls_back_to_old_aside(spark, tmp_path):
+    """Crash between write_json's two renames leaves live ABSENT and
+    .old as the only durable copy: read_json must return it (r10 —
+    makes a kill -9 mid-meta-update self-healing), and the next
+    successful write_json must publish fresh content and clear the
+    aside."""
+    import os
+
+    from projet_5spar_sparkstreaming_spark.fsio import read_json, write_json
+
+    p = str(tmp_path / "idx" / "_meta.json")
+    write_json(spark, p, {"v": 1})
+    # simulate the mid-rename crash state
+    os.rename(p, p + ".old")
+    assert not os.path.exists(p)
+    assert read_json(spark, p) == {"v": 1}
+    # recovery write publishes and clears the aside
+    write_json(spark, p, {"v": 2})
+    assert read_json(spark, p) == {"v": 2}
+    assert not os.path.exists(p + ".old")
+    # plain missing file (no aside) is still None
+    assert read_json(spark, str(tmp_path / "nope.json")) is None
+
+
+def test_writer_lease_breaks_dead_local_holder_immediately(spark, tmp_path):
+    """A lock whose recorded holder ran on THIS host with a pid that no
+    longer exists (kill -9'd writer) is broken on the next acquisition
+    attempt — no stale-TTL wait; a LIVE local holder still blocks."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from projet_5spar_sparkstreaming_spark.fsio import writer_lease
+
+    idx = str(tmp_path / "deadpid_idx")
+    lock_file = idx + ".writer.lock"
+
+    # a freshly-dead pid (just exited, not yet recycled)
+    proc = subprocess.Popen([sys.executable, "-c", "pass"])
+    proc.wait()
+    import socket
+
+    with open(lock_file, "w") as f:
+        _json.dump(
+            {"pid": proc.pid, "host": socket.gethostname(),
+             "acquired_unix": time.time()},
+            f,
+        )
+    t0 = time.monotonic()
+    # stale_sec is HUGE: only the dead-pid probe can break this lock
+    with writer_lease(spark, idx, timeout_sec=10.0, stale_sec=10**9):
+        assert os.path.exists(lock_file)
+    assert time.monotonic() - t0 < 5.0, "dead-pid break must be immediate"
+    # a LIVE local holder (this very process) still blocks
+    with open(lock_file, "w") as f:
+        _json.dump(
+            {"pid": os.getpid(), "host": socket.gethostname(),
+             "acquired_unix": time.time()},
+            f,
+        )
+    with pytest.raises(TimeoutError):
+        with writer_lease(spark, idx, timeout_sec=1.5, stale_sec=10**9,
+                          poll_sec=0.2):
+            pass
+    os.unlink(lock_file)
