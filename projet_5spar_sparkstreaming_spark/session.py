@@ -64,11 +64,14 @@ def get_spark(
         # default: shrinking it globally costs ~2x on narrow 5M-row
         # scans (measured r9). For VERY wide array columns (dim-768+
         # embeddings) 4096 rows is a 25MB column batch per task and can
-        # OOM the vectorized reader under high concurrency — it is a
-        # RUNTIME conf, so set it per-workload
-        # (spark.conf.set(..., "1024")) around wide-vector jobs if
-        # that materializes; the engine's wide-array query paths avoid
-        # the main pressure source (wide broadcasts) by construction.
+        # OOM the vectorized reader under high concurrency — it is an
+        # ACTION-TIME conf, so the engine scopes it around the jobs it
+        # OWNS (the embed ingest guard's foreachBatch body, the
+        # wide-store compaction rewrites) via scoped_conf +
+        # wide_vector_reader_capacity below; callers running their own
+        # actions over wide vectors use the same pair. The engine's
+        # wide-array query paths avoid the main pressure source (wide
+        # broadcasts) by construction.
         # --- heap: local mode puts driver+executors in ONE JVM; the 1g
         # default dies under long multi-query sessions (sweeps, bench).
         # Applied at JVM launch, so only effective for sessions this
@@ -125,3 +128,67 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def wide_vector_reader_capacity(
+    dim: int, elem_bytes: int = 8, target_batch_bytes: int = 8 << 20
+) -> int | None:
+    """Vectorized-parquet-reader batch size (rows) for a scan whose
+    schema carries a ``dim``-wide array column, or None when the
+    default 4096 is already safe. The reader allocates
+    ``capacity x dim x elem_bytes`` per column batch PER TASK: at
+    dim 768 doubles the 4096 default is ~25 MB, which under 32-way
+    task concurrency is ~800 MB of simultaneous column batches — the
+    OOM pressure documented in ``get_spark``. Sized so one batch stays
+    near ``target_batch_bytes`` (8 MB), floor 512 so row-group
+    overhead never dominates; None above the threshold keeps narrow
+    scans on the default (shrinking it globally measured ~2x slower on
+    5M-row narrow scans, r9)."""
+    if dim is None or dim * elem_bytes * 4096 <= 2 * target_batch_bytes:
+        return None
+    cap = target_batch_bytes // (dim * elem_bytes)
+    return max(512, min(4096, int(cap)))
+
+
+class scoped_conf:
+    """Set session SQL confs around an ENGINE-OWNED action and restore
+    them after (re-entrant context manager). The vectorized reader
+    reads ``spark.sql.parquet.columnarReaderBatchSize`` at ACTION time
+    (measured: a DataFrame built under one value executes under
+    whatever the session holds when the job runs), so this only
+    protects code that runs its own jobs inside the scope — the
+    streaming ingest guards' foreachBatch bodies and the index
+    build/compaction rewrites. Pure query builders stay lazy and
+    cannot scope a caller's later action; callers running their own
+    wide-vector jobs use this directly:
+
+        with scoped_conf(spark, {"spark.sql.parquet."
+                                 "columnarReaderBatchSize": "1024"}):
+            df.write.parquet(...)
+
+    Confs are session-global for the scope's duration: a concurrent
+    query in the SAME session sees the override too (local-mode
+    engines run one stream; on a shared cluster use a separate session
+    for the guard)."""
+
+    def __init__(self, spark, confs: dict):
+        self._spark = spark
+        self._confs = {k: str(v) for k, v in confs.items()}
+        self._saved: dict = {}
+
+    def __enter__(self):
+        for k, v in self._confs.items():
+            try:
+                self._saved[k] = self._spark.conf.get(k)
+            except Exception:
+                self._saved[k] = None
+            self._spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, old in self._saved.items():
+            if old is None:
+                self._spark.conf.unset(k)
+            else:
+                self._spark.conf.set(k, old)
+        return False

@@ -331,26 +331,47 @@ def stream_embed_neardup_ingest(
     from projet_5spar_sparkstreaming_spark.streaming.sinks import foreach_batch_sink
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from projet_5spar_sparkstreaming_spark.session import (
+            scoped_conf,
+            wide_vector_reader_capacity,
+        )
+
         batch = batch_df.select(id_col, vec_col).cache()
+        spark = batch.sparkSession
         # ONE meta read per micro-batch, shared with ingest_batch and
         # the build-or-append decision below
-        meta = read_embed_lsh_meta(batch.sparkSession, index_dir)
-        require_index_meta_consistent(batch.sparkSession, index_dir, meta)
-        survivors = embed_ingest_batch(
-            batch, index_dir, batch_id, id_col, vec_col, threshold, dim=dim,
-            meta=meta,
+        meta = read_embed_lsh_meta(spark, index_dir)
+        require_index_meta_consistent(spark, index_dir, meta)
+        # the guard OWNS this batch's jobs, so the wide-vector reader
+        # batch size can be scoped here (action-time conf): at real
+        # dims the stored-vecs scan's 4096-row default makes ~25 MB
+        # column batches per task and can OOM under full concurrency
+        cap = wide_vector_reader_capacity(
+            int(meta["dim"]) if meta is not None else dim
         )
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
+        confs = (
+            {"spark.sql.parquet.columnarReaderBatchSize": cap}
+            if cap is not None
+            else {}
         )
-        if meta is None:
-            build_embed_lsh_index(
-                batch, index_dir, id_col, vec_col,
-                dim=dim, recall_at=max(threshold, 0.99),
-                expected_rows=expected_index_rows, batch_id=batch_id,
+        with scoped_conf(spark, confs):
+            survivors = embed_ingest_batch(
+                batch, index_dir, batch_id, id_col, vec_col, threshold,
+                dim=dim, meta=meta,
             )
-        else:
-            append_to_embed_lsh_index(batch, index_dir, id_col, vec_col, batch_id)
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
+            if meta is None:
+                build_embed_lsh_index(
+                    batch, index_dir, id_col, vec_col,
+                    dim=dim, recall_at=max(threshold, 0.99),
+                    expected_rows=expected_index_rows, batch_id=batch_id,
+                )
+            else:
+                append_to_embed_lsh_index(
+                    batch, index_dir, id_col, vec_col, batch_id
+                )
         batch.unpersist()
 
     os.makedirs(out_dir, exist_ok=True)

@@ -103,3 +103,88 @@ def test_degenerate_progress_is_safe():
 def test_batch_durations_excludes_warmup():
     prog = _progress([1.0, 2.0, 3.0])
     assert batch_durations_sec(prog) == [1.0, 2.0, 3.0]  # warmup dropped
+
+
+def test_cold_start_auto_trigger_end_to_end(spark, tmp_path):
+    """r9 verdict task 3: the guards' DEFAULT start-up — a cold start
+    through start_with_auto_trigger — must observe its own canary
+    batches, restart at the recommendation from the SAME checkpoint,
+    and converge: post-restart batches carry ~n x the canary's rows
+    (the trigger was actually applied), never overshoot the declared
+    band's top, and the canary->restart sequence stays exactly-once."""
+    import json as _json
+    import os
+    import time
+
+    from projet_5spar_sparkstreaming_spark.streaming.dedup import (
+        stream_neardup_ingest,
+    )
+    from projet_5spar_sparkstreaming_spark.streaming.tuning import (
+        start_with_auto_trigger,
+    )
+
+    n_files, docs_per_file = 10, 40
+    src = tmp_path / "src"
+    src.mkdir()
+    did = 0
+    for f in range(n_files):
+        lines = []
+        for _ in range(docs_per_file):
+            toks = " ".join(f"tok{did}_{j}" for j in range(25))
+            lines.append(_json.dumps({"doc_id": did, "text": toks}))
+            did += 1
+        p = src / f"b{f:02d}.json"
+        p.write_text("\n".join(lines))
+        ts = time.time() - (n_files - f) * 60
+        os.utime(p, (ts, ts))
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    chk = str(tmp_path / "chk")
+    target = 5.0
+
+    def make_query(fpt: int):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", str(fpt))
+            .json(str(src))
+        )
+        return stream_neardup_ingest(
+            stream, out, idx, chk, trigger={"availableNow": True}
+        )
+
+    q, n, canary_prog = start_with_auto_trigger(
+        make_query,
+        canary_batches=1,
+        target_batch_sec=target,
+        max_files=4,
+    )
+    q.awaitTermination(300)
+    restart_prog = list(q.recentProgress)
+
+    assert n > 1, f"controller recommended {n} from {len(canary_prog)} batches"
+    # the recommended trigger was actually applied: restarted batches
+    # (except a trailing remainder) carry n files' worth of rows
+    full_batches = [
+        int(p["numInputRows"])
+        for p in restart_prog
+        if int(p["numInputRows"]) == n * docs_per_file
+    ]
+    assert full_batches, (
+        f"no restarted batch carried n*rows/file = {n * docs_per_file}: "
+        f"{[int(p['numInputRows']) for p in restart_prog]}"
+    )
+    # convergence, clamp-aware: one proportional step never overshoots
+    # the band's top (duration is monotone in batch size and the step
+    # was sized for the target)
+    import statistics as _stats
+
+    durs = [
+        float(p["durationMs"]["triggerExecution"]) / 1000.0
+        for p in restart_prog
+    ]
+    assert _stats.median(durs) <= 1.5 * target, durs
+    # exactly-once across the canary stop + restart: every distinct doc
+    # kept exactly once (all docs distinct, so survivors = all)
+    kept = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    assert sorted(kept) == list(range(n_files * docs_per_file))
