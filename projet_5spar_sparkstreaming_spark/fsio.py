@@ -22,6 +22,7 @@ from __future__ import annotations
 import contextlib as _contextlib
 import json
 import os as _os
+import socket as _socket
 import time as _time
 import uuid as _uuid
 from typing import Any
@@ -92,6 +93,30 @@ def write_json(spark: SparkSession, path: str, obj: Any) -> None:
         fs.delete(old, False)
 
 
+def _holder_dead_on_this_host(spark: SparkSession, lock_path: str) -> bool:
+    """True iff the lock's recorded holder ran ON THIS HOST and its
+    pid no longer exists — a kill -9'd writer, breakable immediately
+    instead of after ``stale_sec`` (which exists for holders whose
+    liveness CANNOT be checked: another host, or a lock whose holder
+    JSON never landed). Pid recycling or any read/parse failure falls
+    back to the TTL path (returns False)."""
+    try:
+        holder = read_json(spark, lock_path)
+        if not isinstance(holder, dict):
+            return False
+        if holder.get("host") != _socket.gethostname():
+            return False
+        pid = int(holder.get("pid", 0))
+        if pid <= 0:
+            return False
+        _os.kill(pid, 0)  # signal 0: existence probe only
+        return False
+    except ProcessLookupError:
+        return True
+    except Exception:
+        return False
+
+
 @_contextlib.contextmanager
 def writer_lease(
     spark: SparkSession,
@@ -120,8 +145,12 @@ def writer_lease(
     re-validation at flip time is the backstop there and for
     ``stale_sec`` breaks of a crashed holder's lock). Acquisition
     polls up to ``timeout_sec`` then raises ``TimeoutError``; a lock
-    older than ``stale_sec`` is presumed crashed and broken — the
-    break is claimed ATOMICALLY by renaming the stale lock to a
+    older than ``stale_sec`` is presumed crashed and broken — and a
+    holder recorded as THIS host whose pid is gone (kill -9'd writer)
+    is broken immediately, no TTL wait (``_holder_dead_on_this_host``;
+    the TTL remains the fallback for holders whose liveness can't be
+    probed — another host, or a lock whose holder JSON never landed).
+    Either break is claimed ATOMICALLY by renaming the stale lock to a
     per-breaker tombstone name (rename succeeds for exactly one
     process), so two waiters that both observed staleness can never
     interleave a delete under each other's fresh create and both walk
@@ -144,6 +173,7 @@ def writer_lease(
                 try:
                     holder = {
                         "pid": _os.getpid(),
+                        "host": _socket.gethostname(),
                         "acquired_unix": _time.time(),
                     }
                     out.write(bytearray(json.dumps(holder).encode("utf-8")))
@@ -159,7 +189,7 @@ def writer_lease(
         try:
             st = fs.getFileStatus(lock)
             age = _time.time() - st.getModificationTime() / 1000.0
-            if age > stale_sec:
+            if age > stale_sec or _holder_dead_on_this_host(spark, lock_name):
                 # presumed-crashed holder: claim the break by RENAME to
                 # a unique tombstone — exactly one breaker's rename
                 # succeeds; only that one deletes the tombstone. Losers
@@ -232,10 +262,23 @@ def require_no_meta_drift(
 
 
 def read_json(spark: SparkSession, path: str) -> Any | None:
-    """Parse the JSON at ``path``; None when the file does not exist."""
+    """Parse the JSON at ``path``; None when the file does not exist.
+
+    Crash self-healing: when the live file is absent but its ``.old``
+    aside exists, the reader is inside ``write_json``'s
+    between-the-two-renames window of a writer that died (kill -9
+    mid-update) — the aside IS the last durably-published content (it
+    is only ever produced by renaming a fully-written live file, and
+    it outlives the publish rename by construction), so return it.
+    The next successful ``write_json`` publishes fresh content and
+    clears the aside; nothing is ever rebuilt or refused over a state
+    the crash contract already makes recoverable."""
     fs, hpath = _fs_path(spark, path)
     if not fs.exists(hpath):
-        return None
+        old = spark._jvm.org.apache.hadoop.fs.Path(path + ".old")
+        if not fs.exists(old):
+            return None
+        hpath = old
     inp = fs.open(hpath)
     try:
         s = spark._jvm.org.apache.commons.io.IOUtils.toString(inp, "UTF-8")

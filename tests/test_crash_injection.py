@@ -1,0 +1,258 @@
+"""r9 verdict task 6: REAL kill -9 crash injection for the index
+lifecycle. The drift/crash states elsewhere in the suite are reached
+via monkeypatched aborts; here a CHILD PROCESS (tools/crash_child.py)
+is SIGKILLed at fsio barriers mid-mutation — dead mid-parquet-write,
+dead between write_json's two renames, dead holding the writer lock —
+and the parent asserts the index is readable (or recoverable per the
+documented contract), the orphaned lease is broken immediately (dead
+local pid, no TTL wait), and a re-run of the same mutation converges.
+
+All nine (family x op) cells run, with the barrier cycled so every
+barrier kind is exercised against every family; mid_data_write kills
+are additionally jittered by a per-scenario deterministic delay."""
+
+from __future__ import annotations
+
+import os
+import random
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CHILD = os.path.join(REPO, "tools", "crash_child.py")
+BARRIERS = ["before_meta_write", "mid_meta_rename", "mid_data_write"]
+FAMILIES = ["minhash", "embed", "ivf"]
+OPS = ["build", "append", "compact"]
+
+
+def _vecs(spark, ids):
+    import numpy as np
+
+    rng = np.random.default_rng(101)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(16)]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _docs(spark, ids):
+    return spark.createDataFrame(
+        [
+            (i, " ".join(f"tok{i}_{j}" for j in range(30)))
+            for i in ids
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _seed_index(spark, family, op, idx):
+    """Pre-create the state the child's op expects."""
+    if op == "build":
+        return  # child builds from nothing
+    if family == "minhash":
+        from projet_5spar_sparkstreaming_spark.operators.dedup import (
+            append_to_minhash_index,
+            build_minhash_index,
+        )
+
+        build_minhash_index(_docs(spark, range(10)), idx, "doc_id", "text")
+        for b, lo in ((1, 100), (2, 200)):
+            append_to_minhash_index(
+                _docs(spark, range(lo, lo + 5)), idx, "doc_id", "text",
+                batch_id=b,
+            )
+    elif family == "embed":
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            append_to_embed_lsh_index,
+            build_embed_lsh_index,
+        )
+
+        build_embed_lsh_index(
+            _vecs(spark, range(10)), idx, "vec_id", "embedding",
+            n_planes=4, n_tables=2, dim=16,
+        )
+        for b, lo in ((1, 100), (2, 200)):
+            append_to_embed_lsh_index(
+                _vecs(spark, range(lo, lo + 5)), idx, "vec_id", "embedding",
+                batch_id=b,
+            )
+    else:
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+        )
+
+        build_ivf_index(
+            _vecs(spark, range(40)), idx, "vec_id", "embedding",
+            n_centroids=2,
+        )
+        for b, lo in ((1, 100), (2, 200)):
+            append_to_ivf_index(
+                _vecs(spark, range(lo, lo + 5)), idx, "vec_id", "embedding",
+                batch_id=b,
+            )
+
+
+def _recover_and_check(spark, family, op, idx):
+    """The documented recovery: re-run the SAME mutation (build and
+    append are overwrite-idempotent; compaction cleans stale
+    next-version trees first). Then assert meta/data consistency."""
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+
+    if family == "minhash":
+        from projet_5spar_sparkstreaming_spark.operators.dedup import (
+            append_to_minhash_index,
+            build_minhash_index,
+            compact_minhash_index,
+            minhash_query_index,
+            read_minhash_meta,
+        )
+        from projet_5spar_sparkstreaming_spark.streaming.dedup import (
+            require_index_meta_consistent,
+        )
+
+        if op == "build":
+            build_minhash_index(
+                _docs(spark, range(20)), idx, "doc_id", "text"
+            )
+            expect = {"0"}
+        elif op == "append":
+            append_to_minhash_index(
+                _docs(spark, range(700, 710)), idx, "doc_id", "text",
+                batch_id=7,
+            )
+            expect = {"0", "1", "2", "7"}
+        else:
+            meta = compact_minhash_index(spark, idx, keep_last=1)
+            assert meta["version"] >= 1
+            expect = {"0", "2"}
+        meta = read_minhash_meta(spark, idx)
+        require_index_meta_consistent(spark, idx, meta)
+        assert set(meta["batches"]) == expect, meta["batches"]
+        # a doc from every surviving batch is queryable
+        probe_id = 700 if op == "append" else 5
+        probe_text = _docs(spark, [probe_id]).collect()[0]["text"]
+        probe = spark.createDataFrame(
+            [(9000 + probe_id, probe_text)], "doc_id long, text string"
+        )
+        hits = minhash_query_index(
+            probe, idx, "doc_id", "text", threshold=0.9
+        )
+        assert probe_id in {r["id_b"] for r in hits.collect()}
+        return
+    if family == "embed":
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            append_to_embed_lsh_index,
+            build_embed_lsh_index,
+            compact_embed_lsh_index,
+            read_embed_lsh_meta,
+        )
+
+        if op == "build":
+            build_embed_lsh_index(
+                _vecs(spark, range(20)), idx, "vec_id", "embedding",
+                n_planes=4, n_tables=2, dim=16,
+            )
+            expect = {"0"}
+        elif op == "append":
+            append_to_embed_lsh_index(
+                _vecs(spark, range(700, 710)), idx, "vec_id", "embedding",
+                batch_id=7,
+            )
+            expect = {"0", "1", "2", "7"}
+        else:
+            meta = compact_embed_lsh_index(spark, idx, keep_last=1)
+            assert meta["version"] >= 1
+            expect = {"0", "2"}
+        meta = read_embed_lsh_meta(spark, idx)
+        assert meta is not None and set(meta["batches"]) == expect
+        reader = read_embed_lsh_meta
+        subs = ["buckets", "vecs"]
+    else:
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+            compact_ivf_index,
+            _ivf_data_dir,
+        )
+
+        if op == "build":
+            build_ivf_index(
+                _vecs(spark, range(40)), idx, "vec_id", "embedding",
+                n_centroids=2,
+            )
+            expect = {"0"}
+        elif op == "append":
+            append_to_ivf_index(
+                _vecs(spark, range(700, 710)), idx, "vec_id", "embedding",
+                batch_id=7,
+            )
+            expect = {"0", "1", "2", "7"}
+        else:
+            meta = compact_ivf_index(spark, idx, keep_last=1)
+            assert meta["version"] >= 1
+            expect = {"0", "2"}
+        meta = read_json(spark, idx + "/_centroids.json")
+        assert meta is not None and set(meta["batches"]) == expect
+        version = int(meta.get("version", 0))
+        rows = spark.read.parquet(_ivf_data_dir(spark, idx, version)).count()
+        assert rows == sum(meta["batches"].values())
+        return
+    # embed tail: data rows match meta row counts on the live version
+    # (each vector has one vecs row and n_tables bucket rows)
+    from projet_5spar_sparkstreaming_spark.fsio import versioned_subdir
+
+    version = int(meta.get("version", 0))
+    n_rows = sum(meta["batches"].values())
+    expected = {"vecs": n_rows, "buckets": n_rows * int(meta["n_tables"])}
+    for sub in subs:
+        rows = spark.read.parquet(versioned_subdir(idx, sub, version)).count()
+        assert rows == expected[sub], (sub, rows, expected[sub])
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+@pytest.mark.parametrize("op", OPS)
+def test_kill9_mid_mutation_recovers(spark, tmp_path, family, op):
+    barrier = BARRIERS[(FAMILIES.index(family) + OPS.index(op)) % 3]
+    idx = str(tmp_path / f"{family}_{op}_idx")
+    _seed_index(spark, family, op, idx)
+
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="1g")
+    proc = subprocess.Popen(
+        [sys.executable, CHILD, family, op, barrier, idx],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        start_new_session=True,  # killpg must take the JVM down too
+        env=env,
+    )
+    try:
+        line, deadline = "", time.time() + 180
+        while time.time() < deadline:
+            line = proc.stdout.readline().strip()
+            if line in ("READY", "WRITE_START", "COMPLETED_WITHOUT_BARRIER"):
+                break
+            if proc.poll() is not None:
+                break
+        assert line in ("READY", "WRITE_START"), (
+            f"child never reached barrier {barrier}: {line!r}"
+        )
+        if line == "WRITE_START":
+            # jittered kill point inside (or just before) the write job
+            time.sleep(random.Random(f"{family}/{op}").uniform(0.0, 1.2))
+        os.killpg(proc.pid, signal.SIGKILL)
+    finally:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait(timeout=30)
+
+    # the dead holder's lock must not block recovery (pid-probe break,
+    # no stale-TTL wait) — writer_lease inside the re-run proves it;
+    # then the re-run must converge to a consistent, queryable index
+    _recover_and_check(spark, family, op, idx)
