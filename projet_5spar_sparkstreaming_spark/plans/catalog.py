@@ -966,8 +966,15 @@ def q_multimodal_decode_stats(spark, sf_dir):
     # Multimodal as a first-class query: deterministically render each
     # small embedding into a REAL 8x8 grayscale PNG payload (binary
     # column), run the Arrow decode operator (PNG codec -> 4x4 thumbnail
-    # features), and aggregate. Rows-only check (no SQL oracle for PNG),
-    # but fully deterministic.
+    # features), and aggregate. FULL SQL oracle since r10: PNG is
+    # lossless and the 4x4 nearest-neighbor thumbnail of an 8x8 image
+    # reads exactly the even-row/even-col pixels, so feature_sum is
+    # derivable from the embeddings in SQL — byte k of the image is
+    # clamp(trunc(abs(emb[k])*512)), features are those bytes / 255 at
+    # indices {16*ny + 2*nx}. (The payload's compressed size is the one
+    # non-SQL-derivable stat and moved out of this query; codec size/
+    # structure correctness is pinned by the codec round-trip tests and
+    # the luma value oracles.)
     from projet_5spar_sparkstreaming_spark.multimodal.binary import (
         decode_image_batch,
     )
@@ -994,7 +1001,6 @@ def q_multimodal_decode_stats(spark, sf_dir):
     decoded = decode_image_batch(media)
     return decoded.select(
         "media_id",
-        "n_bytes",
         F.round(
             F.aggregate("features", F.lit(0.0), lambda a, v: a + v.cast("double")), 6
         ).alias("feature_sum"),
@@ -4996,7 +5002,22 @@ def catalog() -> list[CatalogQuery]:
         "FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi "
         "GROUP BY band"
     )
-    oracles["multimodal_decode_stats"] = None  # PNG payloads: rows-only
+    # PNG is lossless + 8->4 nearest-neighbor reads even-row/even-col
+    # pixels, so the decode->thumbnail->sum chain is exact SQL over the
+    # embeddings (byte k = clamp(trunc(abs(emb[k])*512)); term order
+    # matches the engine's left-to-right feature aggregate)
+    # each feature is a FLOAT32 (the decode schema's ArrayType(Float)),
+    # summed as double by the engine — mirror the narrowing per term
+    _thumb_terms = " + ".join(
+        "CAST(CAST(LEAST(255.0, TRUNC(ABS(embedding["
+        f"{16 * ny + 2 * nx + 1}])*512.0))/255.0 AS REAL) AS DOUBLE)"
+        for ny in range(4)
+        for nx in range(4)
+    )
+    oracles["multimodal_decode_stats"] = (
+        f"SELECT vec_id AS media_id, ROUND({_thumb_terms}, 6) AS feature_sum "
+        "FROM embeddings WHERE vec_id < 64"
+    )
     # Audio also carries an EXACT SQL oracle: the WAV render is
     # sample = clamp(trunc(v*20000), int16) per embedding value, and
     # RMS/zero-crossings recompute from those integers — sum of int
