@@ -1198,13 +1198,19 @@ def minhash_near_dup_pairs(
             F.col(id_col).alias("__id"),
             minhash_signature(text_col, n, num_hashes).alias("__sig"),
         )
-    # cached unconditionally: the banding SELF-join needs the buckets on
-    # both sides, and when AQE broadcasts one side that side is a
-    # separate physical subtree — without the cache it would re-run the
-    # whole Arrow signature stage. With verify, the estimate join below
-    # reuses the same cache on both of its sides too. (Re-caching a
-    # caller-cached precomputed_sig is a no-op.)
-    sig = sig.cache()
+    # cache the signature table ONLY when the plan reads it more than
+    # once: with verify the estimate join consumes sigs on both sides,
+    # and with max_bucket_size the pre-filter's count agg and the
+    # bucket join are two physical consumers of the banded subtree
+    # (different exchange payloads, so ReusedExchange can't dedup the
+    # sig stage under them). On the bare candidate path
+    # (verify=False, no cap) the collect_list pipeline reads sigs
+    # exactly once — caching there materialized the full 64-hash
+    # signature table (~26GB at 50M docs) into storage memory for
+    # nothing and GC-thrashed the 50M tier against a 48g heap.
+    # (Re-caching a caller-cached precomputed_sig is a no-op.)
+    if verify or max_bucket_size is not None:
+        sig = sig.cache()
     banded = _banded_buckets(sig, bands, rows_per_band)
     # Candidates via ONE shuffle: group each (band, bucket) down to its
     # sorted member list, then expand within-bucket pairs with a
