@@ -41,3 +41,44 @@ def test_approx_percentile_within_rank_tolerance(spark, sf_dir):
         assert abs(rank - target * n) <= n / acc + 1, (
             f"p{target}: value {approx_v} at rank {rank}, want ~{target * n}"
         )
+
+
+def test_auto_ivf_probe_holds_probed_fraction():
+    """r10: a fixed n_probe erodes recall as cells scale ~sqrt(n)
+    (measured 0.996 -> 0.874 going 5M -> 50M rows at n_probe=4);
+    auto_ivf_probe holds a constant fraction of cells with a floor."""
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        auto_ivf_centroids,
+        auto_ivf_probe,
+    )
+
+    assert auto_ivf_probe(16) == 4  # floor
+    assert auto_ivf_probe(559) == 4  # the 5M tier: same as the old fixed 4
+    assert auto_ivf_probe(1768) == 14  # the 50M tier: fraction held
+    assert auto_ivf_probe(4096) == 33
+    # monotone in cells
+    vals = [auto_ivf_probe(auto_ivf_centroids(10**e)) for e in range(3, 10)]
+    assert vals == sorted(vals)
+
+
+def test_ivf_top_k_auto_probe_resolves(spark):
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        brute_force_top_k_arrow,
+        ivf_top_k,
+    )
+
+    rng = np.random.default_rng(4)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 5")
+    approx = ivf_top_k(
+        q, df, "vec_id", "vec_id", k=3, n_centroids="auto", n_probe="auto"
+    )
+    exact = brute_force_top_k_arrow(q, df, "vec_id", "vec_id", k=3)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.5  # auto resolved and sane

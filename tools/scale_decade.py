@@ -63,7 +63,9 @@ def _delta(after: dict, before: dict) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+    ann_only = "--ann-only" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 50_000_000
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     os.environ.setdefault("SPARK_GRAFT_UI", "true")
 
@@ -85,6 +87,12 @@ def main() -> None:
     results = []
 
     # ---- phase 1: documents (minhash linearity + decontamination) ----
+    if ann_only:
+        _run_ann_phase(spark, n, results)
+        with open(f"{WORK}/results.json", "w") as f:
+            json.dump(results, f, indent=2)
+        spark.stop()
+        return
     doc_path = f"{WORK}/docs_{n}"
     res: dict = {"kind": "decade_docs", "n": n}
     _, res["gen_docs_s"] = ss.timed(lambda: ss.gen_documents(spark, n, doc_path))
@@ -124,6 +132,16 @@ def main() -> None:
 
     shutil.rmtree(doc_path, ignore_errors=True)
     spark.catalog.clearCache()
+    _run_ann_phase(spark, n, results)
+    with open(f"{WORK}/results.json", "w") as f:
+        json.dump(results, f, indent=2)
+    spark.stop()
+
+
+def _run_ann_phase(spark, n: int, results: list) -> None:
+    from pyspark.sql import functions as F
+
+    from tools import scale_stress as ss
 
     # ---- phase 2: embeddings (IVF recall + probe cost at 50M) ----
     emb_path = f"{WORK}/emb_{n}"
@@ -144,11 +162,16 @@ def main() -> None:
     ).cache()
     res2["knn_arrow_rows"], res2["knn_arrow_s"] = ss.timed(exact.count)
     res2["spill_knn_arrow"] = _delta(_ui_stage_totals(spark), s2)
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        auto_ivf_probe,
+    )
+
     res2["ivf_centroids"] = auto_ivf_centroids(n)
+    res2["ivf_n_probe"] = auto_ivf_probe(res2["ivf_centroids"])
     s3 = _ui_stage_totals(spark)
     ivf = ivf_top_k(
         queries, embs, "vec_id", "vec_id", k=ss.K,
-        n_centroids="auto", n_probe=4, kmeans_iters=10,
+        n_centroids="auto", n_probe="auto", kmeans_iters=10,
     ).cache()
     res2["knn_ivf_rows"], res2["knn_ivf_s"] = ss.timed(ivf.count)
     res2["spill_knn_ivf"] = _delta(_ui_stage_totals(spark), s3)
@@ -159,11 +182,7 @@ def main() -> None:
     ivf.unpersist()
     results.append(res2)
     print(json.dumps(res2), flush=True)
-
     shutil.rmtree(emb_path, ignore_errors=True)
-    with open(f"{WORK}/results.json", "w") as f:
-        json.dump(results, f, indent=2)
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -228,7 +228,10 @@ def run_tier(spark, n: int) -> dict:
     res["ivf_centroids"] = auto_ivf_centroids(n)
     ivf = ivf_top_k(
         queries, embs, "vec_id", "vec_id", k=K,
-        n_centroids="auto", n_probe=4, kmeans_iters=10,
+        # auto probe: identical to the old fixed 4 at every tier
+        # through 5M (frac*cells floors at 4); at 50M+ it holds the
+        # probed fraction so recall stays flat (auto_ivf_probe)
+        n_centroids="auto", n_probe="auto", kmeans_iters=10,
     ).cache()
     res["knn_ivf_rows"], res["knn_ivf_s"] = timed(ivf.count)
 
@@ -495,7 +498,15 @@ def run_decontamination(spark, n: int, bench_n: int = 1_000) -> dict:
                     # expect ~0.98 * bench_n/2 flags, e.g. 490/500)
                     toks = _base_tokens((int(i) * 13) % n)
                 else:  # fresh doc -> clean
-                    rng = np.random.RandomState(8_000_009 + int(i))
+                    # seed offset far outside the corpus seed space:
+                    # _base_tokens(j) uses 1_000_003 + j, so at tiers
+                    # above ~7M docs a small offset collides (corpus
+                    # doc 7_000_006+i replayed this exact stream and
+                    # the "fresh" doc is genuinely contaminated — the
+                    # r10 50M run measured 525 flags instead of 490,
+                    # all TRUE overlaps; numpy seeds are mod 2**32, so
+                    # stay under that while clearing any corpus tier)
+                    rng = np.random.RandomState(3_000_000_000 + int(i))
                     toks = rng.randint(0, VOCAB, DOC_TOKENS)
                 texts.append(" ".join(f"w{t}" for t in toks))
             yield pd.DataFrame({"doc_id": ids + 5_000_000, "text": texts})
