@@ -141,7 +141,13 @@ def test_cold_start_auto_trigger_end_to_end(spark, tmp_path):
     out = str(tmp_path / "out")
     idx = str(tmp_path / "idx")
     chk = str(tmp_path / "chk")
-    target = 5.0
+    # generous target: on a CONTENDED box (full suite + a concurrent
+    # sweep sharing the cores) a canary batch can take ~5s, and a
+    # target at that level makes the controller CORRECTLY recommend 1
+    # — which is convergence, but not what this test is pinning. 15s
+    # keeps the recommendation >1 under any realistic load while the
+    # clamp (max_files=4) still bounds the step.
+    target = 15.0
 
     def make_query(fpt: int):
         stream = (
