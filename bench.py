@@ -111,17 +111,23 @@ def _split_copy(spark, sf_dir: str, table: str, n_files: int, base: str) -> str:
 def _steady_state(progress: list) -> dict:
     """Per-batch trigger durations + steady-state rows/s EXCLUDING the
     first micro-batch (stream startup + code paths warming are fixed
-    cost, not throughput)."""
+    cost, not throughput) and a trailing REMAINDER batch (availableNow
+    drains the source, so at files-per-trigger > 1 the last batch
+    usually carries the leftover files — under half a full batch's
+    rows but full fixed overhead, which understates the rate the
+    stream actually sustains; fpt=1 canaries are unaffected). All
+    batches stay on record in per_batch_sec/rows_in."""
     rows = [int(p["numInputRows"]) for p in progress]
     secs = [float(p["durationMs"]["triggerExecution"]) / 1000.0 for p in progress]
-    steady_rows = sum(rows[1:])
-    steady_sec = sum(secs[1:])
+    s_rows, s_secs = rows[1:], secs[1:]
+    if len(s_rows) >= 2 and s_rows[-1] < 0.5 * max(s_rows):
+        s_rows, s_secs = s_rows[:-1], s_secs[:-1]
     return {
         "rows_in": sum(rows),
         "micro_batches": len(progress),
         "per_batch_sec": [round(s, 3) for s in secs],
         "rows_per_s_steady": (
-            round(steady_rows / steady_sec) if steady_sec > 0 else None
+            round(sum(s_rows) / sum(s_secs)) if sum(s_secs) > 0 else None
         ),
     }
 
