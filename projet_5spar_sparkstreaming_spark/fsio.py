@@ -93,18 +93,45 @@ def write_json(spark: SparkSession, path: str, obj: Any) -> None:
         fs.delete(old, False)
 
 
-def _holder_dead_on_this_host(spark: SparkSession, lock_path: str) -> bool:
-    """True iff the lock's recorded holder ran ON THIS HOST and its
-    pid no longer exists — a kill -9'd writer, breakable immediately
-    instead of after ``stale_sec`` (which exists for holders whose
-    liveness CANNOT be checked: another host, or a lock whose holder
-    JSON never landed). Pid recycling or any read/parse failure falls
-    back to the TTL path (returns False)."""
+def _host_boot_id() -> str:
+    """A host-identity token stronger than the hostname: the kernel's
+    per-boot uuid where available (Linux), else "". Cloned VMs and
+    containers launched with the same ``--hostname`` share a hostname
+    but never a boot id, so the dead-pid fast break below cannot
+    mistake a LIVE remote holder (whose pid happens not to exist
+    locally) for a local corpse."""
     try:
-        holder = read_json(spark, lock_path)
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            return f.read().strip()
+    except Exception:
+        return ""
+
+
+def _read_holder(spark: SparkSession, lock_path: str) -> Any:
+    """Best-effort parse of a lock file's holder JSON; None when the
+    file is absent, torn, or unreadable."""
+    try:
+        return read_json(spark, lock_path)
+    except Exception:
+        return None
+
+
+def _holder_dead_on_this_host(holder: Any) -> bool:
+    """True iff the recorded ``holder`` ran ON THIS HOST (hostname AND
+    boot id must both match — hostname alone collides across cloned
+    VMs / same-``--hostname`` containers) and its pid no longer exists
+    — a kill -9'd writer, breakable immediately instead of after
+    ``stale_sec`` (which exists for holders whose liveness CANNOT be
+    checked: another host, or a lock whose holder JSON never landed).
+    Pid recycling or any parse failure falls back to the TTL path
+    (returns False)."""
+    try:
         if not isinstance(holder, dict):
             return False
         if holder.get("host") != _socket.gethostname():
+            return False
+        ours = _host_boot_id()
+        if not ours or holder.get("boot_id") != ours:
             return False
         pid = int(holder.get("pid", 0))
         if pid <= 0:
@@ -113,6 +140,63 @@ def _holder_dead_on_this_host(spark: SparkSession, lock_path: str) -> bool:
         return False
     except ProcessLookupError:
         return True
+    except Exception:
+        return False
+
+
+def _break_stale_lock(
+    spark: SparkSession,
+    lock_name: str,
+    observed: Any,
+    stale_sec: float,
+) -> bool:
+    """Break a presumed-crashed holder's lock, claiming the break by
+    RENAME to a unique tombstone — exactly one breaker's rename
+    succeeds; only that one deletes the tombstone. Losers (rename
+    false / src vanished) just re-race the create.
+
+    Breaker-vs-NEW-holder guard: between the caller's staleness
+    observation (``observed`` = the holder JSON it judged stale/dead)
+    and the rename here, ANOTHER waiter may have broken the same stale
+    lock and a fresh holder created a new lock at the same path —
+    deleting that would displace a LIVE lease (two concurrent holders,
+    last-write-wins meta, silent lost batch on append-vs-append). So
+    after the rename, re-read the tombstone's holder JSON: if it
+    differs from ``observed``, it is the fresh holder's lock — rename
+    it BACK into place instead of deleting it. Returns True iff the
+    stale lock was actually removed."""
+    fs, lock = _fs_path(spark, lock_name)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    tomb_name = (
+        f"{lock_name}.break.{_os.getpid()}.{_uuid.uuid4().hex[:8]}"
+    )
+    tomb = jpath(tomb_name)
+    try:
+        if not fs.rename(lock, tomb):
+            return False
+        captured = _read_holder(spark, tomb_name)
+        same = captured == observed
+        if same and captured is None:
+            # Both unreadable: either the SAME JSON-less stale lock,
+            # or a FRESH lock whose holder bytes are still mid-flight.
+            # Rename preserves mtime — a young tombstone is the fresh
+            # case (a JSON-less lock can only be judged stale via the
+            # age > stale_sec path).
+            try:
+                tst = fs.getFileStatus(tomb)
+                tage = _time.time() - tst.getModificationTime() / 1000.0
+                same = tage > stale_sec
+            except Exception:
+                same = False
+        if same:
+            fs.delete(tomb, False)
+            return True
+        if not fs.rename(tomb, lock):
+            # Path re-occupied by yet another fresh lock: leave the
+            # tombstone on disk — recoverable evidence beats deleting
+            # a live holder's lease record.
+            pass
+        return False
     except Exception:
         return False
 
@@ -174,6 +258,8 @@ def writer_lease(
                     holder = {
                         "pid": _os.getpid(),
                         "host": _socket.gethostname(),
+                        "boot_id": _host_boot_id(),
+                        "token": _uuid.uuid4().hex,
                         "acquired_unix": _time.time(),
                     }
                     out.write(bytearray(json.dumps(holder).encode("utf-8")))
@@ -189,20 +275,9 @@ def writer_lease(
         try:
             st = fs.getFileStatus(lock)
             age = _time.time() - st.getModificationTime() / 1000.0
-            if age > stale_sec or _holder_dead_on_this_host(spark, lock_name):
-                # presumed-crashed holder: claim the break by RENAME to
-                # a unique tombstone — exactly one breaker's rename
-                # succeeds; only that one deletes the tombstone. Losers
-                # (rename false / src vanished) just re-race the create.
-                tomb = jpath(
-                    f"{lock_name}.break.{_os.getpid()}."
-                    f"{_uuid.uuid4().hex[:8]}"
-                )
-                try:
-                    if fs.rename(lock, tomb):
-                        fs.delete(tomb, False)
-                except Exception:
-                    pass
+            observed = _read_holder(spark, lock_name)
+            if age > stale_sec or _holder_dead_on_this_host(observed):
+                _break_stale_lock(spark, lock_name, observed, stale_sec)
                 continue
         except Exception:
             pass  # released between create and stat — retry now
@@ -273,18 +348,33 @@ def read_json(spark: SparkSession, path: str) -> Any | None:
     The next successful ``write_json`` publishes fresh content and
     clears the aside; nothing is ever rebuilt or refused over a state
     the crash contract already makes recoverable."""
-    fs, hpath = _fs_path(spark, path)
-    if not fs.exists(hpath):
-        old = spark._jvm.org.apache.hadoop.fs.Path(path + ".old")
-        if not fs.exists(old):
+    fs, live = _fs_path(spark, path)
+    old = spark._jvm.org.apache.hadoop.fs.Path(path + ".old")
+    # exists→open is a TOCTOU against a concurrent write_json (it can
+    # publish the live file and delete .old, or rename live aside,
+    # between our probe and our open) — so a failed open re-probes
+    # once before surfacing: the transient race then returns the
+    # consistent post-write content instead of an exception.
+    for attempt in (0, 1):
+        if fs.exists(live):
+            hpath = live
+        elif fs.exists(old):
+            hpath = old
+        else:
             return None
-        hpath = old
-    inp = fs.open(hpath)
-    try:
-        s = spark._jvm.org.apache.commons.io.IOUtils.toString(inp, "UTF-8")
-    finally:
-        inp.close()
-    return json.loads(s)
+        try:
+            inp = fs.open(hpath)
+        except Exception:
+            if attempt:
+                raise
+            continue
+        try:
+            s = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                inp, "UTF-8"
+            )
+        finally:
+            inp.close()
+        return json.loads(s)
 
 
 def delete_path(spark: SparkSession, path: str, recursive: bool = True) -> bool:

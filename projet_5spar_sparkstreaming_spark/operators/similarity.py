@@ -1473,7 +1473,17 @@ def embed_lsh_query_index(
     stored_vb = _scan("vecs").select(
         F.col("id").alias("id_b"), F.col("vec").alias("__vb")
     )
-    store_rows = sum(int(v) for v in (meta.get("batches") or {}).values())
+    # ADVICE r10: the routing must size the store the query actually
+    # scans — with max_batch_id_exclusive set, batches >= it are
+    # filtered out of both scans, so counting them would route a
+    # small-prefix query of a large store onto the forced-broadcast
+    # large-store plan (and the converse at the boundary).
+    store_rows = sum(
+        int(v)
+        for k, v in (meta.get("batches") or {}).items()
+        if max_batch_id_exclusive is None
+        or int(k) < max_batch_id_exclusive
+    )
     if broadcast_new and store_rows > small_store_rows:
         # NARROW pair set broadcast into the big stored-vecs scan (the
         # index streams map-side), then the small batch's vectors

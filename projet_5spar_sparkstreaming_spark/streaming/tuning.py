@@ -111,7 +111,21 @@ def start_with_auto_trigger(
             break
         _time.sleep(poll_sec)
     q.stop()
-    q.awaitTermination(60)
+    # ADVICE r10: surface canary failures instead of restarting over
+    # them, and never launch the tuned query while the canary is still
+    # terminating (start would throw on the shared checkpoint).
+    if not q.awaitTermination(60):
+        if not q.awaitTermination(120):
+            raise TimeoutError(
+                "auto-trigger canary did not terminate within 180s "
+                "after stop(); refusing to start the tuned query "
+                "against the same checkpoint"
+            )
+    exc = q.exception()
+    if exc is not None:
+        raise RuntimeError(
+            f"auto-trigger canary failed; not restarting: {exc}"
+        )
     progress = list(q.recentProgress) or progress
     # StreamingQueryProgress supports dict-style access, so the raw
     # objects feed recommend_files_per_trigger directly

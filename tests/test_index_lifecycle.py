@@ -1435,7 +1435,10 @@ def test_writer_lease_breaks_dead_local_holder_immediately(spark, tmp_path):
     import sys
     import time
 
-    from projet_5spar_sparkstreaming_spark.fsio import writer_lease
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        _host_boot_id,
+        writer_lease,
+    )
 
     idx = str(tmp_path / "deadpid_idx")
     lock_file = idx + ".writer.lock"
@@ -1448,6 +1451,7 @@ def test_writer_lease_breaks_dead_local_holder_immediately(spark, tmp_path):
     with open(lock_file, "w") as f:
         _json.dump(
             {"pid": proc.pid, "host": socket.gethostname(),
+             "boot_id": _host_boot_id(),
              "acquired_unix": time.time()},
             f,
         )
@@ -1460,6 +1464,7 @@ def test_writer_lease_breaks_dead_local_holder_immediately(spark, tmp_path):
     with open(lock_file, "w") as f:
         _json.dump(
             {"pid": os.getpid(), "host": socket.gethostname(),
+             "boot_id": _host_boot_id(),
              "acquired_unix": time.time()},
             f,
         )
@@ -1468,3 +1473,199 @@ def test_writer_lease_breaks_dead_local_holder_immediately(spark, tmp_path):
                           poll_sec=0.2):
             pass
     os.unlink(lock_file)
+
+
+def test_dead_pid_on_hostname_twin_does_not_fast_break(spark, tmp_path):
+    """ADVICE r10: 'this host' is hostname AND kernel boot id — a lock
+    whose holder JSON carries this hostname but a DIFFERENT boot id
+    (cloned VM / same-``--hostname`` container on a shared filesystem)
+    must NOT be fast-broken just because the pid happens not to exist
+    locally; it waits for the stale TTL like any remote holder."""
+    import json as _json
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    from projet_5spar_sparkstreaming_spark.fsio import writer_lease
+
+    idx = str(tmp_path / "twin_host_idx")
+    lock_file = idx + ".writer.lock"
+    proc = subprocess.Popen([sys.executable, "-c", "pass"])
+    proc.wait()  # a locally-dead pid — but the "host" is a twin
+    with open(lock_file, "w") as f:
+        _json.dump(
+            {"pid": proc.pid, "host": socket.gethostname(),
+             "boot_id": "not-this-boot-0000", "token": "t",
+             "acquired_unix": time.time()},
+            f,
+        )
+    import os
+    with pytest.raises(TimeoutError):
+        with writer_lease(spark, idx, timeout_sec=1.5, stale_sec=10**9,
+                          poll_sec=0.2):
+            pass
+    os.unlink(lock_file)
+
+
+def test_break_stale_lock_spares_fresh_holder(spark, tmp_path):
+    """ADVICE r10 (medium): a slow breaker whose staleness observation
+    predates another breaker's break + a FRESH holder's create must
+    not delete the fresh lock — ``_break_stale_lock`` compares the
+    renamed tombstone's holder JSON against the holder it observed
+    stale and renames the fresh lock back into place."""
+    import json as _json
+
+    from projet_5spar_sparkstreaming_spark import fsio
+
+    import os
+
+    idx = str(tmp_path / "fresh_spared_idx")
+    lock_file = idx + ".writer.lock"
+    stale_holder = {"pid": 1, "host": "gone-host", "boot_id": "b0",
+                    "token": "stale", "acquired_unix": 0.0}
+    fresh_holder = {"pid": os.getpid(), "host": "live-host",
+                    "boot_id": "b1", "token": "fresh",
+                    "acquired_unix": 1e12}
+    # the slow breaker observed the stale holder...
+    # ...but by the time it renames, a FRESH holder owns the path
+    with open(lock_file, "w") as f:
+        _json.dump(fresh_holder, f)
+    broke = fsio._break_stale_lock(spark, lock_file, stale_holder, 60.0)
+    assert broke is False
+    # fresh lock restored in place, byte-identical holder
+    with open(lock_file) as f:
+        assert _json.load(f) == fresh_holder
+    # no tombstone left behind on the restore path
+    leftovers = [p for p in os.listdir(tmp_path) if ".break." in p]
+    assert leftovers == []
+    # and the same call against the lock it DID observe breaks it
+    with open(lock_file, "w") as f:
+        _json.dump(stale_holder, f)
+    assert fsio._break_stale_lock(spark, lock_file, stale_holder, 60.0)
+    assert not os.path.exists(lock_file)
+
+
+def test_break_stale_lock_jsonless_fresh_vs_old(spark, tmp_path):
+    """A JSON-less lock (holder bytes never landed) is only breakable
+    via the age TTL — so a YOUNG empty lock at rename time is treated
+    as a fresh holder mid-write and restored, while an OLD empty lock
+    is removed."""
+    from projet_5spar_sparkstreaming_spark import fsio
+
+    import os
+    import time
+
+    idx = str(tmp_path / "jsonless_idx")
+    lock_file = idx + ".writer.lock"
+    open(lock_file, "w").close()  # young + empty → spare it
+    assert fsio._break_stale_lock(spark, lock_file, None, 60.0) is False
+    assert os.path.exists(lock_file)
+    os.utime(lock_file, (time.time() - 3600, time.time() - 3600))
+    assert fsio._break_stale_lock(spark, lock_file, None, 60.0) is True
+    assert not os.path.exists(lock_file)
+
+
+def test_read_json_reprobe_after_concurrent_publish(spark, tmp_path, monkeypatch):
+    """ADVICE r10: read_json's exists→open TOCTOU — when the .old
+    aside vanishes between probe and open because a concurrent
+    write_json published the live file, the reader re-probes and
+    returns the fresh live content instead of raising."""
+    import json as _json
+
+    from projet_5spar_sparkstreaming_spark import fsio
+
+    import os
+
+    live = str(tmp_path / "meta.json")
+    old = live + ".old"
+    with open(old, "w") as f:
+        _json.dump({"v": "old"}, f)
+
+    real_fs_path = fsio._fs_path
+
+    class RacingFs:
+        """Delegates to the real Hadoop fs, but the FIRST open of the
+        .old path simulates the concurrent writer: publish live,
+        delete .old, then fail the open (file gone)."""
+
+        def __init__(self, fs):
+            self._fs = fs
+            self.raced = False
+
+        def open(self, hpath):
+            if str(hpath).endswith(".old") and not self.raced:
+                self.raced = True
+                with open(live, "w") as f:
+                    _json.dump({"v": "new"}, f)
+                os.unlink(old)
+                raise IOError("simulated: .old deleted by writer")
+            return self._fs.open(hpath)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    racer = {}
+
+    def patched(spark_, path_):
+        fs, hp = real_fs_path(spark_, path_)
+        if "fs" not in racer:
+            racer["fs"] = RacingFs(fs)
+        return racer["fs"], hp
+
+    monkeypatch.setattr(fsio, "_fs_path", patched)
+    assert fsio.read_json(spark, live) == {"v": "new"}
+    assert racer["fs"].raced
+
+
+def test_embed_routing_respects_replay_exclusion(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r10: the verify-stage routing sizes the store the query
+    actually SCANS — with max_batch_id_exclusive set, excluded batches
+    must not count, so a query restricted to a small old prefix of a
+    large store takes the small-store (planner-chosen) verify plan
+    while the full-store query keeps the pinned broadcast plan."""
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        append_to_embed_lsh_index,
+        build_embed_lsh_index,
+        embed_lsh_query_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eidx = str(tmp_path / "el_excl_route")
+    # batch 0: 20-row prefix; batch 1: the rest (large tail)
+    build_embed_lsh_index(
+        emb.limit(20), eidx, "vec_id", "embedding", n_planes=6, n_tables=3
+    )
+    append_to_embed_lsh_index(emb, eidx, "vec_id", "embedding", batch_id=1)
+
+    import projet_5spar_sparkstreaming_spark.operators.similarity as S
+
+    calls = {"n": 0}
+    real_bc = S.F.broadcast
+
+    def counting(df):
+        calls["n"] += 1
+        return real_bc(df)
+
+    monkeypatch.setattr(S.F, "broadcast", counting)
+    probe = emb.limit(10)
+    # threshold between prefix (20) and full store (20 + all rows)
+    kw = dict(small_store_rows=100)
+    prefix_q = embed_lsh_query_index(
+        probe, eidx, "vec_id", "embedding",
+        max_batch_id_exclusive=1, **kw,
+    )
+    n_prefix = calls["n"]
+    calls["n"] = 0
+    full_q = embed_lsh_query_index(probe, eidx, "vec_id", "embedding", **kw)
+    n_full = calls["n"]
+    # prefix: only the candidate-stage probe broadcast; full: + the two
+    # forced verify-stage broadcasts
+    assert n_prefix == 1 and n_full == 3, (n_prefix, n_full)
+    # and the prefix query's results only involve batch-0 ids
+    prefix_ids = {r.id_b for r in prefix_q.collect()}
+    batch0_ids = {r.vec_id for r in emb.limit(20).collect()}
+    assert prefix_ids <= batch0_ids
+    assert full_q.count() >= prefix_q.count()

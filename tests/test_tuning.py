@@ -194,3 +194,49 @@ def test_cold_start_auto_trigger_end_to_end(spark, tmp_path):
     # kept exactly once (all docs distinct, so survivors = all)
     kept = [r["doc_id"] for r in spark.read.parquet(out).collect()]
     assert sorted(kept) == list(range(n_files * docs_per_file))
+
+
+def test_auto_trigger_surfaces_canary_failure(spark, tmp_path):
+    """ADVICE r10: a canary that terminates with an exception must be
+    surfaced, not silently restarted at the same setting — the tuned
+    query would fail identically and the operator would never see the
+    root cause."""
+    import pytest
+
+    from projet_5spar_sparkstreaming_spark.streaming.tuning import (
+        start_with_auto_trigger,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text('{"doc_id": 1, "text": "x"}\n')
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+
+    def make_query(fpt: int):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", str(fpt))
+            .json(str(src))
+        )
+
+        def boom(df, bid):
+            raise RuntimeError("canary body failure")
+
+        return (
+            stream.writeStream.foreachBatch(boom)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with pytest.raises(Exception) as ei:
+        q, n, prog = start_with_auto_trigger(
+            make_query, canary_batches=1, canary_timeout_sec=120
+        )
+        # if the start somehow succeeded, don't leak the query
+        q.stop()
+    assert "canary" in str(ei.value).lower() or "boom" in str(
+        ei.value
+    ).lower() or "failure" in str(ei.value).lower()
+    _ = out
