@@ -184,6 +184,87 @@ def _shingle_hashes(col: Column | str, n: int) -> Column:
     return F.transform(F.array(tokens(col)), over_tokens)[0]
 
 
+# Sampled budget screen (r10 verdict task 3): corpora above MIN_DOCS
+# estimate the candidate bound on a ~TARGET_DOCS hash-sample of docs
+# first; only the uncertainty band [budget/2, 2*budget] pays the exact
+# full-corpus bound. Below MIN_DOCS the exact bound is already cheap.
+_BUDGET_SCREEN_MIN_DOCS = 30_000
+_BUDGET_SCREEN_TARGET_DOCS = 10_000
+
+
+def _ppjoin_prefix(sh_like: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin prefix rows (__id, __s, __sz, __rn) from a (id, sorted
+    shingle array) frame, under the RAREST-FIRST global order
+    (ascending document frequency, ties by hash). Any total order
+    preserves the prefix-filter guarantee, but frequency order keeps
+    common (boilerplate) shingles OUT of the prefixes — measured on the
+    test corpus it cuts candidate pairs ~100x vs hash order, which is
+    also exactly what bounds the posting-list blowup at 100 TB.
+
+    Document frequency via groupBy (map-side partial agg) + join back,
+    NOT a count window over __s: the window shuffles the ENTIRE
+    exploded scan by shingle, while the partial agg shuffles only
+    per-partition (shingle, count) partials — and the df>1 table it
+    yields is small enough to broadcast on moderate corpora (AQE),
+    removing the exploded-scan shuffle altogether. At 100 TB the join
+    degrades to the same single shuffle-by-__s the window needed, so
+    this is never worse.
+
+    The inner join with the df>1 table also DROPS singleton postings
+    (df=1) before the rank window — they can never meet another row in
+    the prefix equi-join, so this is lossless despite changing ranks:
+    removing singletons only moves df>=2 shingles EARLIER in each
+    doc's order, so the first-p prefix of the filtered list is a
+    superset trap for every colliding shingle the full-list prefix
+    guaranteed, and the smaller __rn only LOOSENS (keeps safe) the
+    positional upper bound used by the join."""
+    exploded = sh_like.select(
+        "__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__s")
+    )
+    dfreq = (
+        exploded.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > 1)
+    )
+    rank_w = Window.partitionBy("__id").orderBy("__df", "__s")
+    return (
+        exploded.join(dfreq, "__s")
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(
+            # required prefix length is |x| - ceil(t*|x|) + 1; the float
+            # form floor((1-t)*|x|)+1 can UNDERSHOOT it by 1 when (1-t)
+            # rounds down (1.0-0.8 = 0.1999...96 -> floor(10*0.1999...)
+            # = 1, dropping a J=0.8 boundary pair). The epsilon makes
+            # the length err only on the safe (longer) side. __sz stays
+            # the FULL shingle-set size — the prefix-length bound is
+            # defined against it, not the singleton-free list length.
+            F.col("__rn")
+            <= F.floor(F.col("__sz") * (1.0 - threshold) + 1e-9).cast("int") + 1
+        )
+        .select("__id", "__s", "__sz", "__rn")
+    )
+
+
+def _ppjoin_candidate_bound(prefix_df: DataFrame) -> int:
+    """Upper bound on the prefix equi-join's raw output: a prefix
+    shingle with a posting list of length k emits at most C(k,2)
+    candidates. One narrow aggregation over (shingle) — ids and sizes
+    never ride it."""
+    est_row = (
+        prefix_df.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .agg(
+            F.sum(
+                F.col("__k").cast("double")
+                * (F.col("__k") - F.lit(1)).cast("double")
+                / F.lit(2.0)
+            ).alias("__est")
+        )
+        .collect()[0]
+    )
+    return int(est_row["__est"] or 0)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -240,52 +321,10 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__id"),
         F.sort_array(_shingle_hashes(text_col, n)).alias("__sh"),
     ).cache()  # reused by the prefix index and both sides of verification
-    # PPJoin prefix under the RAREST-FIRST global order (ascending
-    # document frequency, ties by hash). Any total order preserves the
-    # prefix-filter guarantee, but frequency order keeps common
-    # (boilerplate) shingles OUT of the prefixes — measured on the test
-    # corpus it cuts candidate pairs ~100x vs hash order, which is also
-    # exactly what bounds the posting-list blowup at 100 TB.
-    exploded = sh.select(
-        "__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__s")
-    )
-    # Document frequency via groupBy (map-side partial agg) + join back,
-    # NOT a count window over __s: the window shuffles the ENTIRE
-    # exploded scan by shingle, while the partial agg shuffles only
-    # per-partition (shingle, count) partials — and the df>1 table it
-    # yields is small enough to broadcast on moderate corpora (AQE),
-    # removing the exploded-scan shuffle altogether. At 100 TB the join
-    # degrades to the same single shuffle-by-__s the window needed, so
-    # this is never worse.
-    # The inner join with the df>1 table also DROPS singleton postings
-    # (df=1) before the rank window — they can never meet another row in
-    # the prefix equi-join, so this is lossless despite changing ranks:
-    # removing singletons only moves df>=2 shingles EARLIER in each
-    # doc's order, so the first-p prefix of the filtered list is a
-    # superset trap for every colliding shingle the full-list prefix
-    # guaranteed, and the smaller __rn only LOOSENS (keeps safe) the
-    # positional upper bound below.
-    dfreq = (
-        exploded.groupBy("__s")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") > 1)
-    )
-    rank_w = Window.partitionBy("__id").orderBy("__df", "__s")
+    # PPJoin prefix under the RAREST-FIRST global order — see
+    # _ppjoin_prefix (shared with the sampled budget screen).
     prefix = (
-        exploded.join(dfreq, "__s")
-        .withColumn("__rn", F.row_number().over(rank_w))
-        .filter(
-            # required prefix length is |x| - ceil(t*|x|) + 1; the float
-            # form floor((1-t)*|x|)+1 can UNDERSHOOT it by 1 when (1-t)
-            # rounds down (1.0-0.8 = 0.1999...96 -> floor(10*0.1999...) = 1,
-            # dropping a J=0.8 boundary pair). The epsilon makes the
-            # length err only on the safe (longer) side. __sz stays the
-            # FULL shingle-set size — the prefix-length bound is defined
-            # against it, not the singleton-free list length.
-            F.col("__rn")
-            <= F.floor(F.col("__sz") * (1.0 - threshold) + 1e-9).cast("int") + 1
-        )
-        .select("__id", "__s", "__sz", "__rn")
+        _ppjoin_prefix(sh, threshold)
         # cached: the self-join needs the prefix on BOTH sides, and when
         # the join goes broadcast (AQE, small corpora) the broadcast side
         # is a separate physical subtree — without the cache the whole
@@ -295,47 +334,79 @@ def ngram_jaccard_pairs(
         .cache()
     )
     if max_candidate_pairs is not None:
-        # Upper-bound the prefix equi-join's output on the NARROW
-        # posting stream (ids and sizes never ride this agg): a prefix
-        # shingle with a posting list of length k emits at most
-        # C(k,2) raw candidates. The action that collects the bound is
-        # also the first action over ``prefix``, so it materializes the
-        # cache the self-join reads — the non-adversarial path pays one
-        # driver round-trip, not a second pipeline execution.
-        est_row = (
-            prefix.groupBy("__s")
-            .agg(F.count(F.lit(1)).alias("__k"))
-            .agg(
-                F.sum(
-                    F.col("__k").cast("double")
-                    * (F.col("__k") - F.lit(1)).cast("double")
-                    / F.lit(2.0)
-                ).alias("__est")
-            )
-            .collect()[0]
+        # Two-phase budget check (r10 verdict task 3). The exact bound
+        # (sum of C(k,2) over the prefix posting lists) runs the FULL
+        # prefix pipeline just to decide trip/no-trip — 15.2 s at 100k
+        # adversarial docs in r10. The bound only needs one significant
+        # figure, so phase 1 computes the same statistic on a
+        # deterministic hash-sample of the DOCS and rescales: a posting
+        # list of length k samples to k' ~ Binomial(k, 1/m), and
+        # E[C(k',2)] = C(k,2)/m^2 exactly, so sampled_sum * m^2 is an
+        # UNBIASED estimate whose concentration is tightest precisely
+        # on the adversarial structures (large k) the budget exists to
+        # catch. Decisions: > 2x budget -> trip on the sample (the
+        # sample pipeline never shingles the full corpus, so the trip
+        # costs ~1/m of the old bound); < budget/2 -> proceed with no
+        # exact bound (the happy path pays only the sampled pipeline);
+        # the band between runs the exact bound as before, so
+        # borderline corpora get the identical decision.
+        n_docs = df.count()  # column-pruned scan; also feeds "auto"
+        budget = (
+            1_000_000 + 64 * n_docs
+            if max_candidate_pairs == "auto"
+            else int(max_candidate_pairs)
         )
-        est = int(est_row["__est"] or 0)
-        if max_candidate_pairs == "auto":
-            # sh is cached and just materialized by the estimate action
-            # (prefix's lineage reads it), so this count is a cache scan
-            budget = 1_000_000 + 64 * sh.count()
-        else:
-            budget = int(max_candidate_pairs)
-        if est > budget:
-            sh.unpersist()
-            prefix.unpersist()
-            raise RuntimeError(
-                f"ngram_jaccard_pairs candidate budget exceeded: prefix "
-                f"posting lists bound the candidate join at ~{est:,} pairs "
-                f"(budget {budget:,}, max_candidate_pairs="
-                f"{max_candidate_pairs!r}). The corpus has large near-miss "
-                "groups sharing rare shingles (boilerplate/twin structure) "
-                "— the regime where an exact prefix join goes quadratic. "
-                "Generate candidates with minhash_near_dup_pairs(..., "
-                "verify=False) and verify them exactly with "
-                "verify_pairs_exact, or raise/disable max_candidate_pairs "
-                "to force the exact join."
+        decided = False
+        if n_docs > _BUDGET_SCREEN_MIN_DOCS:
+            m = max(2, round(n_docs / _BUDGET_SCREEN_TARGET_DOCS))
+            sh_sample = df.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0
+            ).select(
+                F.col(id_col).alias("__id"),
+                F.sort_array(_shingle_hashes(text_col, n)).alias("__sh"),
             )
+            est_s = _ppjoin_candidate_bound(
+                _ppjoin_prefix(sh_sample, threshold)
+            ) * m * m
+            if est_s > 2 * budget:
+                sh.unpersist()
+                prefix.unpersist()
+                raise RuntimeError(
+                    f"ngram_jaccard_pairs candidate budget exceeded: a "
+                    f"1/{m} doc sample of the prefix posting lists "
+                    f"bounds the candidate join at ~{est_s:,} pairs "
+                    f"(budget {budget:,}, max_candidate_pairs="
+                    f"{max_candidate_pairs!r}). The corpus has large "
+                    "near-miss groups sharing rare shingles (boilerplate/"
+                    "twin structure) — the regime where an exact prefix "
+                    "join goes quadratic. Generate candidates with "
+                    "minhash_near_dup_pairs(..., verify=False) and verify "
+                    "them exactly with verify_pairs_exact, or raise/"
+                    "disable max_candidate_pairs to force the exact join."
+                )
+            decided = est_s < budget // 2
+        if not decided:
+            # Exact bound on the NARROW posting stream (ids and sizes
+            # never ride this agg). The action that collects it is also
+            # the first action over ``prefix``, so it materializes the
+            # cache the self-join reads — this path pays one driver
+            # round-trip, not a second pipeline execution.
+            est = _ppjoin_candidate_bound(prefix)
+            if est > budget:
+                sh.unpersist()
+                prefix.unpersist()
+                raise RuntimeError(
+                    f"ngram_jaccard_pairs candidate budget exceeded: prefix "
+                    f"posting lists bound the candidate join at ~{est:,} pairs "
+                    f"(budget {budget:,}, max_candidate_pairs="
+                    f"{max_candidate_pairs!r}). The corpus has large near-miss "
+                    "groups sharing rare shingles (boilerplate/twin structure) "
+                    "— the regime where an exact prefix join goes quadratic. "
+                    "Generate candidates with minhash_near_dup_pairs(..., "
+                    "verify=False) and verify them exactly with "
+                    "verify_pairs_exact, or raise/disable max_candidate_pairs "
+                    "to force the exact join."
+                )
     a = prefix.alias("a")
     b = prefix.alias("b")
     # Full PPJoin pruning at the equi-join, BEFORE the dedup shuffle and

@@ -685,13 +685,29 @@ def query_ivf_index(
     n_probe: int | str = 4,
     exclude_self: bool = True,
     max_query_rows: int = 100_000,
+    route: str = "ivf",
+    brute_cutoff_rows: int = 2_000_000,
 ) -> DataFrame:
     """Approximate top-k against a stored IVF index (``build_ivf_index``):
     probe cells come from the persisted quantizer; the parquet scan
     carries an ``isin`` filter on the PARTITION column, so only the
     probed cells' files are listed and read (plan-asserted in tests).
     Same result contract (and, with identical build parameters, the
-    identical result) as ``ivf_top_k``."""
+    identical result) as ``ivf_top_k``.
+
+    ``route`` (r10 verdict task 1): ``"ivf"`` = the probe path above;
+    ``"brute"`` = exact cosine over the SAME stored vectors
+    (``brute_force_top_k_arrow`` on the full data tree — identical
+    output contract, recall 1.0 by construction); ``"auto"`` = pick by
+    the store size recorded in the meta (free): at or below
+    ``brute_cutoff_rows`` the one-matmul-per-Arrow-batch exact kernel
+    beats the probe's fixed costs (centroid load + driver probe fanout
+    + per-cell directory listing) at EVERY measured batch size, so
+    small stores route to brute; above it the probe's O(probed cells)
+    scan wins and grows its lead with the store (measured crossover:
+    brute 2.0/2.6 s vs probe 2.8/3.0 s at 500k rows; probe 4.5-6.5 s
+    vs brute 12.5-17.6 s at 5M; 9-19 s vs 112-131 s at 50M — see
+    ``tools/ivf_crossover.py``, IVF_CROSSOVER_r11.json)."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -701,6 +717,25 @@ def query_ivf_index(
     if meta is None:
         raise FileNotFoundError(f"no IVF index at {index_path}")
     cent = np.array(meta["centroids"], dtype=np.float64)
+    if route not in ("ivf", "brute", "auto"):
+        raise ValueError(f"route must be ivf|brute|auto, got {route!r}")
+    if route == "auto":
+        store_rows = sum(int(v) for v in (meta.get("batches") or {}).values())
+        route = "brute" if store_rows <= brute_cutoff_rows else "ivf"
+    if route == "brute":
+        data_dir = _ivf_data_dir(spark, index_path, int(meta.get("version", 0)))
+        stored = spark.read.option("basePath", data_dir).parquet(data_dir)
+        return brute_force_top_k_arrow(
+            queries,
+            stored,
+            query_id,
+            "id",
+            query_vec=query_vec,
+            corpus_vec="vec",
+            k=k,
+            exclude_self=exclude_self,
+            max_query_rows=max_query_rows,
+        )
     if n_probe == "auto":
         # constant probed FRACTION of the stored quantizer's cells —
         # a fixed width erodes recall as the index grows (see

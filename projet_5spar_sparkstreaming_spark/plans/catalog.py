@@ -3326,6 +3326,30 @@ def q_stored_ivf_containment(spark, sf_dir):
     return _ann_containment_escapees(emitted, queries, emb, k_relaxed=40)
 
 
+def q_knn_stored_auto(spark, sf_dir):
+    # r10 verdict task 1's product surface: the knn-shaped stored-index
+    # call with the store-size routing left on AUTO. At the graded SFs
+    # the store is far below brute_cutoff_rows, so the router picks the
+    # exact brute kernel over the STORED vectors (recall 1.0 — which is
+    # why this entry carries the FULL knn_bruteforce value oracle);
+    # above the measured ~2M-row crossover the same call flips to the
+    # IVF probe (IVF_CROSSOVER_r11.json: probe beats brute at every
+    # batch size from 5M up). Routing regimes are pinned by
+    # tests/test_index_lifecycle.py::test_ivf_query_route_auto_both_regimes.
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    store = _session_store_path(spark, "ivf_auto_store", sf_dir)
+    build_ivf_index(emb, store, "vec_id", "embedding", n_centroids=16)
+    return query_ivf_index(
+        spark, queries, store, "vec_id", "embedding", k=5, route="auto"
+    )
+
+
 def q_incremental_embedding_containment(spark, sf_dir):
     # Containment contract for the cross-set embedding dedup
     # (incremental_embedding_pairs): same truthfulness rule, sides
@@ -4694,6 +4718,7 @@ def catalog() -> list[CatalogQuery]:
         "value_percentiles": q_value_percentiles,
         "knn_arrow": q_knn_arrow,
         "knn_ivf": q_knn_ivf,
+        "knn_stored_auto": q_knn_stored_auto,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_region_revenue": q5_region_revenue,
@@ -4992,6 +5017,9 @@ def catalog() -> list[CatalogQuery]:
     )
     oracles["doc_quality"] = _quality_sql()
     oracles["knn_arrow"] = oracles["knn_bruteforce"]
+    # the auto-routed stored-index call: at graded SFs the router picks
+    # the exact brute kernel, so the exact top-k oracle applies verbatim
+    oracles["knn_stored_auto"] = oracles["knn_bruteforce"]
     oracles["user_activity_salted"] = oracles["user_activity"]
     # real-stream replay converges to the batch aggregation (T8 parity)
     oracles["stream_user_activity"] = oracles["user_activity"]

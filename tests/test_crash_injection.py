@@ -256,3 +256,147 @@ def test_kill9_mid_mutation_recovers(spark, tmp_path, family, op):
     # no stale-TTL wait) — writer_lease inside the re-run proves it;
     # then the re-run must converge to a consistent, queryable index
     _recover_and_check(spark, family, op, idx)
+
+
+STREAM_CHILD = os.path.join(REPO, "tools", "crash_stream_child.py")
+
+
+def _stream_src(tmp_path, guard):
+    """6 jsonl files x 10 distinct rows -> 3 micro-batches at
+    maxFilesPerTrigger=2; mtimes spread so file order is stable."""
+    import json as _json
+
+    import numpy as np
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for f in range(6):
+        lines = []
+        for r in range(10):
+            i = f * 10 + r
+            if guard == "minhash":
+                toks = " ".join(f"tok{i}_{j}" for j in range(30))
+                lines.append(_json.dumps({"doc_id": i, "text": toks}))
+            else:
+                rng = np.random.RandomState(900 + i)
+                v = rng.standard_normal(16)
+                v /= np.linalg.norm(v)
+                lines.append(
+                    _json.dumps(
+                        {"vec_id": i, "embedding": [float(x) for x in v]}
+                    )
+                )
+        p = src / f"b{f:02d}.json"
+        p.write_text("\n".join(lines))
+        ts = time.time() - (6 - f) * 60
+        os.utime(p, (ts, ts))
+    return str(src)
+
+
+@pytest.mark.parametrize("guard", ["minhash", "embed"])
+@pytest.mark.parametrize(
+    "killpoint", ["before_index_append", "mid_append_meta"]
+)
+def test_kill9_streaming_guard_exactly_once(spark, tmp_path, guard, killpoint):
+    """r10 verdict task 5: SIGKILL the ingest guards mid-micro-batch —
+    after the survivors write but before the index append, and
+    mid-append (batch data written, meta not) — then restart from the
+    SAME checkpoint and assert the batch_id replay exclusion yields
+    exactly-once outputs and a consistent index (and the corpse's
+    writer lock is broken immediately, not after the stale TTL)."""
+    src = _stream_src(tmp_path, guard)
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    chk = str(tmp_path / "chk")
+
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="1g")
+    proc = subprocess.Popen(
+        [sys.executable, STREAM_CHILD, guard, killpoint, src, out, idx, chk],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        start_new_session=True,
+        env=env,
+    )
+    try:
+        line, deadline = "", time.time() + 240
+        while time.time() < deadline:
+            line = proc.stdout.readline().strip()
+            if line in ("READY", "COMPLETED_WITHOUT_BARRIER"):
+                break
+            if proc.poll() is not None:
+                break
+        assert line == "READY", f"child never reached barrier: {line!r}"
+        os.killpg(proc.pid, signal.SIGKILL)
+    finally:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait(timeout=30)
+
+    # restart the SAME guard from the SAME checkpoint in this process;
+    # the dead child's writer lock must not block (dead-pid break)
+    from projet_5spar_sparkstreaming_spark.streaming.dedup import (
+        stream_embed_neardup_ingest,
+        stream_neardup_ingest,
+    )
+
+    if guard == "minhash":
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "2")
+            .json(src)
+        )
+        q = stream_neardup_ingest(
+            stream, out, idx, chk, trigger={"availableNow": True}
+        )
+    else:
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "2")
+            .json(src)
+        )
+        q = stream_embed_neardup_ingest(
+            stream, out, idx, chk, dim=16, trigger={"availableNow": True}
+        )
+    assert q.awaitTermination(300), "restarted guard did not finish"
+
+    id_col = "doc_id" if guard == "minhash" else "vec_id"
+    kept = [r[id_col] for r in spark.read.parquet(out).select(id_col).collect()]
+    # all 60 rows distinct by construction -> survivors = all, each
+    # EXACTLY once (a replayed batch that self-matched against its own
+    # crashed index write would drop all 20 of its rows; a double
+    # append would double them)
+    assert sorted(kept) == list(range(60)), sorted(kept)
+
+    # index consistent: meta covers the three micro-batches, and the
+    # stored data row counts match the meta exactly
+    if guard == "minhash":
+        from projet_5spar_sparkstreaming_spark.fsio import versioned_subdir
+        from projet_5spar_sparkstreaming_spark.operators.dedup import (
+            read_minhash_meta,
+        )
+
+        meta = read_minhash_meta(spark, idx)
+        assert set(meta["batches"]) == {"0", "1", "2"}
+        assert sum(meta["batches"].values()) == 60
+        version = int(meta.get("version", 0))
+        sig_rows = spark.read.parquet(
+            versioned_subdir(idx, "sigs", version)
+        ).count()
+        assert sig_rows == 60
+    else:
+        from projet_5spar_sparkstreaming_spark.fsio import versioned_subdir
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            read_embed_lsh_meta,
+        )
+
+        meta = read_embed_lsh_meta(spark, idx)
+        assert set(meta["batches"]) == {"0", "1", "2"}
+        assert sum(meta["batches"].values()) == 60
+        version = int(meta.get("version", 0))
+        vec_rows = spark.read.parquet(
+            versioned_subdir(idx, "vecs", version)
+        ).count()
+        assert vec_rows == 60

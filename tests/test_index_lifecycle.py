@@ -1669,3 +1669,58 @@ def test_embed_routing_respects_replay_exclusion(
     batch0_ids = {r.vec_id for r in emb.limit(20).collect()}
     assert prefix_ids <= batch0_ids
     assert full_q.count() >= prefix_q.count()
+
+
+def test_ivf_query_route_auto_both_regimes(spark, sf_dir, tmp_path):
+    """r10 verdict task 1: query_ivf_index(route="auto") picks the
+    measured winner by the store size in the meta — small store ->
+    exact brute over the stored vectors (recall 1.0 by construction),
+    large store -> the probe path. Forced via brute_cutoff_rows; both
+    routes return the same contract columns, and the brute route's
+    result equals brute_force_top_k_arrow over the same stored data."""
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        brute_force_top_k_arrow,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_route")
+    build_ivf_index(emb, idx, "vec_id", "embedding", n_centroids=16)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    # small store (2k rows <= default cutoff): auto routes to brute
+    auto_small = query_ivf_index(
+        spark, queries, idx, "vec_id", "embedding", k=5, route="auto"
+    )
+    exact = brute_force_top_k_arrow(
+        queries, emb, "vec_id", "vec_id", k=5
+    )
+    a = sorted(map(tuple, auto_small.select(
+        "query_id", "neighbor_id", "cosine").collect()))
+    e = sorted(map(tuple, exact.select(
+        "query_id", "neighbor_id", "cosine").collect()))
+    assert a == e  # exact result on the brute route
+
+    # same store forced into the "large" regime: auto routes to IVF
+    auto_large = query_ivf_index(
+        spark, queries, idx, "vec_id", "embedding", k=5,
+        n_probe=6, route="auto", brute_cutoff_rows=0,
+    )
+    ivf = query_ivf_index(
+        spark, queries, idx, "vec_id", "embedding", k=5,
+        n_probe=6, route="ivf",
+    )
+    assert sorted(map(tuple, auto_large.collect())) == sorted(
+        map(tuple, ivf.collect())
+    )
+    # schema contract identical across routes
+    assert auto_small.columns == auto_large.columns
+
+    # unknown route is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="route"):
+        query_ivf_index(
+            spark, queries, idx, "vec_id", "embedding", route="fastest"
+        )
