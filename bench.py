@@ -446,6 +446,16 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     # files left to restart onto after their canary batches
     docs_path = _split_copy(spark, sf_dir, "documents", 12, base)
     emb_path = _split_copy(spark, sf_dir, "embeddings", 12, base)
+    # The AUTO entries read a 32-split copy with max_files=16 (r10
+    # verdict task 4: at 12 splits / max_files=4 all three
+    # recommendations landed exactly ON the clamp, so the measured
+    # steady state showed the cap, not the controller's choice; with
+    # 16x headroom and 32 files the chosen files_per_trigger is the
+    # controller's own fixed point and the restarted query still gets
+    # >= 3 steady batches at that size)
+    s32 = os.path.join(base, "s32")
+    docs32_path = _split_copy(spark, sf_dir, "documents", 32, s32)
+    emb32_path = _split_copy(spark, sf_dir, "embeddings", 32, s32)
 
     def _file_stream(path: str, files_per_trigger: int = 1):
         return (
@@ -535,7 +545,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
 
     def _curate_auto(fpt: int):
         curated = curate_corpus_stream(
-            _file_stream(docs_path, fpt),
+            _file_stream(docs32_path, fpt),
             min_quality=0.59,
             min_tokens=10,
             max_tokens=100_000,
@@ -549,7 +559,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
 
     def _neardup_auto(fpt: int):
         return stream_neardup_ingest(
-            _file_stream(docs_path, fpt).select("doc_id", "text"),
+            _file_stream(docs32_path, fpt).select("doc_id", "text"),
             os.path.join(base, "nd_out_a"),
             os.path.join(base, "nd_idx_a"),
             os.path.join(base, "chk_nd_a"),
@@ -558,7 +568,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
 
     def _embed_auto(fpt: int):
         return stream_embed_neardup_ingest(
-            _file_stream(emb_path, fpt).select("vec_id", "embedding"),
+            _file_stream(emb32_path, fpt).select("vec_id", "embedding"),
             os.path.join(base, "emb_out_a"),
             os.path.join(base, "emb_idx_a"),
             os.path.join(base, "chk_emb_a"),
@@ -577,12 +587,14 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
         _run(canary, fn)
         t0 = time.time()
         q, n, canary_prog = start_with_auto_trigger(
-            make_auto, canary_batches=1, target_batch_sec=8.0, max_files=4
+            make_auto, canary_batches=1, target_batch_sec=8.0, max_files=16
         )
         q.awaitTermination(600)
         stats = _steady_state(list(q.recentProgress))
         stats["sec_total_with_canary"] = round(time.time() - t0, 3)
         stats["files_per_trigger"] = n
+        stats["max_files"] = 16
+        stats["source_splits"] = 32
         stats["canary_batches"] = len(canary_prog)
         out[auto] = stats
     shutil.rmtree(base, ignore_errors=True)
@@ -596,6 +608,11 @@ def main() -> None:
 
     spark = get_spark("bench")
     cat = {q.name: q for q in catalog()}
+    # Contention marker (r10 verdict task 8): the committed artifact
+    # twice carried phantom regressions an idle re-run refuted, so the
+    # payload records the 1-min load average at start and end — a
+    # reader (or the next round's diff) can discount a noisy run.
+    load_start = round(os.getloadavg()[0], 2)
 
     # Pass 0 (unrecorded): JIT/codegen/parquet-footer warmup. Passes
     # 1..RECORDED_PASSES: timed; per query keep the median + spread.
@@ -609,6 +626,31 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             if record:
                 runs[name].append(time.time() - t0)
+
+    # Outlier guard (r10 verdict task 8): any query whose median moved
+    # >20% slower than the previous committed BENCH_FULL gets ONE
+    # extra pass folded into its median before the artifact is
+    # written — a single contended pass then stops masquerading as a
+    # code regression (a real regression survives the extra sample).
+    prev_timings: dict = {}
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(full_path) as f:
+            prev_timings = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        pass
+    reran = []
+    for name in BENCH_QUERIES:
+        prev = prev_timings.get(name)
+        if prev and statistics.median(runs[name]) > 1.2 * prev:
+            t0 = time.time()
+            cat[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs[name].append(time.time() - t0)
+            reran.append(name)
 
     timings = {n: round(statistics.median(ts), 3) for n, ts in runs.items()}
     spread = {
@@ -640,6 +682,9 @@ def main() -> None:
         "stored_index_scaled": stored_index_scaled,
         "streaming": streaming,
         "sf": float(sf) if sf else None,
+        "loadavg_1m": {"start": load_start,
+                       "end": round(os.getloadavg()[0], 2)},
+        "outliers_reran": reran,
     }
     print(json.dumps(payload))
     # The driver's BENCH_r{N}.json artifact keeps only a truncated tail

@@ -33,8 +33,21 @@ from projet_5spar_sparkstreaming_spark.operators.topk import top_k_per_group
 
 def _collect_bounded(df: DataFrame, max_rows: int, what: str) -> list:
     """Driver-side collect with an explicit size contract: raises
-    instead of silently materializing an unbounded side."""
-    rows = df.limit(max_rows + 1).collect()
+    instead of silently materializing an unbounded side.
+
+    The limit is a guard far above the expected row count, which is
+    CollectLimitExec's worst case: its scale-up schedule (1 partition,
+    then x4 per wave — ``spark.sql.limit.initialNumPartitions``)
+    serializes the scan into ~4 underparallelized jobs whenever the
+    input has fewer rows than the limit. One wave, all partitions —
+    measured 3x faster on a 32-file scan that doesn't reach the cap
+    (r11 embed-verify profiling)."""
+    from projet_5spar_sparkstreaming_spark.session import scoped_conf
+
+    with scoped_conf(
+        df.sparkSession, {"spark.sql.limit.initialNumPartitions": "4096"}
+    ):
+        rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise ValueError(
             f"{what} side has more than {max_rows} rows; it must be "
@@ -50,7 +63,10 @@ def bounded_broadcast_side(df: DataFrame, max_rows: int, what: str) -> DataFrame
     nothing is collected, but a side that silently grew O(corpus) (e.g.
     a percentage decimation at 100x the data) raises here instead of
     OOMing the broadcast. The check is a bounded scan
-    (``limit(max_rows+1).count()``), not a full count."""
+    (``limit(max_rows+1).count()``), not a full count; a limit+count
+    plans as GlobalLimit over locally-limited partitions (no
+    CollectLimitExec scale-up waves), so no conf scoping is needed
+    here, unlike ``_collect_bounded``."""
     if df.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
             f"{what} side has more than {max_rows} rows; it must be "
