@@ -1135,6 +1135,69 @@ def q_multimodal_jpeg_flat_luma(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg_roundtrip_bound(spark, sf_dir):
+    # Value-oracled INVARIANT for the TEXTURED JPEG path (the flat path
+    # has the exact flat_luma oracle above). A cross-engine float
+    # oracle for textured feature_sum is mathematically unsound, not
+    # just hard: measured on the sf0.001/sf0.01 render, 11 DCT
+    # coefficients land exactly on a quantizer .5 boundary and 9 of
+    # them change last-ulp value under different f64 summation orders
+    # (numpy BLAS vs ordered SQL SUM), so np.round's half-even choice
+    # there is unreproducible from SQL (r11 investigation; see
+    # multimodal_jpeg_stats). What IS provable engine-independently:
+    # the reconstruction error of a quality-90 baseline roundtrip is
+    # bounded by the IDCT image of the worst-case quantization error,
+    #   |decoded - original|_inf <= max_{r,c} sum_{u,v}
+    #       |D[u,r] D[v,c]| * qt[u,v]/2  + 0.5 (pixel rounding),
+    # clipping only shrinks the error. The Spark side huffman-decodes
+    # the real bitstream for 64 textured blocks and CHECKS the bound;
+    # the oracle states the expected invariant per media id — a
+    # corrupted bitstream, table mixup, or de/quantization regression
+    # flips the boolean and breaks the hash.
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.multimodal.jpeg import (
+        _DCT_T,
+        _QUANT_LUMA,
+        _scaled_quant,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    qt = _scaled_quant(_QUANT_LUMA, 90).reshape(8, 8).astype(np.float64)
+    absd = np.abs(_DCT_T)  # (u, x)
+    # err_bound[r, c] = sum_{u,v} |D[u,r]||D[v,c]| qt[u,v]/2
+    bound = float(np.max(absd.T @ (qt / 2.0) @ absd)) + 0.5 + 1e-9
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+
+    def _roundtrip(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, n_px, ok = [], [], []
+            for mid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                px = np.array(
+                    [max(0, min(255, int(abs(float(v)) * 512.0))) for v in vec],
+                    dtype=np.float64,
+                )
+                payload = encode_jpeg(
+                    bytes(px.astype(np.uint8)), 8, 8, 1, quality=90
+                )
+                w, h, _ch, out = decode_jpeg(payload)
+                dec = np.frombuffer(out, dtype=np.uint8).astype(np.float64)
+                ids.append(int(mid))
+                n_px.append(w * h)
+                ok.append(bool(np.max(np.abs(dec - px)) <= bound))
+            yield pd.DataFrame(
+                {"media_id": ids, "n_px": n_px, "within_bound": ok}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _roundtrip, "media_id long, n_px long, within_bound boolean"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational / TPC-H-ish (M3; exercised for join/shuffle plan quality)
 # ---------------------------------------------------------------------------
@@ -4838,6 +4901,7 @@ def catalog() -> list[CatalogQuery]:
         "multimodal_video_stats": q_multimodal_video_stats,
         "multimodal_png_luma": q_multimodal_png_luma,
         "multimodal_jpeg_flat_luma": q_multimodal_jpeg_flat_luma,
+        "multimodal_jpeg_roundtrip_bound": q_multimodal_jpeg_roundtrip_bound,
     }
     oracles = _oracles()
     oracles["doc_lang_id"] = _lang_id_sql()
@@ -5069,7 +5133,18 @@ def catalog() -> list[CatalogQuery]:
         "ROUND(SUM(trans) / 63.0, 6) AS zero_crossing_rate "
         "FROM t GROUP BY vec_id"
     )
-    oracles["multimodal_jpeg_stats"] = None  # JPEG payloads: rows-only
+    # multimodal_jpeg_stats stays rows-only BY MEASUREMENT, not
+    # omission: 9 of 11 DCT coefficients that land exactly on the
+    # quality-90 quantizer's .5 boundary are last-ulp order-unstable
+    # (numpy BLAS vs ordered SQL sums), so no SQL can reproduce
+    # np.round's half-even pick there (r11). Its gradable twins are
+    # multimodal_jpeg_flat_luma (exact DC-path value oracle) and
+    # multimodal_jpeg_roundtrip_bound (textured-path invariant below).
+    oracles["multimodal_jpeg_stats"] = None
+    oracles["multimodal_jpeg_roundtrip_bound"] = (
+        "SELECT vec_id AS media_id, CAST(64 AS BIGINT) AS n_px, "
+        "TRUE AS within_bound FROM embeddings WHERE vec_id < 64"
+    )
     # PNG is LOSSLESS, so the decoded 4x4 nearest thumbnail's bytes are
     # the encode-side clamped bytes at pixel (2i, 2j) — 0-based indices
     # 16i+2j, DuckDB lists are 1-based. round(feature*255) on the Spark
