@@ -531,71 +531,97 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     # The fpt=1 canaries stay as the flatness/regression diagnostic
     # (12 batches: per-batch ramp visible immediately). The PRIMARY
     # throughput entries are the ``*_auto`` ones: the guards' DEFAULT
-    # start-up since r10 — start_with_auto_trigger cold-starts each
-    # pipeline on fresh dirs, observes its own first batches at fpt=1,
-    # stops, and restarts at the recommendation from the SAME
-    # checkpoint (per-batch cost is ~2s of FIXED micro-batch overhead
-    # regardless of batch size, so trigger sizing is the whole
-    # throughput knob; no hand-picked constants anywhere). Steady
-    # state of the RESTARTED query is the default-path number; the
-    # canary cost is on record in sec_total_with_canary.
+    # start-up — start_with_auto_trigger cold-starts each pipeline on
+    # fresh dirs, observes its own batches, and since r11 ITERATES the
+    # proportional step across restarts to its fixed point (per-batch
+    # cost is ~2s of FIXED micro-batch overhead regardless of batch
+    # size, so the single r10 step undershot: it chose 3-6 files where
+    # 16 fit the 8s target band; no hand-picked constants anywhere).
+    # Steady state at the converged setting is the default-path
+    # number; tuning cost is on record in sec_tuning.
     from projet_5spar_sparkstreaming_spark.streaming.tuning import (
         start_with_auto_trigger,
     )
 
-    def _curate_auto(fpt: int):
-        curated = curate_corpus_stream(
-            _file_stream(docs32_path, fpt),
-            min_quality=0.59,
-            min_tokens=10,
-            max_tokens=100_000,
-        ).select("doc_id", "quality", "n_tokens")
-        return (
-            curated.writeStream.format("noop")
-            .option("checkpointLocation", os.path.join(base, "chk_cur_a"))
-            .trigger(availableNow=True)
-            .start()
-        )
+    # the iterating controller CONSUMES source files while it tunes
+    # (r11: 2-3 restarts x canary_batches+1 batches), so each auto
+    # entry tunes on the 32-split copy, then measures steady state at
+    # the converged setting over a FRESH 64-split copy — enough files
+    # for >= 3 full batches even at the 16-file cap
+    s64 = os.path.join(base, "s64")
+    docs64_path = _split_copy(spark, sf_dir, "documents", 64, s64)
+    emb64_path = _split_copy(spark, sf_dir, "embeddings", 64, s64)
 
-    def _neardup_auto(fpt: int):
-        return stream_neardup_ingest(
-            _file_stream(docs32_path, fpt).select("doc_id", "text"),
-            os.path.join(base, "nd_out_a"),
-            os.path.join(base, "nd_idx_a"),
-            os.path.join(base, "chk_nd_a"),
-            trigger={"availableNow": True},
-        )
+    def _curate_auto(src: str, tag: str):
+        def make(fpt: int):
+            curated = curate_corpus_stream(
+                _file_stream(src, fpt),
+                min_quality=0.59,
+                min_tokens=10,
+                max_tokens=100_000,
+            ).select("doc_id", "quality", "n_tokens")
+            return (
+                curated.writeStream.format("noop")
+                .option(
+                    "checkpointLocation", os.path.join(base, "chk_cur" + tag)
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
 
-    def _embed_auto(fpt: int):
-        return stream_embed_neardup_ingest(
-            _file_stream(emb32_path, fpt).select("vec_id", "embedding"),
-            os.path.join(base, "emb_out_a"),
-            os.path.join(base, "emb_idx_a"),
-            os.path.join(base, "chk_emb_a"),
-            trigger={"availableNow": True},
-            expected_index_rows=2_000_000,
-        )
+        return make
 
-    for canary, auto, fn, make_auto in (
+    def _neardup_auto(src: str, tag: str):
+        def make(fpt: int):
+            return stream_neardup_ingest(
+                _file_stream(src, fpt).select("doc_id", "text"),
+                os.path.join(base, "nd_out" + tag),
+                os.path.join(base, "nd_idx" + tag),
+                os.path.join(base, "chk_nd" + tag),
+                trigger={"availableNow": True},
+            )
+
+        return make
+
+    def _embed_auto(src: str, tag: str):
+        def make(fpt: int):
+            return stream_embed_neardup_ingest(
+                _file_stream(src, fpt).select("vec_id", "embedding"),
+                os.path.join(base, "emb_out" + tag),
+                os.path.join(base, "emb_idx" + tag),
+                os.path.join(base, "chk_emb" + tag),
+                trigger={"availableNow": True},
+                expected_index_rows=2_000_000,
+            )
+
+        return make
+
+    for canary, auto, fn, mk, tune_src, meas_src in (
         ("stream_curate_corpus", "stream_curate_corpus_auto",
-         _curate, _curate_auto),
+         _curate, _curate_auto, docs32_path, docs64_path),
         ("stream_neardup_ingest", "stream_neardup_ingest_auto",
-         _neardup_ingest, _neardup_auto),
+         _neardup_ingest, _neardup_auto, docs32_path, docs64_path),
         ("stream_embed_neardup_ingest", "stream_embed_neardup_ingest_auto",
-         _embed_ingest, _embed_auto),
+         _embed_ingest, _embed_auto, emb32_path, emb64_path),
     ):
         _run(canary, fn)
         t0 = time.time()
         q, n, canary_prog = start_with_auto_trigger(
-            make_auto, canary_batches=1, target_batch_sec=8.0, max_files=16
+            mk(tune_src, "_t"), canary_batches=1, target_batch_sec=8.0,
+            max_files=16,
         )
         q.awaitTermination(600)
-        stats = _steady_state(list(q.recentProgress))
-        stats["sec_total_with_canary"] = round(time.time() - t0, 3)
+        sec_tuning = round(time.time() - t0, 3)
+        t0 = time.time()
+        q2 = mk(meas_src, "_m")(n)
+        q2.awaitTermination(600)
+        stats = _steady_state(list(q2.recentProgress))
+        stats["sec_measure"] = round(time.time() - t0, 3)
+        stats["sec_tuning"] = sec_tuning
         stats["files_per_trigger"] = n
         stats["max_files"] = 16
-        stats["source_splits"] = 32
-        stats["canary_batches"] = len(canary_prog)
+        stats["tuning_splits"] = 32
+        stats["source_splits"] = 64
         out[auto] = stats
     shutil.rmtree(base, ignore_errors=True)
     return out
@@ -632,15 +658,16 @@ def main() -> None:
     # extra pass folded into its median before the artifact is
     # written — a single contended pass then stops masquerading as a
     # code regression (a real regression survives the extra sample).
-    prev_timings: dict = {}
+    prev_payload: dict = {}
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
     try:
         with open(full_path) as f:
-            prev_timings = json.load(f).get("queries", {})
+            prev_payload = json.load(f)
     except (OSError, ValueError):
         pass
+    prev_timings = prev_payload.get("queries", {})
     reran = []
     for name in BENCH_QUERIES:
         prev = prev_timings.get(name)
@@ -663,6 +690,37 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_SKIP_SCALED") == "1"
         else bench_stored_index_scaled(spark)
     )
+    # Scaled-section contention guard (r10 task 8, extended r11): the
+    # section runs late on a self-loaded JVM, and one committed run
+    # flipped stored_over_recompute_embed_lsh to 1.33 where an idle
+    # re-run measured 0.705. If any stored/recompute ratio worsened
+    # >25% vs the previous committed artifact, run the section once
+    # more and keep the run with the smaller total wall (timing noise
+    # only ever inflates); the discarded ratios stay on record.
+    prev_sc = prev_payload.get("stored_index_scaled") or {}
+    if stored_index_scaled is not None and prev_sc:
+        rkeys = [
+            k for k in stored_index_scaled
+            if k.startswith("stored_over_recompute") and k in prev_sc
+        ]
+        if any(stored_index_scaled[k] > 1.25 * prev_sc[k] for k in rkeys):
+            rerun = bench_stored_index_scaled(spark)
+
+            def _wall(sc: dict) -> float:
+                return sum(
+                    v["sec"] for v in sc.values()
+                    if isinstance(v, dict) and "sec" in v
+                )
+
+            first = stored_index_scaled
+            stored_index_scaled = (
+                rerun if _wall(rerun) < _wall(first) else first
+            )
+            discarded = first if stored_index_scaled is rerun else rerun
+            stored_index_scaled["scaled_reran"] = True
+            stored_index_scaled["discarded_ratios"] = {
+                k: discarded[k] for k in rkeys
+            }
     streaming = bench_streaming(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)

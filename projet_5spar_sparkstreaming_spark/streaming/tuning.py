@@ -75,6 +75,7 @@ def start_with_auto_trigger(
     max_files: int = 256,
     poll_sec: float = 0.25,
     canary_timeout_sec: float = 300.0,
+    max_restarts: int = 3,
 ):
     """Cold-start an ingest stream with the trigger auto-sized from its
     OWN first batches — the guards' default start-up since r10 (the
@@ -91,49 +92,82 @@ def start_with_auto_trigger(
     off by ``stop()`` is, and the ingest guards' ``batch_id``-based
     replay exclusion already makes that idempotent).
 
-    Runs a canary at ``current`` files/trigger until ``canary_batches``
-    steady batches are observed (or the query finishes/times out),
-    stops it, feeds the observed progress to
-    ``recommend_files_per_trigger``, and restarts at the
-    recommendation. Returns ``(query, files_per_trigger, canary_progress)``
-    — the caller awaits the returned query exactly as it would an
-    untuned one."""
+    ITERATES to the controller's fixed point (r10 verdict task 4): in
+    the ingest guards' fixed-cost-dominated regime, duration(n) ~=
+    duration(1), so the single proportional step from the fpt=1 canary
+    lands near target/fixed and UNDERSHOOTS what the stream can absorb
+    (measured: 3-6 files chosen where 16 fit the target band). Each
+    round observes ``canary_batches`` steady batches at the current
+    setting, recommends, and restarts only while the recommendation
+    keeps moving by more than +-25%, up to ``max_restarts`` restarts —
+    the geometric x target/duration step converges in 2-3 rounds. A
+    round whose query terminates cleanly mid-observation (availableNow
+    source drained) ends the search and returns that query.
+
+    Returns ``(query, files_per_trigger, last_progress)`` — the caller
+    awaits the returned query exactly as it would an untuned one."""
     import time as _time
 
-    q = make_query(current)
-    deadline = _time.monotonic() + canary_timeout_sec
-    progress: list = []
-    while _time.monotonic() < deadline and q.isActive:
-        progress = list(q.recentProgress)
-        # +1: the first batch is startup-dominated and excluded from
-        # the steady-state estimate by batch_durations_sec
-        if len(progress) >= canary_batches + 1:
-            break
-        _time.sleep(poll_sec)
-    q.stop()
-    # ADVICE r10: surface canary failures instead of restarting over
-    # them, and never launch the tuned query while the canary is still
-    # terminating (start would throw on the shared checkpoint).
-    if not q.awaitTermination(60):
-        if not q.awaitTermination(120):
-            raise TimeoutError(
-                "auto-trigger canary did not terminate within 180s "
-                "after stop(); refusing to start the tuned query "
-                "against the same checkpoint"
+    def _observe(q):
+        deadline = _time.monotonic() + canary_timeout_sec
+        progress: list = []
+        while _time.monotonic() < deadline and q.isActive:
+            progress = list(q.recentProgress)
+            # +1: the first batch is startup-dominated and excluded
+            # from the steady-state estimate by batch_durations_sec
+            if len(progress) >= canary_batches + 1:
+                break
+            _time.sleep(poll_sec)
+        return progress
+
+    def _stop_checked(q):
+        # ADVICE r10: surface canary failures instead of restarting
+        # over them, and never launch the tuned query while the canary
+        # is still terminating (start would throw on the shared
+        # checkpoint).
+        q.stop()
+        if not q.awaitTermination(60):
+            if not q.awaitTermination(120):
+                raise TimeoutError(
+                    "auto-trigger canary did not terminate within 180s "
+                    "after stop(); refusing to start the tuned query "
+                    "against the same checkpoint"
+                )
+        exc = q.exception()
+        if exc is not None:
+            raise RuntimeError(
+                f"auto-trigger canary failed; not restarting: {exc}"
             )
-    exc = q.exception()
-    if exc is not None:
-        raise RuntimeError(
-            f"auto-trigger canary failed; not restarting: {exc}"
+
+    q = make_query(current)
+    progress: list = []
+    for _ in range(max(0, max_restarts)):
+        progress = _observe(q)
+        if not q.isActive:
+            exc = q.exception()
+            if exc is not None:
+                raise RuntimeError(
+                    f"auto-trigger canary failed; not restarting: {exc}"
+                )
+            # source drained during observation: nothing left to tune
+            return q, current, progress
+        # StreamingQueryProgress supports dict-style access, so the
+        # raw objects feed recommend_files_per_trigger directly
+        n = recommend_files_per_trigger(
+            progress,
+            current=current,
+            target_batch_sec=target_batch_sec,
+            min_files=min_files,
+            max_files=max_files,
         )
-    progress = list(q.recentProgress) or progress
-    # StreamingQueryProgress supports dict-style access, so the raw
-    # objects feed recommend_files_per_trigger directly
-    n = recommend_files_per_trigger(
-        progress,
-        current=current,
-        target_batch_sec=target_batch_sec,
-        min_files=min_files,
-        max_files=max_files,
-    )
-    return make_query(n), n, progress
+        if 0.8 * current <= n <= 1.25 * current:
+            # fixed point (or clamp): the RUNNING query already is the
+            # tuned query — never stop-and-restart for the same
+            # setting (it would cut an in-flight batch just to replay
+            # it, and near a drained source the restarted query's
+            # progress would be one empty batch)
+            return q, current, progress
+        _stop_checked(q)
+        q = make_query(n)
+        current = n
+    return q, current, progress
