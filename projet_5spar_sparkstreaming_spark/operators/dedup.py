@@ -221,6 +221,18 @@ def _ppjoin_prefix(sh_like: DataFrame, threshold: float) -> DataFrame:
     exploded = sh_like.select(
         "__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__s")
     )
+    return _ppjoin_prefix_from_exploded(exploded, threshold)
+
+
+def _ppjoin_prefix_from_exploded(
+    exploded: DataFrame, threshold: float
+) -> DataFrame:
+    """`_ppjoin_prefix` body over already-exploded (__id, __sz, __s)
+    DISTINCT shingle rows — shared by the array-based main pipeline and
+    the sampled budget screen, whose rows come from the Arrow
+    ``shingle_hash_rows`` kernel (the interpreted HOF shingle
+    expression cost the screen ~7s of its measured 12s at the 100k
+    adversarial tier, r11)."""
     dfreq = (
         exploded.groupBy("__s")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -359,14 +371,26 @@ def ngram_jaccard_pairs(
         decided = False
         if n_docs > _BUDGET_SCREEN_MIN_DOCS:
             m = max(2, round(n_docs / _BUDGET_SCREEN_TARGET_DOCS))
-            sh_sample = df.filter(
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0
-            ).select(
-                F.col(id_col).alias("__id"),
-                F.sort_array(_shingle_hashes(text_col, n)).alias("__sh"),
+            # Arrow shingle kernel, not the interpreted HOF expression:
+            # the screen's whole point is to be ~1/m of the exact
+            # bound's cost, and the HOF shingling alone was ~60% of the
+            # measured screen wall at the 100k adversarial tier (r11).
+            # Posting-list lengths are hash-family-independent (both
+            # shinglers tokenize identically), so the estimate's
+            # statistic is unchanged. The per-doc size rides a window
+            # count over the same __id partitioning the prefix rank
+            # reuses.
+            ex = shingle_hash_rows(
+                df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0),
+                id_col,
+                text_col,
+                n,
+            ).dropDuplicates(["__id", "__s"])
+            exploded = ex.withColumn(
+                "__sz", F.count(F.lit(1)).over(Window.partitionBy("__id"))
             )
             est_s = _ppjoin_candidate_bound(
-                _ppjoin_prefix(sh_sample, threshold)
+                _ppjoin_prefix_from_exploded(exploded, threshold)
             ) * m * m
             if est_s > 2 * budget:
                 sh.unpersist()
