@@ -445,6 +445,8 @@ def build_ivf_index(
     n_centroids: int | str = "auto",
     kmeans_iters: int = 5,
     sample_limit: int = 100_000,
+    batch_id: int = 0,
+    expected_rows: int | None = None,
 ) -> int:
     """Persist an IVF index: the corpus cell-assigned and written as
     parquet PARTITIONED BY (cell, batch_id) under the ``data`` subtree
@@ -471,6 +473,12 @@ def build_ivf_index(
     )
 
     spark = corpus.sparkSession
+    # ``expected_rows`` sizes the quantizer for the corpus the index
+    # will GROW to (streaming build-then-append: cells are pinned at
+    # build, like the embed guard's expected_index_rows), instead of
+    # the seed batch's own count
+    if n_centroids == "auto" and expected_rows is not None:
+        n_centroids = auto_ivf_centroids(int(expected_rows))
     # the quantizer training pays a count + a sample collect and the
     # index write pays an assignment pass — cache the corpus so those
     # three actions read one materialization, not three input scans
@@ -480,12 +488,18 @@ def build_ivf_index(
     )
     with writer_lease(spark, index_path):
         delete_path(spark, index_path)
-        n_rows = _write_ivf_batch(corpus, index_path, corpus_id, corpus_vec, cent, 0)
+        n_rows = _write_ivf_batch(
+            corpus, index_path, corpus_id, corpus_vec, cent, batch_id
+        )
         corpus.unpersist()
         write_json(
             spark,
             index_path.rstrip("/") + "/_centroids.json",
-            {"centroids": cent.tolist(), "version": 0, "batches": {"0": n_rows}},
+            {
+                "centroids": cent.tolist(),
+                "version": 0,
+                "batches": {str(batch_id): n_rows},
+            },
         )
     return len(cent)
 

@@ -3230,6 +3230,52 @@ def q_knn_ivf_containment(spark, sf_dir):
     return _ann_containment_escapees(emitted, queries, emb, k_relaxed=40)
 
 
+def q_stream_ivf_ingest(spark, sf_dir):
+    # IVF streaming maintenance (streaming/dedup.py: stream_ivf_ingest,
+    # the third index family's streaming path): the embeddings table
+    # replayed as 3 micro-batches — batch 0 builds the index (quantizer
+    # pinned, cells sized for the stream's expected growth), batches
+    # 1-2 append with the STORED quantizer into their own
+    # (cell, batch_id) partitions (exactly-once under replay,
+    # test-pinned). The value check is the probe path's containment
+    # contract over the STREAM-BUILT store: every emitted neighbor must
+    # sit in the exact top-40 with a truthful cosine — oracle says the
+    # escapee count is zero.
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        query_ivf_index,
+    )
+    from projet_5spar_sparkstreaming_spark.streaming.dedup import (
+        stream_ivf_ingest,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="ivf_ingest_")
+    emb.select("vec_id", "embedding").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{base}/src").schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/src")
+    )
+    q = stream_ivf_ingest(
+        stream, f"{base}/idx", f"{base}/chk",
+        trigger={"availableNow": True},
+        expected_index_rows=2_000_000,
+    )
+    q.awaitTermination(300)
+    queries = emb.filter(F.col("vec_id") < 20)
+    emitted = query_ivf_index(
+        spark, queries, f"{base}/idx", "vec_id", "embedding",
+        k=5, n_probe=6,
+    )
+    return _ann_containment_escapees(emitted, queries, emb, k_relaxed=40)
+
+
 def _pair_cosine_escapees(emitted, side_a, side_b, floor: float):
     """Containment for approximate near-dup PAIR emitters: recompute
     each emitted pair's cosine on the independent expression path and
@@ -4455,6 +4501,7 @@ def _oracles() -> dict[str, str | None]:
         # relaxed top-k) — n_escapees = 0 is the assertable contract
         "knn_lsh_containment": "SELECT CAST(0 AS BIGINT) AS n_escapees",
         "knn_ivf_containment": "SELECT CAST(0 AS BIGINT) AS n_escapees",
+        "stream_ivf_ingest": "SELECT CAST(0 AS BIGINT) AS n_escapees",
         "embedding_neardup_containment": (
             "SELECT CAST(0 AS BIGINT) AS n_escapees"
         ),
@@ -4861,6 +4908,7 @@ def catalog() -> list[CatalogQuery]:
         "simhash_pairs_containment": q_simhash_pairs_containment,
         "knn_lsh_containment": q_knn_lsh_containment,
         "knn_ivf_containment": q_knn_ivf_containment,
+        "stream_ivf_ingest": q_stream_ivf_ingest,
         "embedding_neardup_containment": q_embedding_neardup_containment,
         "incremental_embedding_containment": q_incremental_embedding_containment,
         "stored_minhash_containment": q_stored_minhash_containment,

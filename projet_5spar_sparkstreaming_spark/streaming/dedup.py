@@ -376,3 +376,62 @@ def stream_embed_neardup_ingest(
 
     os.makedirs(out_dir, exist_ok=True)
     return foreach_batch_sink(vecs_stream, _process, checkpoint_dir, trigger)
+
+
+def stream_ivf_ingest(
+    vecs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger: dict | None = None,
+    expected_index_rows: int | None = None,
+):
+    """Maintain a persisted IVF ANN index from a vector stream — the
+    third index family's streaming path, completing the symmetry with
+    the minhash and embed-LSH ingest guards (which FILTER arrivals;
+    this one serves them: every micro-batch's vectors become queryable
+    through ``query_ivf_index`` as soon as the batch commits).
+
+    Micro-batch semantics mirror the dedup guards' index lifecycle:
+    the first batch builds the index — training the quantizer on
+    itself, with cells sized by ``expected_index_rows`` (the corpus
+    the stream is expected to ACCUMULATE: cells are pinned at build,
+    and a quantizer sized for the seed batch would leave the grown
+    index with mega-cells; standard IVF practice, same contract as the
+    embed guard's ``expected_index_rows``) — and later batches
+    ``append_to_ivf_index``: one Arrow cell-assignment pass over the
+    batch ONLY (the store is neither read nor re-assigned), landing in
+    their own ``(cell, batch_id)`` partitions via dynamic partition
+    overwrite, so a crashed-then-replayed micro-batch replaces exactly
+    itself — exactly-once index state without a transactional store.
+    Per-batch meta/existence checks are ``_centroids.json`` lookups
+    through fsio (no ``os.walk``, no per-batch ``count()`` over the
+    store); a present data tree with an unreadable meta fails the
+    batch for retry instead of rebuilding over data
+    (``require_index_meta_consistent``). Bound small files with
+    ``compact_ivf_index``; rebuild (retraining the quantizer) when the
+    corpus outgrows the cell geometry ~4x — the per-batch counts in
+    the meta make that decision mechanical.
+    """
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+    from projet_5spar_sparkstreaming_spark.streaming.sinks import foreach_batch_sink
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(id_col, vec_col)
+        spark = batch.sparkSession
+        meta = read_json(spark, index_dir.rstrip("/") + "/_centroids.json")
+        require_index_meta_consistent(spark, index_dir, meta)
+        if meta is None:
+            build_ivf_index(
+                batch, index_dir, id_col, vec_col,
+                batch_id=batch_id, expected_rows=expected_index_rows,
+            )
+        else:
+            append_to_ivf_index(batch, index_dir, id_col, vec_col, batch_id)
+
+    return foreach_batch_sink(vecs_stream, _process, checkpoint_dir, trigger)

@@ -596,3 +596,126 @@ def test_stream_embed_neardup_ingest_guard(spark, tmp_path):
     run()
     again = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
     assert again == [0, 2, 12]
+
+
+def test_stream_ivf_ingest_builds_appends_and_serves(spark, tmp_path):
+    """IVF streaming maintenance (the third index family's streaming
+    path): batch 0 builds the index with the quantizer sized for
+    expected_index_rows, later batches append with the STORED
+    quantizer into their own (cell, batch_id) partitions; the stored
+    index serves exact kNN through route='brute' identical to
+    brute-force over the raw vectors, and IVF-probe results for each
+    query sit inside the exact relaxed top-k; a replayed append and a
+    checkpoint-resumed second run change nothing (exactly-once)."""
+    import json as _json
+    import os
+    import time
+
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        append_to_ivf_index,
+        brute_force_top_k_arrow,
+        query_ivf_index,
+    )
+    from projet_5spar_sparkstreaming_spark.streaming.dedup import (
+        stream_ivf_ingest,
+    )
+
+    rng = np.random.RandomState(21)
+
+    def _vec(i):
+        v = rng.randn(16)
+        return {"vec_id": int(i), "embedding": [float(x) for x in v]}
+
+    batches = [
+        [_vec(i) for i in range(0, 30)],
+        [_vec(i) for i in range(100, 125)],
+        [_vec(i) for i in range(200, 220)],
+    ]
+    src = tmp_path / "ivsrc"
+    src.mkdir()
+    now = time.time()
+    for k, rows in enumerate(batches):
+        p = src / f"b{k}.json"
+        p.write_text("\n".join(_json.dumps(d) for d in rows))
+        os.utime(p, (now - (len(batches) - k) * 60,) * 2)
+
+    idx = str(tmp_path / "iv_idx")
+    chk = str(tmp_path / "iv_chk")
+
+    def run():
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        q = stream_ivf_ingest(
+            stream, idx, chk, trigger={"availableNow": True},
+            expected_index_rows=4096,
+        )
+        q.awaitTermination(180)
+
+    run()
+    meta = read_json(spark, idx + "/_centroids.json")
+    assert meta["batches"] == {"0": 30, "1": 25, "2": 20}
+
+    all_rows = [d for b in batches for d in b]
+    vecs = spark.createDataFrame(
+        [(d["vec_id"], d["embedding"]) for d in all_rows],
+        "vec_id long, embedding array<double>",
+    )
+    queries = vecs.limit(8)
+
+    def _knn(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine"])
+            for r in df.collect()
+        )
+
+    exact = _knn(
+        brute_force_top_k_arrow(
+            queries, vecs, "vec_id", "vec_id", k=3
+        )
+    )
+    served = _knn(
+        query_ivf_index(
+            spark, queries, idx, "vec_id", "embedding", k=3, route="brute"
+        )
+    )
+    assert served == exact
+    # the probe path's emissions sit inside the exact relaxed top-k
+    probe = query_ivf_index(
+        spark, queries, idx, "vec_id", "embedding", k=3, n_probe=4
+    )
+    relaxed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_top_k_arrow(
+            queries, vecs, "vec_id", "vec_id", k=10
+        ).collect()
+    }
+    assert {
+        (r["query_id"], r["neighbor_id"]) for r in probe.collect()
+    } <= relaxed
+
+    # replayed append (crash window): same batch_id overwrites itself
+    b1 = spark.createDataFrame(
+        [(d["vec_id"], d["embedding"]) for d in batches[1]],
+        "vec_id long, embedding array<double>",
+    )
+    append_to_ivf_index(b1, idx, "vec_id", "embedding", batch_id=1)
+    assert read_json(spark, idx + "/_centroids.json")["batches"] == {
+        "0": 30, "1": 25, "2": 20,
+    }
+    assert _knn(
+        query_ivf_index(
+            spark, queries, idx, "vec_id", "embedding", k=3, route="brute"
+        )
+    ) == exact
+
+    # checkpoint resume: a second availableNow run sees no new files
+    run()
+    assert read_json(spark, idx + "/_centroids.json")["batches"] == {
+        "0": 30, "1": 25, "2": 20,
+    }
