@@ -293,17 +293,21 @@ def _stream_src(tmp_path, guard):
     return str(src)
 
 
-@pytest.mark.parametrize("guard", ["minhash", "embed"])
+@pytest.mark.parametrize("guard", ["minhash", "embed", "ivf"])
 @pytest.mark.parametrize(
     "killpoint", ["before_index_append", "mid_append_meta"]
 )
 def test_kill9_streaming_guard_exactly_once(spark, tmp_path, guard, killpoint):
-    """r10 verdict task 5: SIGKILL the ingest guards mid-micro-batch —
-    after the survivors write but before the index append, and
-    mid-append (batch data written, meta not) — then restart from the
-    SAME checkpoint and assert the batch_id replay exclusion yields
-    exactly-once outputs and a consistent index (and the corpse's
-    writer lock is broken immediately, not after the stale TTL)."""
+    """r10 verdict task 5 (+ the r11 IVF maintenance stream): SIGKILL
+    the ingest guards mid-micro-batch — after the survivors write but
+    before the index append, and mid-append (batch data written, meta
+    not) — then restart from the SAME checkpoint and assert the
+    replay semantics yield exactly-once outputs and a consistent
+    index (and the corpse's writer lock is broken immediately, not
+    after the stale TTL). For the IVF guard exactly-once is the
+    (cell, batch_id) dynamic-overwrite idempotency: the restarted
+    stream must leave 60 distinct stored ids and brute-route queries
+    identical to a batch-exact index."""
     src = _stream_src(tmp_path, guard)
     out = str(tmp_path / "out")
     idx = str(tmp_path / "idx")
@@ -339,6 +343,7 @@ def test_kill9_streaming_guard_exactly_once(spark, tmp_path, guard, killpoint):
     # the dead child's writer lock must not block (dead-pid break)
     from projet_5spar_sparkstreaming_spark.streaming.dedup import (
         stream_embed_neardup_ingest,
+        stream_ivf_ingest,
         stream_neardup_ingest,
     )
 
@@ -357,10 +362,49 @@ def test_kill9_streaming_guard_exactly_once(spark, tmp_path, guard, killpoint):
             .option("maxFilesPerTrigger", "2")
             .json(src)
         )
-        q = stream_embed_neardup_ingest(
-            stream, out, idx, chk, dim=16, trigger={"availableNow": True}
-        )
+        if guard == "embed":
+            q = stream_embed_neardup_ingest(
+                stream, out, idx, chk, dim=16, trigger={"availableNow": True}
+            )
+        else:
+            q = stream_ivf_ingest(
+                stream, idx, chk, trigger={"availableNow": True},
+                expected_index_rows=4096,
+            )
     assert q.awaitTermination(300), "restarted guard did not finish"
+
+    if guard == "ivf":
+        # exactly-once for the maintenance stream = idempotent
+        # (cell, batch_id) overwrite: 60 distinct stored ids, meta
+        # covering the three micro-batches, and brute-route queries
+        # serving every vector as its own top-1
+        from pyspark.sql import functions as F
+
+        from projet_5spar_sparkstreaming_spark.fsio import read_json
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            _ivf_data_dir,
+            query_ivf_index,
+        )
+
+        meta = read_json(spark, idx + "/_centroids.json")
+        assert set(meta["batches"]) == {"0", "1", "2"}
+        assert sum(meta["batches"].values()) == 60
+        data = spark.read.option(
+            "basePath", _ivf_data_dir(spark, idx, int(meta.get("version", 0)))
+        ).parquet(_ivf_data_dir(spark, idx, int(meta.get("version", 0))))
+        stored_ids = sorted(r["id"] for r in data.select("id").collect())
+        assert stored_ids == list(range(60)), stored_ids
+        probes = data.select(
+            F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+        ).filter(F.col("vec_id") < 5)
+        served = query_ivf_index(
+            spark, probes, idx, "vec_id", "embedding",
+            k=1, exclude_self=False, route="brute",
+        )
+        assert sorted(
+            (r["query_id"], r["neighbor_id"]) for r in served.collect()
+        ) == [(i, i) for i in range(5)]
+        return
 
     id_col = "doc_id" if guard == "minhash" else "vec_id"
     kept = [r[id_col] for r in spark.read.parquet(out).select(id_col).collect()]

@@ -58,16 +58,20 @@ def install_barrier(guard: str, killpoint: str) -> None:
 
     if guard == "minhash":
         dd.append_to_minhash_index = wrap_append(dd.append_to_minhash_index)
-    else:
+    elif guard == "embed":
         sim.append_to_embed_lsh_index = wrap_append(
             sim.append_to_embed_lsh_index
         )
+    else:  # ivf: the maintenance guard appends via the same shape
+        sim.append_to_ivf_index = wrap_append(sim.append_to_ivf_index)
 
     if killpoint == "mid_append_meta":
         real_wj = fsio.write_json
 
         def hooked_wj(spark, path, obj):
-            if armed["on"] and path.endswith("_meta.json"):
+            if armed["on"] and (
+                path.endswith("_meta.json") or path.endswith("_centroids.json")
+            ):
                 _hang()
             real_wj(spark, path, obj)
 
@@ -83,6 +87,7 @@ def main() -> None:
     from projet_5spar_sparkstreaming_spark.session import get_spark
     from projet_5spar_sparkstreaming_spark.streaming.dedup import (
         stream_embed_neardup_ingest,
+        stream_ivf_ingest,
         stream_neardup_ingest,
     )
 
@@ -102,9 +107,15 @@ def main() -> None:
             .option("maxFilesPerTrigger", "2")
             .json(src)
         )
-        q = stream_embed_neardup_ingest(
-            stream, out, idx, chk, dim=16, trigger={"availableNow": True}
-        )
+        if guard == "embed":
+            q = stream_embed_neardup_ingest(
+                stream, out, idx, chk, dim=16, trigger={"availableNow": True}
+            )
+        else:
+            q = stream_ivf_ingest(
+                stream, idx, chk, trigger={"availableNow": True},
+                expected_index_rows=4096,
+            )
     q.awaitTermination(240)
     # reaching here means the barrier never fired — the parent treats a
     # clean exit as a scenario error
