@@ -705,6 +705,105 @@ def compact_ivf_index(
     return meta
 
 
+def rebuild_ivf_index(
+    spark,
+    index_path: str,
+    n_centroids: int | str = "auto",
+    kmeans_iters: int = 5,
+    sample_limit: int = 100_000,
+    target_partitions: int | None = None,
+) -> dict:
+    """RETRAIN a grown IVF index's quantizer from its own stored
+    vectors — the mechanical step the append path's docs defer to
+    ("rebuild when the corpus outgrows its cell geometry ~4x"). Appends
+    assign with the quantizer pinned at build, so cells grow with the
+    corpus and probe cost with them; the per-batch counts in the meta
+    say when, this says how, and no caller has to keep the raw corpus
+    around: the stored ``(id, vec)`` rows ARE the corpus.
+
+    Reader-safe like compaction: new centroids are trained (k-means on
+    a bounded sample, ``n_centroids="auto"`` sized from the meta's
+    total row count), ALL stored vectors are re-assigned and rewritten
+    under ``data_v{N+1}`` — ``batch_id`` values preserved verbatim, so
+    streaming replay exclusion and per-batch meta counts survive the
+    rebuild — and the meta's (centroids, version) pair flips in one
+    crash-safe ``write_json``: a concurrent reader holds EITHER the old
+    centroids with the old tree OR the new with the new, never a mix
+    (the quantizer lives inside the meta precisely so this flip is
+    atomic). Serialized against appends/compactions by the writer
+    lease; the flip-time drift guard aborts if a replayed append
+    changed any batch under us. Returns the updated meta."""
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        clean_versions_except,
+        read_json,
+        require_no_meta_drift,
+        versioned_subdir,
+        write_json,
+        writer_lease,
+    )
+    from projet_5spar_sparkstreaming_spark.session import (
+        scoped_conf,
+        wide_vector_reader_capacity,
+    )
+
+    meta_path = index_path.rstrip("/") + "/_centroids.json"
+    with writer_lease(spark, index_path):
+        meta = read_json(spark, meta_path)
+        if meta is None:
+            raise FileNotFoundError(f"no IVF index at {index_path}")
+        version = int(meta.get("version", 0))
+        snapshot = dict(meta["batches"])
+        total_rows = sum(int(v) for v in snapshot.values())
+        if n_centroids == "auto":
+            n_centroids = auto_ivf_centroids(total_rows)
+        n_parts = target_partitions or spark.sparkContext.defaultParallelism
+        clean_versions_except(spark, index_path, "data", {version})
+        live_dir = _ivf_data_dir(spark, index_path, version)
+        old_cents = meta.get("centroids") or []
+        cap = wide_vector_reader_capacity(
+            len(old_cents[0]) if old_cents else 0
+        )
+        confs = (
+            {"spark.sql.parquet.columnarReaderBatchSize": cap}
+            if cap is not None
+            else {}
+        )
+        with scoped_conf(spark, confs):
+            stored = (
+                spark.read.option("basePath", live_dir)
+                .parquet(live_dir)
+                .select("id", "vec", "batch_id")
+                .cache()
+            )
+            cent = _train_ivf_centroids(
+                stored, "id", "vec", n_centroids, kmeans_iters, sample_limit
+            )
+            assigned = _assign_ivf_cells(stored, cent, "id", "vec").select(
+                F.col("__cid").alias("id"),
+                F.col("__cell").alias("cell"),
+                F.col("__cv").alias("vec"),
+            )
+            (
+                # the assignment pass carries only (id, cell, vec);
+                # batch_id rides back via an id equi-join against the
+                # cached store (ids unique) — a once-per-rebuild
+                # whole-store shuffle the repartition below needs anyway
+                assigned.join(stored.select("id", "batch_id"), "id")
+                .repartition(n_parts, "cell", "batch_id")
+                .write.mode("overwrite")
+                .partitionBy("cell", "batch_id")
+                .parquet(versioned_subdir(index_path, "data", version + 1))
+            )
+            stored.unpersist()
+        require_no_meta_drift(
+            read_json(spark, meta_path), snapshot, version, index_path
+        )
+        meta["centroids"] = cent.tolist()
+        meta["version"] = version + 1
+        write_json(spark, meta_path, meta)  # the flip
+    return meta
+
+
 def query_ivf_index(
     spark,
     queries: DataFrame,

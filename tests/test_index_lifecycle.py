@@ -1724,3 +1724,84 @@ def test_ivf_query_route_auto_both_regimes(spark, sf_dir, tmp_path):
         query_ivf_index(
             spark, queries, idx, "vec_id", "embedding", route="fastest"
         )
+
+
+def test_ivf_rebuild_retrains_quantizer_preserving_results(spark, tmp_path):
+    """rebuild_ivf_index retrains the quantizer from the STORED vectors
+    (no raw corpus needed), rewrites the data tree under the next
+    version with batch_ids preserved verbatim, and flips (centroids,
+    version) atomically: brute-route results are identical pre/post
+    (the stored vectors are untouched), the probe path's emissions stay
+    inside the exact relaxed top-k at the NEW cell geometry, per-batch
+    meta counts survive, and appends keep working after the flip."""
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+        rebuild_ivf_index,
+    )
+
+    rng = np.random.RandomState(33)
+
+    def mk(ids):
+        rows = []
+        for i in ids:
+            v = rng.randn(16)
+            rows.append((int(i), [float(x) for x in v / np.linalg.norm(v)]))
+        return rows
+
+    b0, b1, b2 = mk(range(40)), mk(range(100, 140)), mk(range(200, 240))
+    idx = str(tmp_path / "ivf_rebuild")
+    build_ivf_index(
+        _vecs_df(spark, b0), idx, "vec_id", "embedding", n_centroids=4
+    )
+    append_to_ivf_index(_vecs_df(spark, b1), idx, "vec_id", "embedding", 1)
+    append_to_ivf_index(_vecs_df(spark, b2), idx, "vec_id", "embedding", 2)
+
+    queries = _vecs_df(spark, mk(range(900, 910)))
+
+    def knn(route):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine"])
+            for r in query_ivf_index(
+                spark, queries, idx, "vec_id", "embedding",
+                k=3, n_probe=3, route=route,
+            ).collect()
+        )
+
+    before_exact = knn("brute")
+    meta = rebuild_ivf_index(spark, idx, n_centroids=12)
+    assert meta["version"] == 1 and len(meta["centroids"]) == 12
+    assert meta["batches"] == {"0": 40, "1": 40, "2": 40}
+    assert read_json(spark, idx + "/_centroids.json")["version"] == 1
+    assert knn("brute") == before_exact
+    # probe path honest at the new geometry: emissions within exact
+    # relaxed top-k of the full store
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        brute_force_top_k_arrow,
+    )
+
+    store = _vecs_df(spark, b0 + b1 + b2)
+    relaxed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_top_k_arrow(
+            queries, store, "vec_id", "vec_id", k=20
+        ).collect()
+    }
+    probe = {
+        (r["query_id"], r["neighbor_id"])
+        for r in query_ivf_index(
+            spark, queries, idx, "vec_id", "embedding", k=3, n_probe=4
+        ).collect()
+    }
+    assert probe <= relaxed and probe
+    # lifecycle continues: append lands in the new tree
+    append_to_ivf_index(
+        _vecs_df(spark, mk(range(300, 320))), idx, "vec_id", "embedding", 3
+    )
+    m2 = read_json(spark, idx + "/_centroids.json")
+    assert m2["batches"]["3"] == 20 and m2["version"] == 1
+    assert len(knn("brute")) == 30
