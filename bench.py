@@ -210,7 +210,7 @@ def bench_stored_index(spark, sf_dir: str) -> dict[str, dict]:
             recall_at=0.5, target_recall=0.9),
         "stored_ivf_query": lambda: query_ivf_index(
             spark, q_vecs, ivf_store, "vec_id", "embedding",
-            k=5, n_probe=6),
+            k=5, n_probe=6, route="ivf"),  # this entry MEASURES the probe path
         "recompute_ivf": lambda: ivf_top_k(
             q_vecs, emb, "vec_id", "vec_id", k=5,
             n_centroids=16, n_probe=6),
@@ -366,12 +366,15 @@ def bench_stored_index_scaled(spark) -> dict:
         "recompute_embed_lsh_cand": lambda: cosine_incremental_pairs(
             probe_vecs, store_vecs, "vec_id", "embedding",
             n_planes=n_planes, n_tables=n_tables, dim=dim, verify=False),
+        # route="ivf" pins: these two entries MEASURE the probe path's
+        # cost flatness across a 10x store-size spread — auto-routing
+        # them to brute would measure the wrong kernel
         "ivf_probe_small_store": lambda: query_ivf_index(
             spark, q_vecs, ivf_small, "vec_id", "embedding",
-            k=10, n_probe=8),
+            k=10, n_probe=8, route="ivf"),
         "ivf_probe_large_store": lambda: query_ivf_index(
             spark, q_vecs, ivf_large, "vec_id", "embedding",
-            k=10, n_probe=8),
+            k=10, n_probe=8, route="ivf"),
     }
     runs: dict[str, list[float]] = {n: [] for n in plans}
     # warm + TWO recorded passes (not RECORDED_PASSES): the section
@@ -446,16 +449,16 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     # files left to restart onto after their canary batches
     docs_path = _split_copy(spark, sf_dir, "documents", 12, base)
     emb_path = _split_copy(spark, sf_dir, "embeddings", 12, base)
-    # The AUTO entries read a 32-split copy with max_files=16 (r10
-    # verdict task 4: at 12 splits / max_files=4 all three
-    # recommendations landed exactly ON the clamp, so the measured
-    # steady state showed the cap, not the controller's choice; with
-    # 16x headroom and 32 files the chosen files_per_trigger is the
-    # controller's own fixed point and the restarted query still gets
-    # >= 3 steady batches at that size)
-    s32 = os.path.join(base, "s32")
-    docs32_path = _split_copy(spark, sf_dir, "documents", 32, s32)
-    emb32_path = _split_copy(spark, sf_dir, "embeddings", 32, s32)
+    # The AUTO entries tune on a 64-split copy with max_files=32 (r11
+    # verdict task 3: at 32 splits / max_files=16 two of the three
+    # fixed points landed exactly ON the cap, so the measured steady
+    # state still showed the clamp, not the controller's choice — the
+    # r10 problem moved from 4 to 16; with 32-file headroom and 64
+    # tuning files the chosen files_per_trigger is the controller's
+    # own fixed point)
+    s64t = os.path.join(base, "s64t")
+    docs64t_path = _split_copy(spark, sf_dir, "documents", 64, s64t)
+    emb64t_path = _split_copy(spark, sf_dir, "embeddings", 64, s64t)
 
     def _file_stream(path: str, files_per_trigger: int = 1):
         return (
@@ -545,12 +548,12 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
 
     # the iterating controller CONSUMES source files while it tunes
     # (r11: 2-3 restarts x canary_batches+1 batches), so each auto
-    # entry tunes on the 32-split copy, then measures steady state at
-    # the converged setting over a FRESH 64-split copy — enough files
-    # for >= 3 full batches even at the 16-file cap
-    s64 = os.path.join(base, "s64")
-    docs64_path = _split_copy(spark, sf_dir, "documents", 64, s64)
-    emb64_path = _split_copy(spark, sf_dir, "embeddings", 64, s64)
+    # entry tunes on the 64-split copy, then measures steady state at
+    # the converged setting over a FRESH 96-split copy — enough files
+    # for >= 3 full batches even at the 32-file cap
+    s96 = os.path.join(base, "s96")
+    docs96_path = _split_copy(spark, sf_dir, "documents", 96, s96)
+    emb96_path = _split_copy(spark, sf_dir, "embeddings", 96, s96)
 
     def _curate_auto(src: str, tag: str):
         def make(fpt: int):
@@ -598,17 +601,17 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
 
     for canary, auto, fn, mk, tune_src, meas_src in (
         ("stream_curate_corpus", "stream_curate_corpus_auto",
-         _curate, _curate_auto, docs32_path, docs64_path),
+         _curate, _curate_auto, docs64t_path, docs96_path),
         ("stream_neardup_ingest", "stream_neardup_ingest_auto",
-         _neardup_ingest, _neardup_auto, docs32_path, docs64_path),
+         _neardup_ingest, _neardup_auto, docs64t_path, docs96_path),
         ("stream_embed_neardup_ingest", "stream_embed_neardup_ingest_auto",
-         _embed_ingest, _embed_auto, emb32_path, emb64_path),
+         _embed_ingest, _embed_auto, emb64t_path, emb96_path),
     ):
         _run(canary, fn)
         t0 = time.time()
         q, n, canary_prog = start_with_auto_trigger(
             mk(tune_src, "_t"), canary_batches=1, target_batch_sec=8.0,
-            max_files=16,
+            max_files=32,
         )
         q.awaitTermination(600)
         sec_tuning = round(time.time() - t0, 3)
@@ -619,9 +622,9 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
         stats["sec_measure"] = round(time.time() - t0, 3)
         stats["sec_tuning"] = sec_tuning
         stats["files_per_trigger"] = n
-        stats["max_files"] = 16
-        stats["tuning_splits"] = 32
-        stats["source_splits"] = 64
+        stats["max_files"] = 32
+        stats["tuning_splits"] = 64
+        stats["source_splits"] = 96
         out[auto] = stats
     shutil.rmtree(base, ignore_errors=True)
     return out
@@ -653,11 +656,15 @@ def main() -> None:
             if record:
                 runs[name].append(time.time() - t0)
 
-    # Outlier guard (r10 verdict task 8): any query whose median moved
-    # >20% slower than the previous committed BENCH_FULL gets ONE
-    # extra pass folded into its median before the artifact is
-    # written — a single contended pass then stops masquerading as a
-    # code regression (a real regression survives the extra sample).
+    # Outlier guard (r10 verdict task 8; SYMMETRIC since r12 — the
+    # one-sided version could only ratchet the artifact faster, giving
+    # real regressions an extra chance to be median-ed away while
+    # improvements were never re-verified): any query whose median
+    # moved >20% in EITHER direction vs the previous committed
+    # BENCH_FULL gets ONE extra pass folded into its median before the
+    # artifact is written — a single contended (or single lucky) pass
+    # stops masquerading as a code change; a real move survives the
+    # extra sample.
     prev_payload: dict = {}
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -671,13 +678,15 @@ def main() -> None:
     reran = []
     for name in BENCH_QUERIES:
         prev = prev_timings.get(name)
-        if prev and statistics.median(runs[name]) > 1.2 * prev:
+        med = statistics.median(runs[name])
+        if prev and (med > 1.2 * prev or med < 0.8 * prev):
             t0 = time.time()
             cat[name].build(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             runs[name].append(time.time() - t0)
-            reran.append(name)
+            reran.append({"query": name,
+                          "direction": "slower" if med > prev else "faster"})
 
     timings = {n: round(statistics.median(ts), 3) for n, ts in runs.items()}
     spread = {
@@ -690,20 +699,24 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_SKIP_SCALED") == "1"
         else bench_stored_index_scaled(spark)
     )
-    # Scaled-section contention guard (r10 task 8, extended r11): the
-    # section runs late on a self-loaded JVM, and one committed run
-    # flipped stored_over_recompute_embed_lsh to 1.33 where an idle
-    # re-run measured 0.705. If any stored/recompute ratio worsened
-    # >25% vs the previous committed artifact, run the section once
-    # more and keep the run with the smaller total wall (timing noise
-    # only ever inflates); the discarded ratios stay on record.
+    # Scaled-section contention guard (r10 task 8, extended r11;
+    # SYMMETRIC since r12): the section runs late on a self-loaded JVM,
+    # and one committed run flipped stored_over_recompute_embed_lsh to
+    # 1.33 where an idle re-run measured 0.705. If any stored/recompute
+    # ratio moved >25% in EITHER direction vs the previous committed
+    # artifact, run the section once more; the primary stays the run
+    # with the smaller total wall (timing noise only ever inflates
+    # wall), but BOTH runs' ratios go on record so artifact-to-artifact
+    # diffs can't silently absorb a genuine move either way.
     prev_sc = prev_payload.get("stored_index_scaled") or {}
     if stored_index_scaled is not None and prev_sc:
         rkeys = [
             k for k in stored_index_scaled
             if k.startswith("stored_over_recompute") and k in prev_sc
         ]
-        if any(stored_index_scaled[k] > 1.25 * prev_sc[k] for k in rkeys):
+        if any(stored_index_scaled[k] > 1.25 * prev_sc[k]
+               or stored_index_scaled[k] < 0.75 * prev_sc[k]
+               for k in rkeys):
             rerun = bench_stored_index_scaled(spark)
 
             def _wall(sc: dict) -> float:
@@ -722,6 +735,38 @@ def main() -> None:
                 k: discarded[k] for k in rkeys
             }
     streaming = bench_streaming(spark, sf_dir)
+    # Streaming contention guard (r11 verdict task 2): the outlier
+    # guard above never covered the streaming section, so r11's
+    # 18-23% absolute rows/s drop went to record with no second
+    # sample. If any entry's steady-state rows/s moved >20% in EITHER
+    # direction vs the previous committed artifact, run the section
+    # once more; the primary is the run with the higher total rows/s
+    # (contention only deflates throughput), and the discarded run's
+    # rates stay on record so diffs can't absorb a genuine move.
+    prev_st = prev_payload.get("streaming") or {}
+
+    def _rates(sec: dict) -> dict:
+        return {
+            k: v["rows_per_s_steady"]
+            for k, v in sec.items()
+            if isinstance(v, dict) and v.get("rows_per_s_steady")
+        }
+
+    cur_r, prev_r = _rates(streaming), _rates(prev_st)
+    moved = sorted(
+        k for k in cur_r
+        if k in prev_r and not 0.8 * prev_r[k] <= cur_r[k] <= 1.2 * prev_r[k]
+    )
+    if moved:
+        rerun_st = bench_streaming(spark, sf_dir)
+        if sum(_rates(rerun_st).values()) > sum(cur_r.values()):
+            streaming, discarded_st = rerun_st, streaming
+        else:
+            discarded_st = rerun_st
+        streaming["streaming_reran"] = {
+            "trigger_entries": moved,
+            "discarded_rows_per_s_steady": _rates(discarded_st),
+        }
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -385,6 +385,41 @@ def delete_path(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     return bool(fs.delete(hpath, recursive))
 
 
+def _build_marker_path(index_path: str) -> str:
+    return index_path.rstrip("/") + ".building"
+
+
+def set_build_marker(spark: SparkSession, index_path: str) -> None:
+    """Declare a from-scratch index BUILD in progress: the sibling
+    marker ``{index}.building`` (outside the index dir, like the
+    writer lock, so the build's initial recursive delete can't eat it).
+    Written by ``build_*_index`` BEFORE they delete/recreate the tree,
+    cleared only after the meta lands — so data-present/meta-None
+    *with the marker up* is provably a crashed build whose data was
+    never acknowledged (the batch that wrote it will be replayed), and
+    ``require_index_meta_consistent`` lets the retry rebuild instead
+    of wedging (r11 advice: a SIGKILL during the FIRST micro-batch's
+    build left a permanent retry loop — unlike the mid-swap case there
+    is no ``.old`` meta aside to restore)."""
+    write_json(
+        spark, _build_marker_path(index_path), {"building_since_unix": _time.time()}
+    )
+
+
+def clear_build_marker(spark: SparkSession, index_path: str) -> None:
+    """Drop the build-in-progress marker (see ``set_build_marker``)."""
+    delete_path(spark, _build_marker_path(index_path), recursive=False)
+    # write_json's crash asides for the marker are meaningless once the
+    # build committed — drop them so nothing resurrects a stale marker
+    for suffix in (".old", ".tmp"):
+        delete_path(spark, _build_marker_path(index_path) + suffix, recursive=False)
+
+
+def build_marker_present(spark: SparkSession, index_path: str) -> bool:
+    """True when a from-scratch build is (or crashed) in progress."""
+    return path_exists(spark, _build_marker_path(index_path))
+
+
 def rename_path(spark: SparkSession, src: str, dst: str) -> bool:
     """Rename/move ``src`` to ``dst`` on their shared filesystem."""
     fs, hsrc = _fs_path(spark, src)

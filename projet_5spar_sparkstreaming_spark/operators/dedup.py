@@ -1778,13 +1778,17 @@ def build_minhash_index(
     ``sigs_v{N}``/``bands_v{N}`` after N compactions) — readers resolve
     their scan paths through it."""
     from projet_5spar_sparkstreaming_spark.fsio import (
+        clear_build_marker,
         delete_path,
+        set_build_marker,
         write_json,
         writer_lease,
     )
 
     spark = docs.sparkSession
     with writer_lease(spark, index_path):
+        # crashed-build self-heal: see build_ivf_index / set_build_marker
+        set_build_marker(spark, index_path)
         delete_path(spark, index_path)
         n_rows = _write_minhash_batch(
             docs, index_path, id_col, text_col, n, num_hashes, bands, batch_id,
@@ -1801,6 +1805,7 @@ def build_minhash_index(
                 "batches": {str(batch_id): n_rows},
             },
         )
+        clear_build_marker(spark, index_path)
 
 
 def _write_minhash_batch(

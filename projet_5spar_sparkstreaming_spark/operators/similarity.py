@@ -402,10 +402,19 @@ def _pandas_row_chunks(pdf, vec_col: str, extra_cols: int = 0, max_bytes: int = 
 
 
 def _assign_ivf_cells(
-    corpus: DataFrame, cent, corpus_id: str, corpus_vec: str
+    corpus: DataFrame,
+    cent,
+    corpus_id: str,
+    corpus_vec: str,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(__cid, __cell, __cv): each corpus row labeled with its nearest
-    centroid — one distributed Arrow pass, the quantizer closed over."""
+    """(__cid, __cell, __cv, *passthrough): each corpus row labeled with
+    its nearest centroid — one distributed Arrow pass, the quantizer
+    closed over. ``passthrough`` columns ride the pass verbatim (kept
+    under their own names), so callers that need extra row attributes
+    downstream (e.g. rebuild's ``batch_id``) never re-join on ``id`` —
+    an id equi-join would FAN OUT rows when ids repeat across batches
+    (at-least-once upstreams deliver the same id in two batches)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -416,8 +425,9 @@ def _assign_ivf_cells(
             T.StructField("__cell", T.IntegerType(), False),
             T.StructField("__cv", corpus.schema[corpus_vec].dataType, False),
         ]
+        + [T.StructField(c, corpus.schema[c].dataType, True) for c in passthrough]
     )
-    cidc, cvecc = corpus_id, corpus_vec
+    cidc, cvecc, extra = corpus_id, corpus_vec, tuple(passthrough)
 
     def _assign_corpus(batches):
         for pdf0 in batches:
@@ -428,13 +438,14 @@ def _assign_ivf_cells(
                 m = np.array(list(pdf[cvecc]), dtype=np.float64)
                 m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
                 cells = np.argmax(m @ cent.T, axis=1).astype(np.int32)
-                yield pd.DataFrame(
-                    {"__cid": pdf[cidc], "__cell": cells, "__cv": pdf[cvecc]}
-                )
+                out = {"__cid": pdf[cidc], "__cell": cells, "__cv": pdf[cvecc]}
+                for c in extra:
+                    out[c] = pdf[c]
+                yield pd.DataFrame(out)
 
-    return _ensure_min_parallelism(corpus.select(cidc, cvecc), cidc).mapInPandas(
-        _assign_corpus, cell_schema
-    )
+    return _ensure_min_parallelism(
+        corpus.select(cidc, cvecc, *extra), cidc
+    ).mapInPandas(_assign_corpus, cell_schema)
 
 
 def build_ivf_index(
@@ -467,7 +478,9 @@ def build_ivf_index(
     mechanical), bound small files with ``compact_ivf_index``.
     Returns the cell count."""
     from projet_5spar_sparkstreaming_spark.fsio import (
+        clear_build_marker,
         delete_path,
+        set_build_marker,
         write_json,
         writer_lease,
     )
@@ -487,6 +500,12 @@ def build_ivf_index(
         corpus, corpus_id, corpus_vec, n_centroids, kmeans_iters, sample_limit
     )
     with writer_lease(spark, index_path):
+        # marker BEFORE the delete, cleared only after the meta lands:
+        # a crash anywhere in between leaves data-without-meta UNDER the
+        # marker, which require_index_meta_consistent treats as a
+        # crashed never-acknowledged build (rebuildable on replay)
+        # instead of wedging the retry loop
+        set_build_marker(spark, index_path)
         delete_path(spark, index_path)
         n_rows = _write_ivf_batch(
             corpus, index_path, corpus_id, corpus_vec, cent, batch_id
@@ -501,6 +520,7 @@ def build_ivf_index(
                 "batches": {str(batch_id): n_rows},
             },
         )
+        clear_build_marker(spark, index_path)
     return len(cent)
 
 
@@ -778,18 +798,22 @@ def rebuild_ivf_index(
             cent = _train_ivf_centroids(
                 stored, "id", "vec", n_centroids, kmeans_iters, sample_limit
             )
-            assigned = _assign_ivf_cells(stored, cent, "id", "vec").select(
+            # batch_id rides THROUGH the assignment pass (passthrough
+            # column), never re-joined on id: at-least-once upstreams
+            # legally deliver one id in two batches, and an id equi-join
+            # here would fan those rows out 2x2 on every rebuild —
+            # silently inflating the store and desyncing the per-batch
+            # meta counts that are preserved verbatim below
+            assigned = _assign_ivf_cells(
+                stored, cent, "id", "vec", passthrough=("batch_id",)
+            ).select(
                 F.col("__cid").alias("id"),
                 F.col("__cell").alias("cell"),
                 F.col("__cv").alias("vec"),
+                "batch_id",
             )
             (
-                # the assignment pass carries only (id, cell, vec);
-                # batch_id rides back via an id equi-join against the
-                # cached store (ids unique) — a once-per-rebuild
-                # whole-store shuffle the repartition below needs anyway
-                assigned.join(stored.select("id", "batch_id"), "id")
-                .repartition(n_parts, "cell", "batch_id")
+                assigned.repartition(n_parts, "cell", "batch_id")
                 .write.mode("overwrite")
                 .partitionBy("cell", "batch_id")
                 .parquet(versioned_subdir(index_path, "data", version + 1))
@@ -811,10 +835,10 @@ def query_ivf_index(
     query_id: str,
     query_vec: str = "embedding",
     k: int = 10,
-    n_probe: int | str = 4,
+    n_probe: int | str = "auto",
     exclude_self: bool = True,
     max_query_rows: int = 100_000,
-    route: str = "ivf",
+    route: str = "auto",
     brute_cutoff_rows: int = 2_000_000,
 ) -> DataFrame:
     """Approximate top-k against a stored IVF index (``build_ivf_index``):
@@ -836,7 +860,16 @@ def query_ivf_index(
     scan wins and grows its lead with the store (measured crossover:
     brute 2.0/2.6 s vs probe 2.8/3.0 s at 500k rows; probe 4.5-6.5 s
     vs brute 12.5-17.6 s at 5M; 9-19 s vs 112-131 s at 50M — see
-    ``tools/ivf_crossover.py``, IVF_CROSSOVER_r11.json)."""
+    ``tools/ivf_crossover.py``, IVF_CROSSOVER_r11.json).
+
+    DEFAULTS ship the measured findings (r12, verdict task 1):
+    ``route="auto"`` (the store-size routing above) and
+    ``n_probe="auto"`` (constant probed FRACTION of the cells — a
+    fixed width erodes recall as cells grow: measured 0.996 -> 0.874
+    going 5M -> 50M rows at n_probe=4). A bare call gets the path the
+    crossover artifacts say wins; pass ``route="ivf"`` with an explicit
+    ``n_probe`` to pin the legacy probe behavior (benchmarks measuring
+    the probe path itself do exactly that)."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -1471,7 +1504,9 @@ def build_embed_lsh_index(
     outgrows the sizing by another ~2^10, rebuild (parameters live in
     the meta precisely so a rebuild is mechanical). Returns the meta."""
     from projet_5spar_sparkstreaming_spark.fsio import (
+        clear_build_marker,
         delete_path,
+        set_build_marker,
         write_json,
         writer_lease,
     )
@@ -1489,6 +1524,8 @@ def build_embed_lsh_index(
             sized_for, dim=dim, recall_at=recall_at, target_recall=target_recall
         )
     with writer_lease(spark, index_path):
+        # crashed-build self-heal: see build_ivf_index / set_build_marker
+        set_build_marker(spark, index_path)
         delete_path(spark, index_path)
         n_rows = _write_embed_batch(
             vecs, index_path, id_col, vec_col, n_planes, n_tables, dim, batch_id
@@ -1503,6 +1540,7 @@ def build_embed_lsh_index(
             "batches": {str(batch_id): n_rows},
         }
         write_json(spark, _embed_meta_path(index_path), meta)
+        clear_build_marker(spark, index_path)
     return meta
 
 

@@ -3267,13 +3267,28 @@ def q_stream_ivf_ingest(spark, sf_dir):
         trigger={"availableNow": True},
         expected_index_rows=2_000_000,
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # availableNow not done in 300 s: the probe below would read a
+        # HALF-BUILT index and fail the zero-escapee oracle flakily —
+        # raise so the failure is diagnosable (r11 advice)
+        q.stop()
+        raise TimeoutError(
+            "stream_ivf_ingest: availableNow stream not terminated in 300s"
+        )
     queries = emb.filter(F.col("vec_id") < 20)
     emitted = query_ivf_index(
         spark, queries, f"{base}/idx", "vec_id", "embedding",
-        k=5, n_probe=6,
+        k=5, n_probe=6, route="ivf",
     )
-    return _ann_containment_escapees(emitted, queries, emb, k_relaxed=40)
+    probe = _ann_containment_escapees(emitted, queries, emb, k_relaxed=40)
+    # the escapee count is one row — materialize it NOW so the mkdtemp
+    # base (source copy + index + checkpoint) can be deleted instead of
+    # leaking a full index per invocation (warmup + recorded passes)
+    rows = probe.collect()
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, probe.schema)
 
 
 def _pair_cosine_escapees(emitted, side_a, side_b, floor: float):
@@ -3430,7 +3445,8 @@ def q_stored_ivf_containment(spark, sf_dir):
     store = _session_store_path(spark, "ivf_store", sf_dir)
     build_ivf_index(emb, store, "vec_id", "embedding", n_centroids=16)
     emitted = query_ivf_index(
-        spark, queries, store, "vec_id", "embedding", k=5, n_probe=6
+        spark, queries, store, "vec_id", "embedding", k=5, n_probe=6,
+        route="ivf",  # this entry's contract IS the probe path
     )
     return _ann_containment_escapees(emitted, queries, emb, k_relaxed=40)
 

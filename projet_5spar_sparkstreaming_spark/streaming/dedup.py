@@ -38,20 +38,34 @@ def require_index_meta_consistent(spark, index_dir: str, meta) -> None:
     """Refuse to treat an index whose data is on disk but whose
     ``_meta.json`` read came back None as "no index": that state is
     either the transient no-file instant of a concurrent crash-safe
-    meta swap (``fsio.write_json``) or a crashed build — in both cases
-    rebuilding would DELETE the accumulated store
+    meta swap (``fsio.write_json``) or a crashed mid-life mutation —
+    in both cases rebuilding would DELETE the accumulated store
     (``build_minhash_index``/``build_embed_lsh_index`` start with a
     recursive delete). Raising makes the micro-batch fail and RETRY
     from the checkpoint instead; an operator restores the meta (its
-    ``.old`` aside survives a mid-swap crash) if the state persists."""
+    ``.old`` aside survives a mid-swap crash) if the state persists.
+
+    ONE exception (r11 advice): data-present/meta-None *under the
+    sibling ``{index}.building`` marker* is a build that crashed
+    between its first write and its meta — that data was never
+    acknowledged (its micro-batch is exactly the one being replayed)
+    and, unlike the mid-swap case, there is no ``.old`` aside to
+    restore, so raising here would wedge the retry loop permanently.
+    The marker proves it is safe to fall through to the guard's build
+    path, whose initial recursive delete clears the debris."""
     if meta is not None:
         return
-    from projet_5spar_sparkstreaming_spark.fsio import path_exists
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        build_marker_present,
+        path_exists,
+    )
 
     if path_exists(spark, index_dir):
+        if build_marker_present(spark, index_dir):
+            return  # crashed first build: replay may rebuild over it
         raise IOError(
             f"{index_dir}: index data present but its metadata read "
-            "returned None — transient meta swap or crashed build. "
+            "returned None — transient meta swap or crashed mutation. "
             "Refusing to rebuild over existing data; retry the batch "
             "or restore the metadata file (check its .old aside)."
         )

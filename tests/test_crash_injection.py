@@ -295,7 +295,7 @@ def _stream_src(tmp_path, guard):
 
 @pytest.mark.parametrize("guard", ["minhash", "embed", "ivf"])
 @pytest.mark.parametrize(
-    "killpoint", ["before_index_append", "mid_append_meta"]
+    "killpoint", ["before_index_append", "mid_append_meta", "mid_first_build"]
 )
 def test_kill9_streaming_guard_exactly_once(spark, tmp_path, guard, killpoint):
     """r10 verdict task 5 (+ the r11 IVF maintenance stream): SIGKILL
@@ -339,6 +339,22 @@ def test_kill9_streaming_guard_exactly_once(spark, tmp_path, guard, killpoint):
             pass
         proc.wait(timeout=30)
 
+    if killpoint == "mid_first_build":
+        # the child died with batch 0's index data on disk and no meta —
+        # historically a permanent retry wedge; the .building marker
+        # must be up so the restart can self-heal by rebuilding
+        from projet_5spar_sparkstreaming_spark.fsio import (
+            build_marker_present,
+            read_json,
+        )
+
+        meta_name = (
+            "_centroids.json" if guard == "ivf" else "_meta.json"
+        )
+        assert os.path.isdir(idx), "build data never hit disk pre-kill"
+        assert read_json(spark, f"{idx}/{meta_name}") is None
+        assert build_marker_present(spark, idx)
+
     # restart the SAME guard from the SAME checkpoint in this process;
     # the dead child's writer lock must not block (dead-pid break)
     from projet_5spar_sparkstreaming_spark.streaming.dedup import (
@@ -372,6 +388,12 @@ def test_kill9_streaming_guard_exactly_once(spark, tmp_path, guard, killpoint):
                 expected_index_rows=4096,
             )
     assert q.awaitTermination(300), "restarted guard did not finish"
+
+    # a completed build always clears its marker (stale markers would
+    # let a LATER mid-swap meta transient be misread as a crashed build)
+    from projet_5spar_sparkstreaming_spark.fsio import build_marker_present
+
+    assert not build_marker_present(spark, idx)
 
     if guard == "ivf":
         # exactly-once for the maintenance stream = idempotent

@@ -447,7 +447,8 @@ def test_ivf_index_append_query_compact(spark, sf_dir, tmp_path):
         return {
             (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
             for r in query_ivf_index(
-                spark, queries, idx, "vec_id", "embedding", k=k, n_probe=n_probe
+                spark, queries, idx, "vec_id", "embedding", k=k,
+                n_probe=n_probe, route="ivf",
             ).collect()
         }
 
@@ -789,7 +790,8 @@ def test_ivf_legacy_root_layout_still_works(spark, sf_dir, tmp_path):
         return {
             (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
             for r in query_ivf_index(
-                spark, queries, idx, "vec_id", "embedding", k=5, n_probe=8
+                spark, queries, idx, "vec_id", "embedding", k=5, n_probe=8,
+                route="ivf",
             ).collect()
         }
 
@@ -992,14 +994,14 @@ def test_embed_and_ivf_compaction_reader_safe(spark, sf_dir, tmp_path):
             for r in df.collect()
         }
 
-    iq_old = query_ivf_index(spark, queries, iidx, "vec_id", "embedding", k=5, n_probe=6)
-    ibefore = ires(query_ivf_index(spark, queries, iidx, "vec_id", "embedding", k=5, n_probe=6))
+    iq_old = query_ivf_index(spark, queries, iidx, "vec_id", "embedding", k=5, n_probe=6, route="ivf")
+    ibefore = ires(query_ivf_index(spark, queries, iidx, "vec_id", "embedding", k=5, n_probe=6, route="ivf"))
     assert ibefore
     compact_ivf_index(spark, iidx, keep_last=1, target_partitions=2)
     assert read_json(spark, iidx + "/_centroids.json")["version"] == 1
     assert ires(iq_old) == ibefore
     assert ires(
-        query_ivf_index(spark, queries, iidx, "vec_id", "embedding", k=5, n_probe=6)
+        query_ivf_index(spark, queries, iidx, "vec_id", "embedding", k=5, n_probe=6, route="ivf")
     ) == ibefore
 
 
@@ -1794,7 +1796,8 @@ def test_ivf_rebuild_retrains_quantizer_preserving_results(spark, tmp_path):
     probe = {
         (r["query_id"], r["neighbor_id"])
         for r in query_ivf_index(
-            spark, queries, idx, "vec_id", "embedding", k=3, n_probe=4
+            spark, queries, idx, "vec_id", "embedding", k=3, n_probe=4,
+            route="ivf",
         ).collect()
     }
     assert probe <= relaxed and probe
@@ -1805,3 +1808,59 @@ def test_ivf_rebuild_retrains_quantizer_preserving_results(spark, tmp_path):
     m2 = read_json(spark, idx + "/_centroids.json")
     assert m2["batches"]["3"] == 20 and m2["version"] == 1
     assert len(knn("brute")) == 30
+
+
+def test_ivf_rebuild_duplicate_ids_across_batches_no_fanout(spark, tmp_path):
+    """r11 advice (medium): an at-least-once upstream legally delivers
+    the SAME id in two different batches; rebuild must carry batch_id
+    through the assignment pass, not re-join on id — an id equi-join
+    fans the duplicated rows out 2x2, silently inflating the store on
+    every rebuild and desyncing the per-batch meta counts. Pin: after
+    a rebuild over a store with one id present in two batches, the
+    stored row count equals the meta total exactly (and a SECOND
+    rebuild doesn't compound)."""
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        _ivf_data_dir,
+        append_to_ivf_index,
+        build_ivf_index,
+        rebuild_ivf_index,
+    )
+
+    rng = np.random.RandomState(7)
+
+    def mk(ids):
+        rows = []
+        for i in ids:
+            v = rng.randn(16)
+            rows.append((int(i), [float(x) for x in v / np.linalg.norm(v)]))
+        return rows
+
+    idx = str(tmp_path / "ivf_dup_rebuild")
+    # id 5 appears in batch 0 AND batch 1 (different vectors — a
+    # re-delivered, possibly re-embedded doc)
+    build_ivf_index(_vecs_df(spark, mk(range(20))), idx, "vec_id",
+                    "embedding", n_centroids=4, batch_id=0)
+    append_to_ivf_index(_vecs_df(spark, mk([5] + list(range(100, 119)))),
+                        idx, "vec_id", "embedding", batch_id=1)
+
+    def stored_rows():
+        meta = read_json(spark, idx + "/_centroids.json")
+        d = _ivf_data_dir(spark, idx, int(meta.get("version", 0)))
+        return spark.read.parquet(d).count(), meta
+
+    n0, m0 = stored_rows()
+    assert n0 == 40 == sum(m0["batches"].values())
+    for expect_version in (1, 2):  # second rebuild: no compounding
+        meta = rebuild_ivf_index(spark, idx, n_centroids=6)
+        assert meta["version"] == expect_version
+        n, m = stored_rows()
+        assert n == 40, f"rebuild fanned out duplicate ids: {n} rows"
+        assert m["batches"] == {"0": 20, "1": 20}
+        # the duplicated id is present once per BATCH, not per pair
+        d = _ivf_data_dir(spark, idx, meta["version"])
+        dup = spark.read.parquet(d).filter(F.col("id") == 5)
+        assert dup.count() == 2
+        assert {r["batch_id"] for r in dup.collect()} == {0, 1}

@@ -976,7 +976,8 @@ def test_ivf_index_build_query_matches_inline(spark, sf_dir, tmp_path):
     assert glob.glob(os.path.join(idx, "data", "cell=*")), "cell partitions on disk"
 
     via_index = query_ivf_index(
-        spark, queries, idx, "vec_id", "embedding", k=5, n_probe=4
+        spark, queries, idx, "vec_id", "embedding", k=5, n_probe=4,
+        route="ivf",  # this test pins the PROBE path's plan + parity
     )
     plan = via_index._jdf.queryExecution().executedPlan().toString()
     # static pruning: the probed-cell INSET reaches the partition

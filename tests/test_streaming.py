@@ -687,7 +687,8 @@ def test_stream_ivf_ingest_builds_appends_and_serves(spark, tmp_path):
     assert served == exact
     # the probe path's emissions sit inside the exact relaxed top-k
     probe = query_ivf_index(
-        spark, queries, idx, "vec_id", "embedding", k=3, n_probe=4
+        spark, queries, idx, "vec_id", "embedding", k=3, n_probe=4,
+        route="ivf",
     )
     relaxed = {
         (r["query_id"], r["neighbor_id"])

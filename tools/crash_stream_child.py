@@ -20,6 +20,14 @@ Usage: python tools/crash_stream_child.py GUARD KILLPOINT SRC OUT IDX CHK
                                     killed before its meta update
                                     lands (orphan batch subdir +
                                     writer lock held by a corpse)
+             mid_first_build     -> killed during the FIRST micro-
+                                    batch's build: index data written,
+                                    meta never lands (r11 advice: the
+                                    data-present/meta-None wedge with
+                                    no .old aside — the .building
+                                    marker must let the replay
+                                    self-heal instead of retrying
+                                    forever)
 """
 
 from __future__ import annotations
@@ -43,6 +51,21 @@ def install_barrier(guard: str, killpoint: str) -> None:
     import projet_5spar_sparkstreaming_spark.operators.similarity as sim
 
     armed = {"on": False}
+
+    if killpoint == "mid_first_build":
+        # hang at the BUILD's meta write: the index data (written just
+        # before) is on disk, _meta.json/_centroids.json never lands,
+        # and the .building marker (written before the build's delete)
+        # is still up — the exact crashed-first-build state
+        real_wj = fsio.write_json
+
+        def hooked_build_wj(spark, path, obj):
+            if path.endswith("_meta.json") or path.endswith("_centroids.json"):
+                _hang()
+            real_wj(spark, path, obj)
+
+        fsio.write_json = hooked_build_wj
+        return
 
     def wrap_append(real):
         # both append signatures carry batch_id as the 5th positional
