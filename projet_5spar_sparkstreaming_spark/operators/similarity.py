@@ -518,6 +518,11 @@ def build_ivf_index(
                 "centroids": cent.tolist(),
                 "version": 0,
                 "batches": {str(batch_id): n_rows},
+                # what the quantizer was SIZED for — the denominator of
+                # the rebuild-when-outgrown policy (needs_ivf_rebuild)
+                "sized_for_rows": int(expected_rows)
+                if expected_rows is not None
+                else n_rows,
             },
         )
         clear_build_marker(spark, index_path)
@@ -824,8 +829,31 @@ def rebuild_ivf_index(
         )
         meta["centroids"] = cent.tolist()
         meta["version"] = version + 1
+        # the retrained quantizer is sized for the store as it stands
+        meta["sized_for_rows"] = total_rows
         write_json(spark, meta_path, meta)  # the flip
     return meta
+
+
+def needs_ivf_rebuild(meta: dict | None, growth_factor: float = 4.0) -> bool:
+    """The mechanical rebuild-when-outgrown decision the append path's
+    docs defer to, as a pure metadata predicate (no store scan, no
+    Spark job): True when the stored row total has outgrown what the
+    quantizer was SIZED for by ``growth_factor`` (the ~4x rule —
+    cells scale ~sqrt(n), so at 4x rows a fresh quantizer would want
+    ~2x the cells and per-query scoring inside the old mega-cells has
+    doubled). ``sized_for_rows`` is written by build (its
+    ``expected_rows`` when given, else the seed batch's count) and
+    reset by every rebuild; indexes persisted before the field existed
+    fall back to the seed batch's recorded count."""
+    if meta is None:
+        return False
+    batches = meta.get("batches") or {}
+    total = sum(int(v) for v in batches.values())
+    sized_for = meta.get("sized_for_rows")
+    if not sized_for and batches:
+        sized_for = batches[str(min(int(b) for b in batches))]
+    return bool(sized_for) and total >= growth_factor * int(sized_for)
 
 
 def query_ivf_index(

@@ -400,6 +400,7 @@ def stream_ivf_ingest(
     vec_col: str = "embedding",
     trigger: dict | None = None,
     expected_index_rows: int | None = None,
+    rebuild_growth_factor: float | None = None,
 ):
     """Maintain a persisted IVF ANN index from a vector stream — the
     third index family's streaming path, completing the symmetry with
@@ -424,21 +425,39 @@ def stream_ivf_ingest(
     store); a present data tree with an unreadable meta fails the
     batch for retry instead of rebuilding over data
     (``require_index_meta_consistent``). Bound small files with
-    ``compact_ivf_index``; rebuild (retraining the quantizer) when the
-    corpus outgrows the cell geometry ~4x — the per-batch counts in
-    the meta make that decision mechanical.
+    ``compact_ivf_index``.
+
+    MAINTENANCE (r11 verdict task 5): with ``rebuild_growth_factor``
+    set (the ~4x rule), the guard composes the r11 primitives into a
+    self-maintaining index — after each append it evaluates
+    ``needs_ivf_rebuild`` (a pure metadata predicate: stored total vs
+    what the quantizer was sized for) and, when the store has outgrown
+    its cell geometry, runs ``rebuild_ivf_index`` INSIDE the
+    micro-batch: the retrained tree is written reader-safe under the
+    next version and the (centroids, version) pair flips atomically,
+    so queries served concurrently see either geometry, never a mix;
+    appends in later micro-batches assign with the NEW quantizer. A
+    crash mid-rebuild replays the batch: the append is idempotent
+    (dynamic (cell, batch_id) overwrite), the policy re-trips, and the
+    rebuild's own version hygiene clears the partial ``v+1`` debris.
+    Leave it ``None`` (default) to keep rebuilds an explicit operator
+    action — e.g. when ``expected_index_rows`` already sized the
+    quantizer for the corpus the stream will accumulate.
     """
     from projet_5spar_sparkstreaming_spark.fsio import read_json
     from projet_5spar_sparkstreaming_spark.operators.similarity import (
         append_to_ivf_index,
         build_ivf_index,
+        needs_ivf_rebuild,
+        rebuild_ivf_index,
     )
     from projet_5spar_sparkstreaming_spark.streaming.sinks import foreach_batch_sink
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(id_col, vec_col)
         spark = batch.sparkSession
-        meta = read_json(spark, index_dir.rstrip("/") + "/_centroids.json")
+        meta_path = index_dir.rstrip("/") + "/_centroids.json"
+        meta = read_json(spark, meta_path)
         require_index_meta_consistent(spark, index_dir, meta)
         if meta is None:
             build_ivf_index(
@@ -447,5 +466,9 @@ def stream_ivf_ingest(
             )
         else:
             append_to_ivf_index(batch, index_dir, id_col, vec_col, batch_id)
+            if rebuild_growth_factor is not None and needs_ivf_rebuild(
+                read_json(spark, meta_path), rebuild_growth_factor
+            ):
+                rebuild_ivf_index(spark, index_dir)
 
     return foreach_batch_sink(vecs_stream, _process, checkpoint_dir, trigger)
