@@ -1974,6 +1974,10 @@ def compact_minhash_index(
             clean_versions_except(spark, index_path, sub, {version})
             (
                 spark.read.parquet(versioned_subdir(index_path, sub, version))
+                # shed orphan batches the meta never acknowledged (a
+                # kill -9'd append's partial data); their at-least-once
+                # replay re-delivers them — see compact_ivf_index
+                .filter(F.col("batch_id").isin([int(b) for b in snapshot]))
                 .withColumn("batch_id", remap)
                 # spread each partition value over up to n_parts tasks by id
                 # hash: bounded file count without one-giant-file skew

@@ -698,6 +698,15 @@ def compact_ivf_index(
         with scoped_conf(spark, confs):
             (
                 spark.read.parquet(live_dir)
+                # drop ORPHAN rows: a writer kill -9'd between its batch
+                # data landing and its meta update leaves (cell, batch)
+                # partitions the meta never acknowledged — uncommitted
+                # garbage whose at-least-once replay re-delivers the
+                # batch (possibly under a different quantizer, where
+                # dynamic overwrite could no longer replace the stale
+                # cells). The whole-store rewrite is the place to shed
+                # them so the new tree matches the meta exactly.
+                .filter(F.col("batch_id").isin([int(b) for b in snapshot]))
                 .withColumn("batch_id", remap)
                 .repartition(n_parts, "cell", "batch_id")
                 .write.mode("overwrite")
@@ -797,6 +806,10 @@ def rebuild_ivf_index(
             stored = (
                 spark.read.option("basePath", live_dir)
                 .parquet(live_dir)
+                # shed orphan batches the meta never acknowledged (a
+                # kill -9'd append's partial data) — see the twin
+                # filter in compact_ivf_index; their replay re-delivers
+                .filter(F.col("batch_id").isin([int(b) for b in snapshot]))
                 .select("id", "vec", "batch_id")
                 .cache()
             )
@@ -1789,6 +1802,12 @@ def compact_embed_lsh_index(
                 (
                     spark.read.parquet(
                         versioned_subdir(index_path, sub, version)
+                    )
+                    # shed orphan batches the meta never acknowledged
+                    # (kill -9'd append's partial data) — replay
+                    # re-delivers them; see compact_ivf_index
+                    .filter(
+                        F.col("batch_id").isin([int(b) for b in snapshot])
                     )
                     .withColumn("batch_id", remap)
                     .repartition(n_parts, "batch_id", "id")

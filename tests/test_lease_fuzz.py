@@ -1,0 +1,234 @@
+"""Concurrent lease FUZZ (r11 verdict task 4): N real processes race
+append / compact / rebuild on ONE shared IVF index while the parent
+SIGKILLs them at random, then the full invariant set is checked.
+
+The r11 breaker-vs-new-holder fix and the boot-id host identity were
+verified by staged shims — one interleaving per test. This harness
+generalizes: random interleavings of real writers, random corpse
+locks for survivors to break (the dead-pid immediate break and the
+tombstone rename race run for real, repeatedly), whole-store rewrites
+(compact/rebuild) racing appends, and kill -9 landing anywhere
+including mid-meta-swap. Invariants after the carnage + replay of
+in-flight appends (what a streaming checkpoint would do):
+
+  1. the meta is readable and covers every ACKNOWLEDGED append's rows;
+  2. the live data tree matches the meta total EXACTLY (orphans from
+     killed in-flight appends are either replay-overwritten or shed by
+     the next whole-store rewrite);
+  3. every acknowledged or replayed id range is stored exactly once;
+  4. exactly one live version serves queries through the public path;
+  5. a fresh compact + rebuild from the parent still succeed (no
+     wedged lock, no drift-guard false positive).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CHILD = os.path.join(REPO, "tools", "lease_fuzz_child.py")
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from lease_fuzz_child import (  # noqa: E402
+    IDS_PER_BATCH,
+    ROWS_PER_APPEND,
+    batch_rows,
+)
+
+N_WORKERS = 4
+FUZZ_SEC = 35.0
+SEED_ROWS = 200
+
+
+def _spawn(slot: int, epoch: int, idx: str, jdir: str):
+    journal = os.path.join(jdir, f"w{slot}.journal")
+    err = open(os.path.join(jdir, f"w{slot}.e{epoch}.stderr"), "w")
+    proc = subprocess.Popen(
+        [sys.executable, CHILD, idx, journal, str(slot), str(epoch)],
+        stdout=subprocess.DEVNULL,
+        stderr=err,
+        start_new_session=True,
+        env=dict(os.environ, SPARK_GRAFT_DRIVER_MEM="1g"),
+    )
+    return proc, journal
+
+
+def _kill(proc) -> None:
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except ProcessLookupError:
+        pass
+    proc.wait(timeout=30)
+
+
+def _parse_journals(jdir: str) -> dict:
+    acked_appends: dict[int, int] = {}
+    inflight: set[int] = set()
+    acked_compacts = acked_rebuilds = 0
+    for name in sorted(os.listdir(jdir)):
+        if not name.endswith(".journal"):
+            continue
+        with open(os.path.join(jdir, name)) as f:
+            raw = f.read()
+        lines = raw.split("\n")
+        if raw and not raw.endswith("\n"):
+            lines = lines[:-1]  # torn final line from a kill mid-write
+        for line in lines:
+            parts = line.split()
+            if parts[:2] == ["START", "APPEND"]:
+                inflight.add(int(parts[2]))
+            elif parts[:2] == ["ACK", "APPEND"]:
+                bid = int(parts[2])
+                acked_appends[bid] = int(parts[3])
+                inflight.discard(bid)
+            elif parts[:2] == ["ACK", "COMPACT"]:
+                acked_compacts += 1
+            elif parts[:2] == ["ACK", "REBUILD"]:
+                acked_rebuilds += 1
+    return {
+        "acked_appends": acked_appends,
+        "inflight": sorted(inflight),
+        "acked_compacts": acked_compacts,
+        "acked_rebuilds": acked_rebuilds,
+    }
+
+
+@pytest.mark.parametrize("n_workers,fuzz_sec", [(N_WORKERS, FUZZ_SEC)])
+def test_lease_fuzz_concurrent_mutations_survive_random_kill9(
+    spark, tmp_path, n_workers, fuzz_sec
+):
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        _ivf_data_dir,
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        query_ivf_index,
+        rebuild_ivf_index,
+    )
+
+    idx = str(tmp_path / "fuzz_idx")
+    jdir = str(tmp_path / "journals")
+    os.makedirs(jdir)
+
+    # seed: batch 0, ids 0..SEED_ROWS-1 (disjoint from worker ranges)
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    seed_rows = []
+    for i in range(SEED_ROWS):
+        v = rng.randn(8)
+        seed_rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    seed = spark.createDataFrame(seed_rows, "vec_id long, embedding array<double>")
+    build_ivf_index(seed, idx, "vec_id", "embedding", n_centroids=8, batch_id=0)
+
+    workers: dict[int, tuple] = {}
+    epochs = {s: 0 for s in range(n_workers)}
+    for s in range(n_workers):
+        workers[s] = _spawn(s, 0, idx, jdir)
+
+    killed_pids: set[int] = set()
+    prng = random.Random(99)
+    t_end = time.time() + fuzz_sec
+    kills = 0
+    try:
+        # let the first JVMs come up before the first kill
+        time.sleep(12)
+        while time.time() < t_end:
+            slot = prng.randrange(n_workers)
+            proc, journal = workers[slot]
+            if proc.poll() is not None and proc.pid not in killed_pids:
+                raise AssertionError(
+                    f"worker {slot} died on its own (exit {proc.returncode}) — "
+                    f"see {jdir}/w{slot}.e{epochs[slot]}.stderr"
+                )
+            spawned = (
+                os.path.exists(journal)
+                and f"SPAWN {slot} {epochs[slot]}" in open(journal).read()
+            )
+            if spawned:
+                killed_pids.add(proc.pid)
+                _kill(proc)
+                kills += 1
+                epochs[slot] += 1
+                workers[slot] = _spawn(slot, epochs[slot], idx, jdir)
+            time.sleep(prng.uniform(3.0, 6.0))
+    finally:
+        for slot, (proc, _) in workers.items():
+            if proc.poll() is None:
+                killed_pids.add(proc.pid)
+            _kill(proc)
+
+    # no worker may have died of anything but our SIGKILL
+    for slot, (proc, _) in workers.items():
+        if proc.pid not in killed_pids and proc.returncode not in (0, None):
+            raise AssertionError(
+                f"worker {slot} errored (exit {proc.returncode}) — see "
+                f"{jdir}/w{slot}.e{epochs[slot]}.stderr"
+            )
+
+    j = _parse_journals(jdir)
+    assert kills >= 2, f"only {kills} kills in {fuzz_sec}s — fuzz too slow"
+    # vacuity floor: some of each op class must actually have run; the
+    # whole-store rewrites hog the lease, so acked appends can be few —
+    # in-flight (killed) appends count toward coverage via the replay
+    assert len(j["acked_appends"]) >= 2, j
+    assert len(j["acked_appends"]) + len(j["inflight"]) >= 5, j
+    assert j["acked_compacts"] + j["acked_rebuilds"] >= 1, j
+
+    # replay every killed in-flight append verbatim (same batch_id,
+    # same rows) — exactly what the streaming checkpoint does
+    for bid in j["inflight"]:
+        df = spark.createDataFrame(
+            batch_rows(bid), "vec_id long, embedding array<double>"
+        )
+        append_to_ivf_index(df, idx, "vec_id", "embedding", bid)
+
+    def check_invariants() -> dict:
+        meta = read_json(spark, idx + "/_centroids.json")
+        assert meta is not None, "meta unreadable after fuzz"
+        live = _ivf_data_dir(spark, idx, int(meta.get("version", 0)))
+        store = spark.read.option("basePath", live).parquet(live)
+        total = store.count()
+        meta_total = sum(int(v) for v in meta["batches"].values())
+        assert total == meta_total, (total, meta_total)
+        expected = SEED_ROWS + ROWS_PER_APPEND * (
+            len(j["acked_appends"]) + len(j["inflight"])
+        )
+        assert total == expected, (total, expected)
+        # every acknowledged/replayed id range stored exactly once
+        ids = [r["id"] for r in store.select("id").collect()]
+        assert len(ids) == len(set(ids)), "duplicate ids in store"
+        idset = set(ids)
+        assert set(range(SEED_ROWS)) <= idset, "seed rows lost"
+        for bid in list(j["acked_appends"]) + j["inflight"]:
+            lo = bid * IDS_PER_BATCH
+            got = sum(1 for i_ in range(lo, lo + ROWS_PER_APPEND) if i_ in idset)
+            assert got == ROWS_PER_APPEND, (bid, got)
+        assert len(idset) == expected
+        return meta
+
+    check_invariants()
+
+    # survivors' locks are gone / breakable: fresh whole-store ops and
+    # a public-path query must succeed from the parent
+    compact_ivf_index(spark, idx, keep_last=2, target_partitions=4)
+    rebuild_ivf_index(spark, idx, n_centroids=8, target_partitions=4)
+    meta = check_invariants()
+    probes = seed.limit(5)
+    served = query_ivf_index(
+        spark, probes, idx, "vec_id", "embedding",
+        k=1, exclude_self=False, route="brute",
+    )
+    assert sorted(
+        (r["query_id"], r["neighbor_id"]) for r in served.collect()
+    ) == [(i, i) for i in range(5)]
+    assert int(meta["version"]) >= 1

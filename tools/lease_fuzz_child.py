@@ -1,0 +1,106 @@
+"""Lease-fuzz WORKER for the concurrent index-mutation stress test
+(tests/test_lease_fuzz.py — r11 verdict task 4).
+
+The r11 breaker-vs-new-holder fix (fsio.py) was verified by STAGED
+shims: one interleaving per test. This worker generalizes that to real
+concurrency: N of these processes race append / compact / rebuild on
+ONE shared IVF index while the parent SIGKILLs them at random. Every
+mutation is journaled to a per-worker file with a ``START`` line
+*before* the op and an ``ACK`` line only *after* it returns, so the
+parent can distinguish acknowledged ops (must be durable) from
+in-flight ops at kill time (must be replayable) and check the full
+invariant set afterwards: meta covers every acknowledged batch, the
+stored rows match the meta exactly after in-flight replays, one live
+version serves queries, and a fresh compact+rebuild still succeed.
+
+Ops are deterministic functions of their batch_id (seeded numpy), so
+the parent can REPLAY any killed in-flight append verbatim — exactly
+what a streaming checkpoint does with an uncommitted micro-batch.
+
+Usage: python tools/lease_fuzz_child.py INDEX JOURNAL WORKER_SLOT EPOCH
+  INDEX        shared IVF index path
+  JOURNAL      this worker's append-only journal file
+  WORKER_SLOT  0..N-1 (partitions the batch_id space)
+  EPOCH        respawn counter (keeps batch_ids unique across respawns)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIM = 8
+ROWS_PER_APPEND = 50
+IDS_PER_BATCH = 1000  # id range stride per batch_id
+
+
+def batch_rows(batch_id: int):
+    """The deterministic (id, vec) rows of append ``batch_id`` — shared
+    with the parent so killed in-flight appends can be replayed
+    verbatim (same batch_id, same rows), like a checkpoint replay."""
+    import numpy as np
+
+    rng = np.random.RandomState(batch_id % (2**31 - 1))
+    lo = batch_id * IDS_PER_BATCH
+    out = []
+    for i in range(ROWS_PER_APPEND):
+        v = rng.randn(DIM)
+        v /= np.linalg.norm(v)
+        out.append((int(lo + i), [float(x) for x in v]))
+    return out
+
+
+def main() -> None:
+    index, journal, slot, epoch = (
+        sys.argv[1],
+        sys.argv[2],
+        int(sys.argv[3]),
+        int(sys.argv[4]),
+    )
+    import random
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        rebuild_ivf_index,
+    )
+    from projet_5spar_sparkstreaming_spark.session import get_spark
+
+    spark = get_spark(f"lease_fuzz_w{slot}", master="local[2]")
+    rng = random.Random(1000 * slot + epoch)
+    jf = os.open(journal, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
+
+    def log(line: str) -> None:
+        os.write(jf, (line + "\n").encode())
+        os.fsync(jf)
+
+    log(f"SPAWN {slot} {epoch}")
+    print("READY", flush=True)
+    for i in range(10_000):  # parent kills us long before this runs out
+        # mostly appends; compactions and rebuilds stir the version
+        # flips and whole-store rewrites the appends race against
+        op = rng.choices(["append", "compact", "rebuild"], [0.8, 0.1, 0.1])[0]
+        if op == "append":
+            # slot+1 keeps every worker batch_id disjoint from the
+            # parent's seed batch 0
+            batch_id = (slot + 1) * 1_000_000 + epoch * 10_000 + i
+            df = spark.createDataFrame(
+                batch_rows(batch_id), "vec_id long, embedding array<double>"
+            )
+            log(f"START APPEND {batch_id}")
+            n = append_to_ivf_index(df, index, "vec_id", "embedding", batch_id)
+            log(f"ACK APPEND {batch_id} {n}")
+        elif op == "compact":
+            log("START COMPACT")
+            compact_ivf_index(spark, index, keep_last=2, target_partitions=2)
+            log("ACK COMPACT")
+        else:
+            log("START REBUILD")
+            rebuild_ivf_index(spark, index, n_centroids=8, target_partitions=2)
+            log("ACK REBUILD")
+
+
+if __name__ == "__main__":
+    main()
