@@ -3677,6 +3677,80 @@ def q_sentiment_contract(spark, sf_dir):
     )
 
 
+def q_sentiment_margin_bound(spark, sf_dir):
+    # r11 verdict task 8: a margin/calibration invariant oracle for the
+    # SCORING path over the real corpus, in the style of the JPEG
+    # roundtrip bound — the model's output stays non-SQL, but its
+    # internal consistency is pinnable as zero violations. For every
+    # scored document the LR margin is RECOMPUTED on an independent
+    # expression path (coefficients . tfidf_features + intercept, an
+    # Arrow kernel over the pipeline's feature vectors) and checked
+    # against the JVM's own rawPrediction; on top of that the usual
+    # calibration identities must hold exactly: probabilities sum to 1,
+    # sigmoid(margin) equals the positive-class probability, and the
+    # predicted label is the argmax. A scoring bug in EITHER
+    # implementation (MLlib's BLAS path or the kernel) trips the
+    # count; n_docs ties the check to the corpus size so the query
+    # provably scored every document.
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import types as T
+
+    model = _sentiment_model(spark)
+    lr = model.model.stages[-1]
+    coef = np.asarray(lr.coefficients.toArray(), dtype=np.float64)
+    intercept = float(lr.intercept)
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = model.model.transform(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.col("prediction").alias("pred"),
+        vector_to_array("probability").alias("prob"),
+        vector_to_array("rawPrediction").alias("raw"),
+        vector_to_array("__features").alias("feat"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("violation", T.IntegerType(), False),
+        ]
+    )
+
+    def _check(batches):
+        for pdf0 in batches:
+            # dim-4096 dense feature rows: chunk by payload bytes like
+            # every other Arrow kernel in the engine
+            from projet_5spar_sparkstreaming_spark.operators.similarity import (
+                _pandas_row_chunks,
+            )
+
+            for pdf in _pandas_row_chunks(pdf0, "feat"):
+                x = np.array(list(pdf["feat"]), dtype=np.float64)
+                m_re = x @ coef + intercept
+                raw = np.array(list(pdf["raw"]), dtype=np.float64)
+                prob = np.array(list(pdf["prob"]), dtype=np.float64)
+                pred = pdf["pred"].to_numpy(dtype=np.float64)
+                # 1 / (1 + e^-m), clipped against overflow at |m|>700
+                sig = 1.0 / (1.0 + np.exp(-np.clip(m_re, -700, 700)))
+                bad = (
+                    (np.abs(m_re - raw[:, 1]) > 1e-5)
+                    | (np.abs(prob.sum(axis=1) - 1.0) > 1e-9)
+                    | (np.abs(sig - prob[:, 1]) > 1e-6)
+                    | (pred != (prob[:, 1] > prob[:, 0]).astype(np.float64))
+                )
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "violation": bad.astype(np.int32)}
+                )
+
+    checked = scored.mapInPandas(_check, out_schema)
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("violation").cast("long").alias("n_violations"),
+    )
+
+
 def q_knn_bruteforce(spark, sf_dir):
     # Exact cosine top-5 neighbors for the first 20 vectors.
     emb = _t(spark, sf_dir, "embeddings")
@@ -4610,6 +4684,13 @@ def _oracles() -> dict[str, str | None]:
             "SELECT CAST(0 AS BIGINT) AS n_train_errors, "
             f"CAST({_SENTIMENT_NUM_FEATURES} AS BIGINT) AS n_coef"
         ),
+        # scoring-path invariant (r12): every document scored, zero
+        # margin/calibration violations against the independent
+        # coefficients-dot-features recomputation
+        "sentiment_margin_bound": (
+            "SELECT (SELECT COUNT(*) FROM documents) AS n_docs, "
+            "CAST(0 AS BIGINT) AS n_violations"
+        ),
         "word_counts": (
             f"SELECT token, COUNT(*) AS cnt FROM ("
             f"SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS token "
@@ -4918,6 +4999,7 @@ def catalog() -> list[CatalogQuery]:
         "dedup_clusters": q_dedup_clusters,
         "sentiment_scores": q_sentiment_scores,
         "sentiment_contract": q_sentiment_contract,
+        "sentiment_margin_bound": q_sentiment_margin_bound,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "minhash_pairs_containment": q_minhash_pairs_containment,

@@ -82,3 +82,32 @@ def test_ivf_top_k_auto_probe_resolves(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     assert len(a & e) / len(e) >= 0.5  # auto resolved and sane
+
+
+def test_needs_ivf_rebuild_predicate_pure_metadata():
+    """The rebuild-when-outgrown policy is a pure metadata predicate:
+    trips at growth_factor x sized_for_rows, resets with the field,
+    falls back to the seed batch's count for pre-r12 metas, and never
+    trips on missing/empty metadata."""
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        needs_ivf_rebuild,
+    )
+
+    assert not needs_ivf_rebuild(None)
+    assert not needs_ivf_rebuild({"batches": {}})
+    base = {"batches": {"0": 100, "1": 100, "2": 100}, "sized_for_rows": 100}
+    assert not needs_ivf_rebuild(base)  # 300 < 4*100
+    grown = {**base, "batches": {**base["batches"], "3": 100}}
+    assert needs_ivf_rebuild(grown)  # 400 >= 4*100
+    assert not needs_ivf_rebuild(grown, growth_factor=8.0)
+    # a rebuild resets sized_for_rows to the flip-time total
+    assert not needs_ivf_rebuild({**grown, "sized_for_rows": 400})
+    # legacy meta without the field: seed batch (min id) is the basis
+    legacy = {"batches": {"0": 50, "1": 50, "2": 50, "3": 50}}
+    assert needs_ivf_rebuild(legacy)  # 200 >= 4*50
+    assert not needs_ivf_rebuild({"batches": {"0": 100, "1": 50}})
+    # build sized for an EXPECTED corpus (expected_rows) doesn't trip
+    # while the stream is still filling up to it
+    assert not needs_ivf_rebuild(
+        {"batches": {"0": 10, "1": 500}, "sized_for_rows": 2_000_000}
+    )

@@ -145,14 +145,18 @@ def main() -> None:
         extra_conf={"spark.cleaner.periodicGC.interval": "1min"},
     )
     os.makedirs(WORK, exist_ok=True)
-    out_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "IVF_CROSSOVER_r11.json",
-    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(repo, "IVF_CROSSOVER_r12.json")
     results = []
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            results = json.load(f)
+    # seed from the newest prior round's matrix so re-measured tiers
+    # replace their row and new tiers (e.g. the 2M bracket-narrowing
+    # point) append next to the old ones
+    for prior in ("IVF_CROSSOVER_r12.json", "IVF_CROSSOVER_r11.json"):
+        p = os.path.join(repo, prior)
+        if os.path.exists(p):
+            with open(p) as f:
+                results = json.load(f)
+            break
     for n in tiers:
         res = run_tier(spark, n)
         results = [r for r in results if r.get("n") != n] + [res]
