@@ -3230,6 +3230,65 @@ def q_knn_ivf_containment(spark, sf_dir):
     return _ann_containment_escapees(emitted, queries, emb, k_relaxed=40)
 
 
+def q_stream_ivf_maintenance(spark, sf_dir):
+    # The r12 maintenance POLICY as a graded entry: the embeddings
+    # table streamed as 10 micro-batches with rebuild_growth_factor=4
+    # and NO expected_index_rows — the quantizer is sized for batch 0
+    # (~a tenth of the table), so the growth predicate trips once the
+    # stream has delivered ~4x that (after batch 3-4) and the guard
+    # retrains MID-STREAM under the reader-safe version flip; the next
+    # trip point (4x the flip-time total) exceeds the table, so meta
+    # version == 1 exactly, at every sf (the table is fixed-size; the
+    # arithmetic is sf-invariant). The oracle pins three invariants:
+    # zero containment escapees through the rebuilt geometry's probe
+    # path, exactly one version flip, and all 10 batches appended
+    # (batches survive the rebuild verbatim).
+    import shutil
+    import tempfile
+
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        query_ivf_index,
+    )
+    from projet_5spar_sparkstreaming_spark.streaming.dedup import (
+        stream_ivf_ingest,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="ivf_maint_")
+    emb.select("vec_id", "embedding").repartition(10).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{base}/src").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/src")
+    )
+    q = stream_ivf_ingest(
+        stream, f"{base}/idx", f"{base}/chk",
+        trigger={"availableNow": True},
+        rebuild_growth_factor=4.0,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_ivf_maintenance: stream not terminated in 300s"
+        )
+    queries = emb.filter(F.col("vec_id") < 20)
+    emitted = query_ivf_index(
+        spark, queries, f"{base}/idx", "vec_id", "embedding",
+        k=5, n_probe=6, route="ivf",  # the REBUILT geometry's probe path
+    )
+    probe = _ann_containment_escapees(emitted, queries, emb, k_relaxed=40)
+    n_escapees = int(probe.collect()[0]["n_escapees"])
+    meta = read_json(spark, f"{base}/idx/_centroids.json")
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_escapees, int(meta.get("version", 0)), len(meta["batches"]))],
+        "n_escapees long, meta_version long, n_batches long",
+    )
+
+
 def q_stream_ivf_ingest(spark, sf_dir):
     # IVF streaming maintenance (streaming/dedup.py: stream_ivf_ingest,
     # the third index family's streaming path): the embeddings table
@@ -4592,6 +4651,13 @@ def _oracles() -> dict[str, str | None]:
         "knn_lsh_containment": "SELECT CAST(0 AS BIGINT) AS n_escapees",
         "knn_ivf_containment": "SELECT CAST(0 AS BIGINT) AS n_escapees",
         "stream_ivf_ingest": "SELECT CAST(0 AS BIGINT) AS n_escapees",
+        # r12 maintenance policy: zero escapees through the REBUILT
+        # geometry, exactly one version flip, all 10 batches preserved
+        "stream_ivf_maintenance": (
+            "SELECT CAST(0 AS BIGINT) AS n_escapees, "
+            "CAST(1 AS BIGINT) AS meta_version, "
+            "CAST(10 AS BIGINT) AS n_batches"
+        ),
         "embedding_neardup_containment": (
             "SELECT CAST(0 AS BIGINT) AS n_escapees"
         ),
@@ -5007,6 +5073,7 @@ def catalog() -> list[CatalogQuery]:
         "knn_lsh_containment": q_knn_lsh_containment,
         "knn_ivf_containment": q_knn_ivf_containment,
         "stream_ivf_ingest": q_stream_ivf_ingest,
+        "stream_ivf_maintenance": q_stream_ivf_maintenance,
         "embedding_neardup_containment": q_embedding_neardup_containment,
         "incremental_embedding_containment": q_incremental_embedding_containment,
         "stored_minhash_containment": q_stored_minhash_containment,
