@@ -1137,6 +1137,7 @@ def _lsh_buckets_arrow(
     n_planes: int,
     n_tables: int,
     dim: int,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, __bucket) rows for ALL tables via one Arrow matmul: the
     (rows x dim) batch against the stacked (n_tables*n_planes x dim)
@@ -1144,6 +1145,9 @@ def _lsh_buckets_arrow(
     n_tables*n_planes interpreted per-plane dot-product expressions
     per row (~50x fewer evaluator dispatches); bucket ids are identical
     to ``_bucket_expr`` (same hyperplane seeds, same bit packing).
+    ``passthrough`` columns ride the pass verbatim (repeated per table,
+    like the id) — rebuilds carry ``batch_id`` this way instead of
+    re-joining on id, which would fan out ids repeated across batches.
     """
     import numpy as np
     import pandas as pd
@@ -1160,8 +1164,9 @@ def _lsh_buckets_arrow(
             T.StructField(id_alias, df.schema[id_col].dataType, False),
             T.StructField("__bucket", T.LongType(), False),
         ]
+        + [T.StructField(c, df.schema[c].dataType, True) for c in passthrough]
     )
-    idc, vecc = id_col, vec_col
+    idc, vecc, extra = id_col, vec_col, tuple(passthrough)
 
     def _bucketize(batches):
         for pdf0 in batches:
@@ -1176,15 +1181,16 @@ def _lsh_buckets_arrow(
                     axis=2
                 ) + offsets[None, :]  # (N, tables)
                 ids = np.repeat(pdf[idc].to_numpy(), n_tables)
-                yield pd.DataFrame(
-                    {id_alias: ids, "__bucket": buckets.reshape(-1)}
-                )
+                out = {id_alias: ids, "__bucket": buckets.reshape(-1)}
+                for c in extra:
+                    out[c] = np.repeat(pdf[c].to_numpy(), n_tables)
+                yield pd.DataFrame(out)
 
     from projet_5spar_sparkstreaming_spark.operators.dedup import (
         _ensure_min_parallelism,
     )
 
-    return _ensure_min_parallelism(df.select(idc, vecc), idc).mapInPandas(
+    return _ensure_min_parallelism(df.select(idc, vecc, *extra), idc).mapInPandas(
         _bucketize, schema
     )
 
@@ -1559,6 +1565,7 @@ def build_embed_lsh_index(
         # so the two index writes below read the materialized batch
         vecs = vecs.cache()
         own_cache = True
+    sized_for = expected_rows
     if n_planes == "auto" or n_tables == "auto":
         sized_for = expected_rows or max(vecs.count(), 1) * 1024
         n_planes, n_tables = auto_lsh_params(
@@ -1579,6 +1586,9 @@ def build_embed_lsh_index(
             "dim": dim,
             "version": 0,
             "batches": {str(batch_id): n_rows},
+            # what the LSH parameters were SIZED for — the basis of the
+            # rebuild-when-outgrown policy (needs_embed_lsh_rebuild)
+            "sized_for_rows": int(sized_for) if sized_for else n_rows,
         }
         write_json(spark, _embed_meta_path(index_path), meta)
         clear_build_marker(spark, index_path)
@@ -1822,6 +1832,128 @@ def compact_embed_lsh_index(
         merged_rows = sum(batches.pop(str(b)) for b in merged)
         batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
         meta["version"] = version + 1
+        write_json(spark, _embed_meta_path(index_path), meta)  # the flip
+    return meta
+
+
+def needs_embed_lsh_rebuild(meta: dict | None, min_extra_planes: int = 1) -> bool:
+    """Rebuild-when-outgrown for the embed-LSH family, as a pure
+    metadata predicate (twin of ``needs_ivf_rebuild``): True when
+    ``auto_lsh_params`` at the CURRENT stored total wants at least
+    ``min_extra_planes`` more planes than the index was built with.
+    Plane counts scale ~log2(n) — a store grown far past what its
+    parameters were sized for drifts toward quadratic random-collision
+    candidates (the measured r4 failure mode: 2.86M candidates for
+    ~10k true pairs at 500k rows under a fixed plane count), and the
+    plane-count comparison is exactly the criterion the sizing math
+    itself uses. Each +1-plane trigger fires on ~2x growth, so
+    rebuild cost is geometric/amortized."""
+    if meta is None:
+        return False
+    batches = meta.get("batches") or {}
+    total = sum(int(v) for v in batches.values())
+    if not total:
+        return False
+    p_auto, _ = auto_lsh_params(total, dim=int(meta.get("dim", 64)))
+    return p_auto >= int(meta["n_planes"]) + min_extra_planes
+
+
+def rebuild_embed_lsh_index(
+    spark,
+    index_path: str,
+    n_planes: int | str = "auto",
+    n_tables: int | str = "auto",
+    recall_at: float = 0.99,
+    target_recall: float = 0.95,
+    target_partitions: int | None = None,
+) -> dict:
+    """RETRAIN a grown embed-LSH index's parameters from its own stored
+    vectors — the embed-family twin of ``rebuild_ivf_index``. LSH
+    parameters are pinned for the life of the stored buckets (bucket
+    ids depend on them), so growing far past the size they were sized
+    for erodes the candidate-linearity contract; this re-derives
+    (n_planes, n_tables) at the CURRENT stored total
+    (``auto_lsh_params``), re-buckets every stored vector with the new
+    hyperplane stack — ``batch_id`` carried THROUGH the Arrow pass
+    (never re-joined on id, which fans out ids repeated across
+    batches), orphan batches the meta never acknowledged shed — and
+    copies the vecs tree, all under the next version; the meta's
+    (n_planes, n_tables, version) flip in one crash-safe
+    ``write_json``, so a concurrent reader holds either the old
+    params with the old trees or the new with the new, never a mix.
+    Serialized against appends/compactions by the writer lease; the
+    flip-time drift guard aborts if a replayed append changed any
+    batch under us. Appends and queries pick the new parameters up
+    from the meta automatically. Returns the updated meta."""
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        clean_versions_except,
+        read_json,
+        require_no_meta_drift,
+        versioned_subdir,
+        write_json,
+        writer_lease,
+    )
+    from projet_5spar_sparkstreaming_spark.session import (
+        scoped_conf,
+        wide_vector_reader_capacity,
+    )
+
+    with writer_lease(spark, index_path):
+        meta = read_embed_lsh_meta(spark, index_path)
+        if meta is None:
+            raise FileNotFoundError(f"no embed LSH index at {index_path}")
+        version = int(meta.get("version", 0))
+        snapshot = dict(meta["batches"])
+        total_rows = sum(int(v) for v in snapshot.values())
+        dim = int(meta["dim"])
+        if n_planes == "auto" or n_tables == "auto":
+            n_planes, n_tables = auto_lsh_params(
+                total_rows, dim=dim,
+                recall_at=recall_at, target_recall=target_recall,
+            )
+        n_parts = target_partitions or spark.sparkContext.defaultParallelism
+        for sub in ("buckets", "vecs"):
+            clean_versions_except(spark, index_path, sub, {version})
+        vdir = versioned_subdir(index_path, "vecs", version)
+        cap = wide_vector_reader_capacity(dim)
+        confs = (
+            {"spark.sql.parquet.columnarReaderBatchSize": cap}
+            if cap is not None
+            else {}
+        )
+        with scoped_conf(spark, confs):
+            stored = (
+                spark.read.option("basePath", vdir)
+                .parquet(vdir)
+                .filter(F.col("batch_id").isin([int(b) for b in snapshot]))
+                .select("id", "vec", "batch_id")
+                .cache()
+            )
+            (
+                _lsh_buckets_arrow(
+                    stored, "id", "vec", "id", n_planes, n_tables, dim,
+                    passthrough=("batch_id",),
+                )
+                .repartition(n_parts, "batch_id", "id")
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(versioned_subdir(index_path, "buckets", version + 1))
+            )
+            (
+                stored.repartition(n_parts, "batch_id", "id")
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(versioned_subdir(index_path, "vecs", version + 1))
+            )
+            stored.unpersist()
+        require_no_meta_drift(
+            read_json(spark, _embed_meta_path(index_path)),
+            snapshot, version, index_path,
+        )
+        meta["n_planes"] = int(n_planes)
+        meta["n_tables"] = int(n_tables)
+        meta["version"] = version + 1
+        meta["sized_for_rows"] = total_rows
         write_json(spark, _embed_meta_path(index_path), meta)  # the flip
     return meta
 

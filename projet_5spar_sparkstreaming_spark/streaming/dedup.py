@@ -319,6 +319,7 @@ def stream_embed_neardup_ingest(
     trigger: dict | None = None,
     dim: int = 64,
     expected_index_rows: int | None = None,
+    rebuild_when_outgrown: bool = False,
 ):
     """Embedding twin of ``stream_neardup_ingest``: each micro-batch
     bucketizes ITSELF with the index's pinned sign-LSH params, bucket-
@@ -334,13 +335,29 @@ def stream_embed_neardup_ingest(
     batches ``append_to_embed_lsh_index`` (O(batch)); existence/size/
     params are ``_meta.json`` lookups — no ``os.walk``, no per-batch
     ``count()`` over the index. Replay-safe via the ``batch_id < N``
-    exclusion; compact with ``compact_embed_lsh_index``."""
+    exclusion; compact with ``compact_embed_lsh_index``.
+
+    MAINTENANCE (r12, twin of the IVF guard's rebuild_growth_factor):
+    with ``rebuild_when_outgrown=True`` the guard evaluates
+    ``needs_embed_lsh_rebuild`` after each append — a pure metadata
+    predicate: does ``auto_lsh_params`` at the current stored total
+    want more planes than the index was built with? — and runs
+    ``rebuild_embed_lsh_index`` inside the micro-batch when it trips:
+    every stored vector re-bucketed under the retrained hyperplane
+    stack, (params, version) flipped atomically, later batches
+    bucketize with the new params from the meta. Plane counts grow
+    ~log2(n), so each +1-plane trigger fires on ~2x growth and the
+    whole-store rewrites amortize geometrically. Leave False (default)
+    when ``expected_index_rows`` already sized the params for the
+    corpus the stream will accumulate."""
     import os
 
     from projet_5spar_sparkstreaming_spark.operators.similarity import (
         append_to_embed_lsh_index,
         build_embed_lsh_index,
+        needs_embed_lsh_rebuild,
         read_embed_lsh_meta,
+        rebuild_embed_lsh_index,
     )
     from projet_5spar_sparkstreaming_spark.streaming.sinks import foreach_batch_sink
 
@@ -386,6 +403,10 @@ def stream_embed_neardup_ingest(
                 append_to_embed_lsh_index(
                     batch, index_dir, id_col, vec_col, batch_id
                 )
+                if rebuild_when_outgrown and needs_embed_lsh_rebuild(
+                    read_embed_lsh_meta(spark, index_dir)
+                ):
+                    rebuild_embed_lsh_index(spark, index_dir)
         batch.unpersist()
 
     os.makedirs(out_dir, exist_ok=True)

@@ -111,3 +111,27 @@ def test_needs_ivf_rebuild_predicate_pure_metadata():
     assert not needs_ivf_rebuild(
         {"batches": {"0": 10, "1": 500}, "sized_for_rows": 2_000_000}
     )
+
+
+def test_needs_embed_lsh_rebuild_predicate_pure_metadata():
+    """Embed-family rebuild policy: pure metadata, trips when the
+    sizing math at the CURRENT total wants >= 1 more plane than the
+    index pinned, resets after a rebuild updates the params."""
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        auto_lsh_params,
+        needs_embed_lsh_rebuild,
+    )
+
+    assert not needs_embed_lsh_rebuild(None)
+    assert not needs_embed_lsh_rebuild({"batches": {}, "n_planes": 4, "dim": 64})
+    p100, _ = auto_lsh_params(100, dim=64)
+    p1200, _ = auto_lsh_params(1200, dim=64)
+    assert p1200 > p100  # planes grow ~log2(n)
+    small = {"n_planes": p100, "dim": 64, "batches": {"0": 100}}
+    assert not needs_embed_lsh_rebuild(small)
+    grown = {**small, "batches": {"0": 100, "1": 400, "2": 700}}
+    assert needs_embed_lsh_rebuild(grown)
+    # after a rebuild the pinned planes match the sizing math again
+    assert not needs_embed_lsh_rebuild({**grown, "n_planes": p1200})
+    # min_extra_planes raises the bar
+    assert not needs_embed_lsh_rebuild(grown, min_extra_planes=(p1200 - p100 + 1))

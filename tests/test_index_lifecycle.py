@@ -1864,3 +1864,118 @@ def test_ivf_rebuild_duplicate_ids_across_batches_no_fanout(spark, tmp_path):
         dup = spark.read.parquet(d).filter(F.col("id") == 5)
         assert dup.count() == 2
         assert {r["batch_id"] for r in dup.collect()} == {0, 1}
+
+
+def test_embed_lsh_rebuild_retrains_params_preserving_results(spark, tmp_path):
+    """r12: the embed-LSH twin of the IVF rebuild. An index built with
+    params sized for a small corpus (11 planes ~ 100 rows) grows 12x;
+    needs_embed_lsh_rebuild (pure metadata: auto planes at the current
+    total vs pinned) trips; rebuild re-buckets every stored vector
+    under the retrained hyperplane stack with batch_ids carried
+    through the Arrow pass (duplicate ids across batches must NOT fan
+    out), flips (params, version) atomically, and the stored-index
+    query equals the one-shot recompute at the NEW params; appends
+    continue and pick the new params up from the meta."""
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.fsio import versioned_subdir
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        append_to_embed_lsh_index,
+        auto_lsh_params,
+        build_embed_lsh_index,
+        cosine_incremental_pairs,
+        embed_lsh_query_index,
+        needs_embed_lsh_rebuild,
+        read_embed_lsh_meta,
+        rebuild_embed_lsh_index,
+    )
+
+    rng = np.random.RandomState(13)
+
+    def mk(ids, base=None, mutate=0.0):
+        rows = []
+        for i in ids:
+            v = (base if base is not None else rng.randn(64)) + (
+                mutate * rng.randn(64)
+            )
+            v = v / np.linalg.norm(v)
+            rows.append((int(i), [float(x) for x in v]))
+        return rows
+
+    b0 = mk(range(100))
+    # id 7 re-delivered in batch 1 (at-least-once upstream): the
+    # rebuild's passthrough must keep it one row PER BATCH, not 2x2
+    b1 = mk([7] + list(range(1000, 1399)))
+    b2 = mk(range(2000, 2700))
+    base_vec = np.array(b0[5][1])
+
+    idx = str(tmp_path / "emb_rebuild")
+    build_embed_lsh_index(
+        _vecs_df(spark, b0), idx, "vec_id", "embedding",
+        n_planes=11, n_tables=4, batch_id=0,  # sized for ~100 rows
+    )
+    append_to_embed_lsh_index(_vecs_df(spark, b1), idx, "vec_id", "embedding", 1)
+    append_to_embed_lsh_index(_vecs_df(spark, b2), idx, "vec_id", "embedding", 2)
+
+    meta0 = read_embed_lsh_meta(spark, idx)
+    assert meta0["sized_for_rows"] == 100
+    assert needs_embed_lsh_rebuild(meta0)  # auto(1200)=15 planes >= 11+1
+
+    meta = rebuild_embed_lsh_index(spark, idx)
+    exp_p, exp_t = auto_lsh_params(1200, dim=64)
+    assert (meta["n_planes"], meta["n_tables"]) == (exp_p, exp_t)
+    assert meta["n_planes"] > 11 and meta["version"] == 1
+    assert meta["sized_for_rows"] == 1200
+    assert meta["batches"] == {"0": 100, "1": 400, "2": 700}
+    assert not needs_embed_lsh_rebuild(meta)  # reset at the flip
+
+    # no duplicate-id fanout: stored vecs match the meta exactly, and
+    # id 7 is present once per batch
+    vdir = versioned_subdir(idx, "vecs", 1)
+    vecs = spark.read.option("basePath", vdir).parquet(vdir)
+    assert vecs.count() == 1200
+    assert sorted(
+        r["batch_id"] for r in vecs.filter("id = 7").collect()
+    ) == [0, 1]
+    # buckets re-derived at the new params: planes*... = n_tables rows/id
+    bdir = versioned_subdir(idx, "buckets", 1)
+    buckets = spark.read.option("basePath", bdir).parquet(bdir)
+    assert buckets.count() == 1200 * meta["n_tables"]
+
+    # stored-index query == one-shot recompute at the NEW params
+    new = mk([9000], base_vec, 0.002) + mk([9001])
+    new_df = _vecs_df(spark, new)
+    via_index = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embed_lsh_query_index(
+            new_df, idx, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    inline = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in cosine_incremental_pairs(
+            new_df, _vecs_df(spark, b0 + b1 + b2), "vec_id", "embedding",
+            threshold=0.95,
+            n_planes=meta["n_planes"], n_tables=meta["n_tables"],
+        ).collect()
+    }
+    assert via_index == inline
+    assert (9000, 5) in {(a, b) for a, b, _ in via_index}
+
+    # lifecycle continues: appends bucketize with the NEW params
+    # (0.002 mutation: the 9000<->9100 pair sits at cosine ~0.9997 —
+    # both carry independent noise, and at the rebuilt params a 0.993
+    # pair has a ~1.6% honest LSH miss probability; recall at the
+    # threshold boundary is soft by design, the lifecycle is what this
+    # asserts)
+    b3 = mk([9100], base_vec, 0.002) + mk(range(3000, 3019))
+    append_to_embed_lsh_index(_vecs_df(spark, b3), idx, "vec_id", "embedding", 3)
+    m2 = read_embed_lsh_meta(spark, idx)
+    assert m2["batches"]["3"] == 20 and m2["version"] == 1
+    hits = {
+        (r["id_a"], r["id_b"])
+        for r in embed_lsh_query_index(
+            new_df, idx, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    assert (9000, 9100) in hits  # the post-rebuild batch is queryable

@@ -883,3 +883,88 @@ def test_stream_ivf_maintenance_rebuilds_when_outgrown(spark, tmp_path):
         )
 
     assert max_cell_rows(m_idx) <= 0.7 * max_cell_rows(c_idx)
+
+
+def test_stream_embed_maintenance_rebuilds_when_outgrown(spark, tmp_path):
+    """r12: the embed-LSH guard's rebuild_when_outgrown policy — a
+    stream grows the store 6x past what its params were sized for
+    (expected_index_rows=100), needs_embed_lsh_rebuild trips
+    mid-stream, the guard retrains (planes grow with log2 of the
+    store), appends continue bucketizing with the NEW params, and the
+    survivors stay exactly-once across the rebuild."""
+    import json as _json
+    import os
+    import time
+
+    import numpy as np
+
+    from projet_5spar_sparkstreaming_spark.fsio import read_json
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        auto_lsh_params,
+        embed_lsh_query_index,
+    )
+    from projet_5spar_sparkstreaming_spark.streaming.dedup import (
+        stream_embed_neardup_ingest,
+    )
+
+    rng = np.random.RandomState(31)
+    n_files, per_file = 6, 200
+
+    def vec(i):
+        v = rng.randn(32)
+        return {"vec_id": int(i), "embedding": [float(x) for x in v / np.linalg.norm(v)]}
+
+    src = tmp_path / "em_src"
+    src.mkdir()
+    now = time.time()
+    for f in range(n_files):
+        rows = [vec(i) for i in range(f * per_file, (f + 1) * per_file)]
+        p = src / f"b{f}.json"
+        p.write_text("\n".join(_json.dumps(d) for d in rows))
+        os.utime(p, (now - (n_files - f) * 60,) * 2)
+
+    out = str(tmp_path / "em_out")
+    idx = str(tmp_path / "em_idx")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = stream_embed_neardup_ingest(
+        stream, out, idx, str(tmp_path / "em_chk"), dim=32,
+        trigger={"availableNow": True},
+        expected_index_rows=100,  # sized for a tenth of what arrives
+        rebuild_when_outgrown=True,
+    )
+    assert q.awaitTermination(600)
+
+    meta = read_json(spark, idx + "/_meta.json")
+    # at least one mid-stream rebuild fired, and the final params match
+    # the sizing math at the LAST rebuild's total
+    assert meta["version"] >= 1
+    p_built, _ = auto_lsh_params(100, dim=32)
+    assert meta["n_planes"] > p_built
+    assert meta["sized_for_rows"] > 100
+    assert set(meta["batches"]) == {str(b) for b in range(n_files)}
+    assert sum(meta["batches"].values()) == n_files * per_file
+
+    # survivors exactly-once across the rebuild (all vectors distinct)
+    kept = [r["vec_id"] for r in spark.read.parquet(out).select("vec_id").collect()]
+    assert sorted(kept) == list(range(n_files * per_file))
+
+    # the rebuilt index serves queries: a twin of a stored vector from
+    # the LAST batch (appended post-rebuild) is caught — probe built
+    # from the source file (out holds survivors, not vectors)
+    last = [_json.loads(line) for line in (src / "b5.json").read_text().splitlines()]
+    tv = np.array(next(d["embedding"] for d in last if d["vec_id"] == 1100))
+    probe = spark.createDataFrame(
+        [(9000, [float(x) for x in tv + 0.002 * rng.randn(32)])],
+        "vec_id long, embedding array<double>",
+    )
+    hits = {
+        (r["id_a"], r["id_b"])
+        for r in embed_lsh_query_index(
+            probe, idx, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    assert (9000, 1100) in hits
