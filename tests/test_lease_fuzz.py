@@ -44,7 +44,8 @@ from lease_fuzz_child import (  # noqa: E402
 )
 
 N_WORKERS = 4
-FUZZ_SEC = 35.0
+FUZZ_SEC = 35.0  # minimum fuzz window; extends to FUZZ_CAP for coverage
+FUZZ_CAP = 300.0  # hard wall when the box is too contended to make ops
 SEED_ROWS = 200
 
 
@@ -137,12 +138,29 @@ def test_lease_fuzz_concurrent_mutations_survive_random_kill9(
 
     killed_pids: set[int] = set()
     prng = random.Random(99)
-    t_end = time.time() + fuzz_sec
+    t_min = time.time() + fuzz_sec
+    t_cap = time.time() + FUZZ_CAP
     kills = 0
+
+    def _coverage_met() -> bool:
+        # the vacuity floor as a LOOP CONDITION, not a flaky assert: on
+        # an idle box this is met within fuzz_sec; under heavy external
+        # load (e.g. a full test suite sharing the cores) the children
+        # need longer to get real ops acknowledged, so the fuzz keeps
+        # going — up to FUZZ_CAP — until enough of each op class ran
+        j_ = _parse_journals(jdir)
+        return (
+            len(j_["acked_appends"]) >= 2
+            and len(j_["acked_appends"]) + len(j_["inflight"]) >= 5
+            and j_["acked_compacts"] + j_["acked_rebuilds"] >= 1
+            and kills >= 2
+        )
     try:
         # let the first JVMs come up before the first kill
         time.sleep(12)
-        while time.time() < t_end:
+        while time.time() < t_min or (
+            time.time() < t_cap and not _coverage_met()
+        ):
             slot = prng.randrange(n_workers)
             proc, journal = workers[slot]
             if proc.poll() is not None and proc.pid not in killed_pids:
@@ -176,11 +194,11 @@ def test_lease_fuzz_concurrent_mutations_survive_random_kill9(
             )
 
     j = _parse_journals(jdir)
-    assert kills >= 2, f"only {kills} kills in {fuzz_sec}s — fuzz too slow"
-    # vacuity floor: some of each op class must actually have run; the
-    # whole-store rewrites hog the lease, so acked appends can be few —
-    # in-flight (killed) appends count toward coverage via the replay
-    assert len(j["acked_appends"]) >= 2, j
+    assert kills >= 2, f"only {kills} kills — fuzz never got going"
+    # coverage was the loop condition; reaching here without it means
+    # even FUZZ_CAP seconds couldn't get ops through — a wedge, not load
+    assert len(j["acked_appends"]) >= 2, ("no appends acknowledged "
+                                          f"within {FUZZ_CAP}s", j)
     assert len(j["acked_appends"]) + len(j["inflight"]) >= 5, j
     assert j["acked_compacts"] + j["acked_rebuilds"] >= 1, j
 

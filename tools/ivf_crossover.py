@@ -27,8 +27,10 @@ Usage:
     python tools/ivf_crossover.py [500000 5000000]
     python tools/ivf_crossover.py 50000000          # the big one
 
-Prints one JSON line per tier; full matrix lands in
-``IVF_CROSSOVER_r11.json`` at the repo root.
+Prints one JSON line per tier; the full matrix lands in
+``IVF_CROSSOVER_r12.json`` at the repo root (seeded from the newest
+prior round's file, so re-measured tiers replace their row and new
+tiers append).
 """
 
 from __future__ import annotations
