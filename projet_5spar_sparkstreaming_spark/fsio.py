@@ -172,6 +172,21 @@ def _break_stale_lock(
     )
     tomb = jpath(tomb_name)
     try:
+        # Re-check IMMEDIATELY before the rename (r12, found by the
+        # lease fuzz): between the caller's staleness observation and
+        # this point, another waiter may already have broken the stale
+        # lock AND a fresh holder created a new one — renaming that
+        # away opens a window (until the rename-back below) where the
+        # path is empty and a third waiter's create succeeds, leaving
+        # TWO live holders when the restore then fails. A fresh holder
+        # is visible as holder JSON differing from what the caller
+        # judged stale, so bail before touching it. (The residual
+        # TOCTOU between this read and the rename is microseconds —
+        # and the lease-token fencing at every meta commit
+        # (``validate``) turns even that into an abort, not a lost
+        # update.)
+        if _read_holder(spark, lock_name) != observed:
+            return False
         if not fs.rename(lock, tomb):
             return False
         captured = _read_holder(spark, tomb_name)
@@ -199,6 +214,45 @@ def _break_stale_lock(
         return False
     except Exception:
         return False
+
+
+class LeaseLostError(RuntimeError):
+    """The writer lease was displaced mid-mutation (a breaker judged a
+    PREVIOUS corpse-lock stale and the tombstone dance swapped our live
+    lock out from under us, or an operator broke it manually). Raised
+    by ``_LeaseHandle.validate`` BEFORE any meta commit, so the
+    mutation aborts instead of last-writer-wins-clobbering a meta some
+    other admitted writer has advanced; callers retry exactly like a
+    failed micro-batch (batch data already written is replay-safe:
+    dynamic per-batch overwrite + orphan shedding)."""
+
+
+class _LeaseHandle:
+    """Yielded by ``writer_lease``: fencing for the commit point.
+
+    ``validate()`` re-reads the lock file and requires OUR token —
+    call it immediately before a meta ``write_json`` (the one effect
+    that damages concurrent writers). The r12 lease fuzz produced the
+    exact trace this closes: holder A mid-append, a breaker (judging a
+    third writer's corpse-lock stale) momentarily emptied the lock
+    path, waiter B created a fresh lock, and A's eventual meta write
+    silently erased the five batches B-and-friends had committed —
+    caught only by the rebuild drift guard downstream. With fencing, A
+    aborts at its own commit point instead."""
+
+    def __init__(self, spark, lock_name: str, token: str):
+        self._spark = spark
+        self._lock_name = lock_name
+        self._token = token
+
+    def validate(self) -> None:
+        holder = _read_holder(self._spark, self._lock_name)
+        if not (isinstance(holder, dict) and holder.get("token") == self._token):
+            raise LeaseLostError(
+                f"writer lease {self._lock_name} no longer ours "
+                f"(holder now: {holder!r}) — aborting before the meta "
+                "commit; re-run the mutation"
+            )
 
 
 @_contextlib.contextmanager
@@ -238,7 +292,17 @@ def writer_lease(
     per-breaker tombstone name (rename succeeds for exactly one
     process), so two waiters that both observed staleness can never
     interleave a delete under each other's fresh create and both walk
-    away "holding" the lease. Release deletes the file."""
+    away "holding" the lease. Release deletes the file.
+
+    Yields a ``_LeaseHandle`` whose ``validate()`` is the COMMIT FENCE
+    (r12, forced by the lease fuzz): every index mutation calls it
+    immediately before its meta ``write_json``, so a holder whose lock
+    was displaced by the tombstone dance (a breaker momentarily
+    emptying the path while judging a THIRD writer's corpse-lock
+    stale, letting a fresh waiter in) aborts with ``LeaseLostError``
+    instead of last-writer-wins-erasing the batches the new holder
+    committed; existing ``with writer_lease(...):`` callers that
+    ignore the handle remain valid."""
     fs, _ = _fs_path(spark, index_path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     lock_name = index_path.rstrip("/") + ".writer.lock"
@@ -290,7 +354,7 @@ def writer_lease(
             )
         _time.sleep(poll_sec)
     try:
-        yield
+        yield _LeaseHandle(spark, lock_name, holder["token"])
     finally:
         try:
             fs.delete(lock, False)

@@ -1786,7 +1786,7 @@ def build_minhash_index(
     )
 
     spark = docs.sparkSession
-    with writer_lease(spark, index_path):
+    with writer_lease(spark, index_path) as lease:
         # crashed-build self-heal: see build_ivf_index / set_build_marker
         set_build_marker(spark, index_path)
         delete_path(spark, index_path)
@@ -1794,6 +1794,7 @@ def build_minhash_index(
             docs, index_path, id_col, text_col, n, num_hashes, bands, batch_id,
             precomputed_sig=precomputed_sig,
         )
+        lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(
             spark,
             _minhash_meta_path(index_path),
@@ -1885,7 +1886,7 @@ def append_to_minhash_index(
     from projet_5spar_sparkstreaming_spark.fsio import write_json, writer_lease
 
     spark = docs.sparkSession
-    with writer_lease(spark, index_path):
+    with writer_lease(spark, index_path) as lease:
         meta = read_minhash_meta(spark, index_path)
         if meta is None:
             raise FileNotFoundError(
@@ -1904,6 +1905,7 @@ def append_to_minhash_index(
             version=int(meta.get("version", 0)),
         )
         meta.setdefault("batches", {})[str(batch_id)] = n_rows
+        lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, _minhash_meta_path(index_path), meta)
     return n_rows
 
@@ -1952,7 +1954,7 @@ def compact_minhash_index(
         writer_lease,
     )
 
-    with writer_lease(spark, index_path):
+    with writer_lease(spark, index_path) as lease:
         meta = read_minhash_meta(spark, index_path)
         if meta is None:
             raise FileNotFoundError(f"no minhash index at {index_path}")
@@ -1993,6 +1995,7 @@ def compact_minhash_index(
         merged_rows = sum(batches.pop(str(b)) for b in merged)
         batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
         meta["version"] = version + 1
+        lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, _minhash_meta_path(index_path), meta)  # the flip
     return meta
 

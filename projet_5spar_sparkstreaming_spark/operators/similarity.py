@@ -499,7 +499,7 @@ def build_ivf_index(
     cent = _train_ivf_centroids(
         corpus, corpus_id, corpus_vec, n_centroids, kmeans_iters, sample_limit
     )
-    with writer_lease(spark, index_path):
+    with writer_lease(spark, index_path) as lease:
         # marker BEFORE the delete, cleared only after the meta lands:
         # a crash anywhere in between leaves data-without-meta UNDER the
         # marker, which require_index_meta_consistent treats as a
@@ -511,6 +511,7 @@ def build_ivf_index(
             corpus, index_path, corpus_id, corpus_vec, cent, batch_id
         )
         corpus.unpersist()
+        lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(
             spark,
             index_path.rstrip("/") + "/_centroids.json",
@@ -621,7 +622,7 @@ def append_to_ivf_index(
 
     spark = vecs.sparkSession
     meta_path = index_path.rstrip("/") + "/_centroids.json"
-    with writer_lease(spark, index_path):
+    with writer_lease(spark, index_path) as lease:
         meta = read_json(spark, meta_path)
         if meta is None:
             raise FileNotFoundError(f"no IVF index at {index_path}")
@@ -631,6 +632,7 @@ def append_to_ivf_index(
             version=int(meta.get("version", 0)),
         )
         meta.setdefault("batches", {})[str(batch_id)] = n_rows
+        lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, meta_path, meta)
     return n_rows
 
@@ -663,7 +665,7 @@ def compact_ivf_index(
     )
 
     meta_path = index_path.rstrip("/") + "/_centroids.json"
-    with writer_lease(spark, index_path):
+    with writer_lease(spark, index_path) as lease:
         meta = read_json(spark, meta_path)
         if meta is None:
             raise FileNotFoundError(f"no IVF index at {index_path}")
@@ -720,6 +722,7 @@ def compact_ivf_index(
         merged_rows = sum(batches.pop(str(b)) for b in merged)
         batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
         meta["version"] = version + 1
+        lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, meta_path, meta)  # the flip
         if legacy_root:
             # migrating off the pre-versioning ROOT layout: the retired
@@ -781,7 +784,7 @@ def rebuild_ivf_index(
     )
 
     meta_path = index_path.rstrip("/") + "/_centroids.json"
-    with writer_lease(spark, index_path):
+    with writer_lease(spark, index_path) as lease:
         meta = read_json(spark, meta_path)
         if meta is None:
             raise FileNotFoundError(f"no IVF index at {index_path}")
@@ -844,6 +847,7 @@ def rebuild_ivf_index(
         meta["version"] = version + 1
         # the retrained quantizer is sized for the store as it stands
         meta["sized_for_rows"] = total_rows
+        lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, meta_path, meta)  # the flip
     return meta
 
@@ -1571,7 +1575,7 @@ def build_embed_lsh_index(
         n_planes, n_tables = auto_lsh_params(
             sized_for, dim=dim, recall_at=recall_at, target_recall=target_recall
         )
-    with writer_lease(spark, index_path):
+    with writer_lease(spark, index_path) as lease:
         # crashed-build self-heal: see build_ivf_index / set_build_marker
         set_build_marker(spark, index_path)
         delete_path(spark, index_path)
@@ -1590,6 +1594,7 @@ def build_embed_lsh_index(
             # rebuild-when-outgrown policy (needs_embed_lsh_rebuild)
             "sized_for_rows": int(sized_for) if sized_for else n_rows,
         }
+        lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, _embed_meta_path(index_path), meta)
         clear_build_marker(spark, index_path)
     return meta
@@ -1610,7 +1615,7 @@ def append_to_embed_lsh_index(
     from projet_5spar_sparkstreaming_spark.fsio import write_json, writer_lease
 
     spark = vecs.sparkSession
-    with writer_lease(spark, index_path):
+    with writer_lease(spark, index_path) as lease:
         meta = read_embed_lsh_meta(spark, index_path)
         if meta is None:
             raise FileNotFoundError(
@@ -1628,6 +1633,7 @@ def append_to_embed_lsh_index(
             version=int(meta.get("version", 0)),
         )
         meta.setdefault("batches", {})[str(batch_id)] = n_rows
+        lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, _embed_meta_path(index_path), meta)
     return n_rows
 
@@ -1777,7 +1783,7 @@ def compact_embed_lsh_index(
         writer_lease,
     )
 
-    with writer_lease(spark, index_path):
+    with writer_lease(spark, index_path) as lease:
         meta = read_embed_lsh_meta(spark, index_path)
         if meta is None:
             raise FileNotFoundError(f"no embedding LSH index at {index_path}")
@@ -1832,6 +1838,7 @@ def compact_embed_lsh_index(
         merged_rows = sum(batches.pop(str(b)) for b in merged)
         batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
         meta["version"] = version + 1
+        lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, _embed_meta_path(index_path), meta)  # the flip
     return meta
 
@@ -1898,7 +1905,7 @@ def rebuild_embed_lsh_index(
         wide_vector_reader_capacity,
     )
 
-    with writer_lease(spark, index_path):
+    with writer_lease(spark, index_path) as lease:
         meta = read_embed_lsh_meta(spark, index_path)
         if meta is None:
             raise FileNotFoundError(f"no embed LSH index at {index_path}")
@@ -1954,6 +1961,7 @@ def rebuild_embed_lsh_index(
         meta["n_tables"] = int(n_tables)
         meta["version"] = version + 1
         meta["sized_for_rows"] = total_rows
+        lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, _embed_meta_path(index_path), meta)  # the flip
     return meta
 

@@ -609,11 +609,22 @@ def test_writer_lease_mutual_exclusion_and_stale_break(spark, tmp_path):
 
 
 def _noop_lease(*args, **kwargs):
+    """Stand-in lease for the double-admission simulations: admits
+    every caller AND disables the r12 commit fence (validate no-op) —
+    the staged scenarios below pin the WORST-CASE floor (no data loss,
+    replay converges) that held before fencing existed; with the real
+    lease, a displaced/double-admitted loser now aborts at its commit
+    instead (test_lease_fence_aborts_displaced_holder,
+    test_append_aborts_never_clobbers_when_lease_displaced)."""
     import contextlib
+
+    class _Handle:
+        def validate(self):
+            pass
 
     @contextlib.contextmanager
     def cm():
-        yield
+        yield _Handle()
 
     return cm()
 
@@ -1979,3 +1990,101 @@ def test_embed_lsh_rebuild_retrains_params_preserving_results(spark, tmp_path):
         ).collect()
     }
     assert (9000, 9100) in hits  # the post-rebuild batch is queryable
+
+
+def test_lease_fence_aborts_displaced_holder(spark, tmp_path):
+    """r12 (found by the lease fuzz): the tombstone dance can
+    momentarily empty the lock path while breaking a THIRD writer's
+    corpse lock, letting a fresh waiter in — two live holders. The
+    commit fence is the backstop: a displaced holder's ``validate()``
+    raises instead of letting its later meta write clobber the new
+    holder's commits."""
+    import pytest as _pytest
+
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        LeaseLostError,
+        rename_path,
+        writer_lease,
+    )
+
+    idx = str(tmp_path / "fenced_idx")
+    with writer_lease(spark, idx) as lease:
+        lease.validate()  # intact: the lock carries our token
+        # stage the displacement: breaker renames our lock away...
+        rename_path(spark, idx + ".writer.lock", idx + ".writer.lock.break.X")
+        # ...and a fresh waiter acquires the now-empty path
+        with writer_lease(spark, idx, timeout_sec=5) as fresh:
+            fresh.validate()  # the new holder is intact
+            with _pytest.raises(LeaseLostError):
+                lease.validate()  # the displaced holder must abort
+
+
+def test_append_aborts_never_clobbers_when_lease_displaced(
+    spark, tmp_path, monkeypatch
+):
+    """End-to-end fence: an append whose lease is displaced MID-BATCH
+    (after its data write, before its meta commit) while another
+    writer commits a different batch must raise LeaseLostError and
+    leave the other writer's meta entry intact — the exact
+    last-writer-wins erasure the r12 fuzz caught (five committed
+    batches vanished from the meta) can no longer happen. The aborted
+    batch replays like any failed micro-batch and converges."""
+    import numpy as np
+    import pytest as _pytest
+
+    import projet_5spar_sparkstreaming_spark.operators.similarity as sim
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        LeaseLostError,
+        read_json,
+        rename_path,
+    )
+
+    rng = np.random.RandomState(5)
+
+    def mk(ids):
+        rows = []
+        for i in ids:
+            v = rng.randn(8)
+            rows.append((int(i), [float(x) for x in v / np.linalg.norm(v)]))
+        return rows
+
+    idx = str(tmp_path / "clobber_idx")
+    sim.build_ivf_index(
+        _vecs_df(spark, mk(range(20))), idx, "vec_id", "embedding",
+        n_centroids=4, batch_id=0,
+    )
+    b1, b2 = mk(range(100, 120)), mk(range(200, 220))
+
+    real = sim._write_ivf_batch
+    armed = {"on": True}
+
+    def hooked(*args, **kwargs):
+        n = real(*args, **kwargs)
+        if armed["on"]:
+            armed["on"] = False  # the interposed append must run clean
+            # displace the outer append's lease right after its batch
+            # data landed, and let ANOTHER writer commit batch 2
+            rename_path(
+                spark, idx + ".writer.lock", idx + ".writer.lock.break.X"
+            )
+            sim.append_to_ivf_index(
+                _vecs_df(spark, b2), idx, "vec_id", "embedding", batch_id=2
+            )
+        return n
+
+    monkeypatch.setattr(sim, "_write_ivf_batch", hooked)
+    with _pytest.raises(LeaseLostError):
+        sim.append_to_ivf_index(
+            _vecs_df(spark, b1), idx, "vec_id", "embedding", batch_id=1
+        )
+    # the other writer's commit SURVIVED (pre-fence: erased), batch 1
+    # is absent (aborted before its meta commit)
+    meta = read_json(spark, idx + "/_centroids.json")
+    assert meta["batches"] == {"0": 20, "2": 20}
+    # replay converges, exactly like a failed micro-batch retry
+    sim.append_to_ivf_index(
+        _vecs_df(spark, b1), idx, "vec_id", "embedding", batch_id=1
+    )
+    assert read_json(spark, idx + "/_centroids.json")["batches"] == {
+        "0": 20, "1": 20, "2": 20,
+    }

@@ -73,7 +73,7 @@ def _kill(proc) -> None:
 def _parse_journals(jdir: str) -> dict:
     acked_appends: dict[int, int] = {}
     inflight: set[int] = set()
-    acked_compacts = acked_rebuilds = 0
+    acked_compacts = acked_rebuilds = aborts = 0
     for name in sorted(os.listdir(jdir)):
         if not name.endswith(".journal"):
             continue
@@ -94,11 +94,17 @@ def _parse_journals(jdir: str) -> dict:
                 acked_compacts += 1
             elif parts[:2] == ["ACK", "REBUILD"]:
                 acked_rebuilds += 1
+            elif parts[:1] == ["ABORT"]:
+                # designed outcomes: drift-guard abort or the lease
+                # fence firing — an aborted append stays in ``inflight``
+                # (started, never acknowledged) and is replayed
+                aborts += 1
     return {
         "acked_appends": acked_appends,
         "inflight": sorted(inflight),
         "acked_compacts": acked_compacts,
         "acked_rebuilds": acked_rebuilds,
+        "aborts": aborts,
     }
 
 

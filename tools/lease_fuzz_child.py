@@ -68,6 +68,8 @@ def main() -> None:
     )
     from projet_5spar_sparkstreaming_spark.session import get_spark
 
+    from projet_5spar_sparkstreaming_spark.fsio import LeaseLostError
+
     spark = get_spark(f"lease_fuzz_w{slot}", master="local[2]")
     rng = random.Random(1000 * slot + epoch)
     jf = os.open(journal, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
@@ -82,24 +84,39 @@ def main() -> None:
         # mostly appends; compactions and rebuilds stir the version
         # flips and whole-store rewrites the appends race against
         op = rng.choices(["append", "compact", "rebuild"], [0.8, 0.1, 0.1])[0]
-        if op == "append":
-            # slot+1 keeps every worker batch_id disjoint from the
-            # parent's seed batch 0
-            batch_id = (slot + 1) * 1_000_000 + epoch * 10_000 + i
-            df = spark.createDataFrame(
-                batch_rows(batch_id), "vec_id long, embedding array<double>"
-            )
-            log(f"START APPEND {batch_id}")
-            n = append_to_ivf_index(df, index, "vec_id", "embedding", batch_id)
-            log(f"ACK APPEND {batch_id} {n}")
-        elif op == "compact":
-            log("START COMPACT")
-            compact_ivf_index(spark, index, keep_last=2, target_partitions=2)
-            log("ACK COMPACT")
-        else:
-            log("START REBUILD")
-            rebuild_ivf_index(spark, index, n_centroids=8, target_partitions=2)
-            log("ACK REBUILD")
+        try:
+            if op == "append":
+                # slot+1 keeps every worker batch_id disjoint from the
+                # parent's seed batch 0
+                batch_id = (slot + 1) * 1_000_000 + epoch * 10_000 + i
+                df = spark.createDataFrame(
+                    batch_rows(batch_id), "vec_id long, embedding array<double>"
+                )
+                log(f"START APPEND {batch_id}")
+                n = append_to_ivf_index(df, index, "vec_id", "embedding", batch_id)
+                log(f"ACK APPEND {batch_id} {n}")
+            elif op == "compact":
+                log("START COMPACT")
+                compact_ivf_index(spark, index, keep_last=2, target_partitions=2)
+                log("ACK COMPACT")
+            else:
+                log("START REBUILD")
+                rebuild_ivf_index(spark, index, n_centroids=8, target_partitions=2)
+                log("ACK REBUILD")
+        except LeaseLostError:
+            # DESIGNED abort: our lease was displaced mid-mutation by a
+            # breaker judging some corpse-lock stale — the commit fence
+            # fired instead of clobbering the meta. A streaming caller
+            # retries the batch; the fuzz just moves on (a started,
+            # never-acked append is replayed by the parent).
+            log(f"ABORT {op.upper()} lease_lost")
+        except RuntimeError as e:
+            if "meta drift" not in str(e):
+                raise
+            # DESIGNED abort: the flip-time drift guard saw another
+            # admitted writer advance the meta under us — index
+            # unchanged, the next compact/rebuild picks the work up.
+            log(f"ABORT {op.upper()} drift")
 
 
 if __name__ == "__main__":
