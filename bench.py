@@ -93,6 +93,79 @@ BENCH_QUERIES = [
 
 RECORDED_PASSES = 3
 
+# Host-speed calibration anchor (r12 verdict task 2). Two idle runs of
+# IDENTICAL code on this host spanned 41.0 -> 52.1 s the same day
+# (BENCH_ATTRIBUTION_r12.json:same_day_drift), so raw wall-clock
+# round-over-round diffs need a manual worktree experiment to
+# interpret. Instead, a fixed CPU-bound kernel pair runs at bench
+# start and end; every query also gets
+#   sec_normalized = sec * (CALIB_REF / calib_now)
+# so a 1.4x-slower host shows 1.4x-slower calibration and ~unchanged
+# normalized times, while a genuine code regression moves normalized
+# time with calibration flat. The reference constants were measured
+# 2026-08-16 (r13) on an idle host (loadavg 0.7): min over 4 warm
+# _calibrate() calls, each itself a min-of-reps.
+CALIB_REF = {"matmul_sec": 0.029, "hash_agg_sec": 0.334}
+
+
+def _calibrate(spark) -> dict:
+    """Fixed CPU-bound kernel pair; returns min-of-reps seconds.
+
+    - ``matmul_sec``: pinned 1536x1536 float64 matmul (numpy/BLAS) —
+      tracks raw CPU + memory-bandwidth throughput, the component that
+      drifted 1.4-2.1x between r11 and r12 hosts.
+    - ``hash_agg_sec``: pinned 2M-row xxhash64 chain + hash aggregate
+      on spark.range (no input data, no parquet) — tracks the JVM
+      codegen + shuffle path the headline queries actually run on.
+    Min of reps: contention only ever inflates a rep, so the min is
+    the host's attainable speed this run.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((1536, 1536))
+    b = rng.standard_normal((1536, 1536))
+    mm = []
+    for _ in range(5):
+        t0 = time.time()
+        (a @ b).sum()
+        mm.append(time.time() - t0)
+
+    ha = []
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(0, 2_000_000)
+            .selectExpr(
+                "id % 997 AS k",
+                "xxhash64(xxhash64(id), id) AS h",
+            )
+            .groupBy("k")
+            # bit_xor, not sum: 2M xxhash64 values overflow a long
+            # under the session's ANSI mode
+            .agg(F.expr("bit_xor(h) AS hx"), F.count("*").alias("n"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        ha.append(time.time() - t0)
+    return {
+        "matmul_sec": round(min(mm), 4),
+        "hash_agg_sec": round(min(ha), 4),
+    }
+
+
+def _calib_scale(calib: dict) -> float | None:
+    """Host-speed factor vs the pinned reference: geometric mean of the
+    two kernels' now/ref ratios. >1 means THIS run's host is slower
+    than the reference host; normalized sec = raw sec / scale."""
+    if not CALIB_REF["matmul_sec"] or not CALIB_REF["hash_agg_sec"]:
+        return None
+    r1 = calib["matmul_sec"] / CALIB_REF["matmul_sec"]
+    r2 = calib["hash_agg_sec"] / CALIB_REF["hash_agg_sec"]
+    return (r1 * r2) ** 0.5
+
 
 def _split_copy(spark, sf_dir: str, table: str, n_files: int, base: str) -> str:
     """Rewrite a source table into ``n_files`` parquet files so the
@@ -522,7 +595,9 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     def _run(name: str, starter) -> list:
         t0 = time.time()
         q = starter()
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"{name}: stream not terminated in 600s")
         dt = time.time() - t0
         progress = list(q.recentProgress)
         stats = _steady_state(progress)
@@ -613,11 +688,15 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
             mk(tune_src, "_t"), canary_batches=1, target_batch_sec=8.0,
             max_files=32,
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"{auto}: tuning stream not terminated in 600s")
         sec_tuning = round(time.time() - t0, 3)
         t0 = time.time()
         q2 = mk(meas_src, "_m")(n)
-        q2.awaitTermination(600)
+        if not q2.awaitTermination(600):
+            q2.stop()
+            raise TimeoutError(f"{auto}: measure stream not terminated in 600s")
         stats = _steady_state(list(q2.recentProgress))
         stats["sec_measure"] = round(time.time() - t0, 3)
         stats["sec_tuning"] = sec_tuning
@@ -625,6 +704,29 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
         stats["max_files"] = 32
         stats["tuning_splits"] = 64
         stats["source_splits"] = 96
+        # Where the controller's true fixed point WOULD sit (r12
+        # verdict task 4): duration(n) = fixed + marginal*n, with
+        # fixed = the fpt=1 canary's steady median and marginal from
+        # the measured point at fpt=n. An estimate whose batch exceeds
+        # the whole source (fixed_point_rows_est > rows_in) proves the
+        # at-cap convergence is the clamp doing its job — the sf0.1
+        # tables are too small to ADMIT an interior fixed point in the
+        # 8 s band, which TRIGGER_FIXED_POINT_r12 demonstrated the
+        # controller reaches when the workload admits one (5M docs,
+        # fpt=5 interior).
+        import statistics as _st
+
+        canary_durs = out[canary]["per_batch_sec"][1:]
+        auto_durs = stats["per_batch_sec"][1:]
+        if canary_durs and auto_durs and n > 1:
+            fixed = _st.median(canary_durs)
+            marginal = max(_st.median(auto_durs) - fixed, 0.0) / (n - 1)
+            fp_files = round((8.0 - fixed) / marginal) if marginal > 0 else None
+            stats["fixed_point_files_est"] = fp_files
+            rows_per_file = stats["rows_in"] / 96.0
+            stats["fixed_point_rows_est"] = (
+                round(fp_files * rows_per_file) if fp_files else None
+            )
         out[auto] = stats
     shutil.rmtree(base, ignore_errors=True)
     return out
@@ -642,6 +744,11 @@ def main() -> None:
     # payload records the 1-min load average at start and end — a
     # reader (or the next round's diff) can discount a noisy run.
     load_start = round(os.getloadavg()[0], 2)
+    # Host-speed anchor at bench START (after one throwaway to warm the
+    # JIT/codegen path the hash-agg kernel measures); a second sample
+    # at bench END catches load arriving mid-run.
+    _calibrate(spark)
+    calib_start = _calibrate(spark)
 
     # Pass 0 (unrecorded): JIT/codegen/parquet-footer warmup. Passes
     # 1..RECORDED_PASSES: timed; per query keep the median + spread.
@@ -675,18 +782,27 @@ def main() -> None:
     except (OSError, ValueError):
         pass
     prev_timings = prev_payload.get("queries", {})
+    # The guard compares NORMALIZED values when the previous artifact
+    # carries them (r12 verdict task 2): raw wall-clock on this host is
+    # +/-27% noise on identical code, so a raw-vs-raw 20% trigger fires
+    # on host drift; normalized-vs-normalized fires on code changes.
+    prev_norm = prev_payload.get("queries_normalized") or {}
+    scale_start = _calib_scale(calib_start) or 1.0
     reran = []
     for name in BENCH_QUERIES:
-        prev = prev_timings.get(name)
         med = statistics.median(runs[name])
-        if prev and (med > 1.2 * prev or med < 0.8 * prev):
+        if name in prev_norm:
+            prev, cur = prev_norm[name], med / scale_start
+        else:
+            prev, cur = prev_timings.get(name), med
+        if prev and (cur > 1.2 * prev or cur < 0.8 * prev):
             t0 = time.time()
             cat[name].build(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             runs[name].append(time.time() - t0)
             reran.append({"query": name,
-                          "direction": "slower" if med > prev else "faster"})
+                          "direction": "slower" if cur > prev else "faster"})
 
     timings = {n: round(statistics.median(ts), 3) for n, ts in runs.items()}
     spread = {
@@ -769,11 +885,30 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
+    # END-of-bench anchor: load arriving mid-run shows up as
+    # end-scale > start-scale; the normalization factor is the geomean
+    # of the two (the best single estimator when conditions were mixed).
+    calib_end = _calibrate(spark)
+    scale_end = _calib_scale(calib_end) or 1.0
+    host_scale = (scale_start * scale_end) ** 0.5
+    queries_normalized = {
+        n: round(t / host_scale, 3) for n, t in timings.items()
+    }
     sf = sf_dir.rstrip("/").split("sf")[-1]
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # host-speed-normalized seconds (sec / host_scale): compare
+        # THESE across rounds, raw seconds only within one run
+        "value_normalized": round(sum(queries_normalized.values()), 3),
+        "queries_normalized": queries_normalized,
+        "calibration": {
+            "ref": CALIB_REF,
+            "start": calib_start,
+            "end": calib_end,
+            "host_scale": round(host_scale, 4),
+        },
         # median of RECORDED_PASSES runs per query
         "queries": timings,
         "runs_per_query": RECORDED_PASSES,

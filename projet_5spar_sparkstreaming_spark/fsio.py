@@ -484,6 +484,31 @@ def build_marker_present(spark: SparkSession, index_path: str) -> bool:
     return path_exists(spark, _build_marker_path(index_path))
 
 
+def clear_stale_build_marker(spark: SparkSession, index_path: str) -> bool:
+    """Shed a LINGERING build marker once the build is proven committed.
+
+    A build that crashes between its meta ``write_json`` and its
+    ``clear_build_marker`` leaves the marker up forever while the index
+    lives on and accumulates batches — and a later data-present/
+    meta-None read (a transient concurrent meta swap, or a crashed
+    mid-life mutation: exactly the states
+    ``require_index_meta_consistent`` exists to protect) would then be
+    silently honored as "crashed build, safe to rebuild", and the
+    rebuild's recursive delete would eat the accumulated store
+    (r12 advice).
+
+    Call ONLY while HOLDING the writer lease with a non-None meta in
+    hand: the lease serializes against any in-flight build (builds hold
+    it across their whole set-marker -> clear-marker span), so
+    lease + committed meta + marker-present proves the marker is
+    stale debris, never a live build's. Returns True if one was shed.
+    """
+    if not build_marker_present(spark, index_path):
+        return False
+    clear_build_marker(spark, index_path)
+    return True
+
+
 def rename_path(spark: SparkSession, src: str, dst: str) -> bool:
     """Rename/move ``src`` to ``dst`` on their shared filesystem."""
     fs, hsrc = _fs_path(spark, src)

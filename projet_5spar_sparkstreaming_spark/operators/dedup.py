@@ -1883,7 +1883,11 @@ def append_to_minhash_index(
     landed mid-rewrite) and against each other (two concurrent meta
     updates would lose one batch's entry). Returns the batch row
     count."""
-    from projet_5spar_sparkstreaming_spark.fsio import write_json, writer_lease
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        clear_stale_build_marker,
+        write_json,
+        writer_lease,
+    )
 
     spark = docs.sparkSession
     with writer_lease(spark, index_path) as lease:
@@ -1892,6 +1896,10 @@ def append_to_minhash_index(
             raise FileNotFoundError(
                 f"no minhash index at {index_path} (build_minhash_index first)"
             )
+        # committed meta + held lease: a still-present build marker is
+        # a crashed build's debris — shed it before it can misroute a
+        # later transient meta-None read into a store-eating rebuild
+        clear_stale_build_marker(spark, index_path)
         n_rows = _write_minhash_batch(
             docs,
             index_path,
@@ -1958,6 +1966,11 @@ def compact_minhash_index(
         meta = read_minhash_meta(spark, index_path)
         if meta is None:
             raise FileNotFoundError(f"no minhash index at {index_path}")
+        from projet_5spar_sparkstreaming_spark.fsio import (
+            clear_stale_build_marker,
+        )
+
+        clear_stale_build_marker(spark, index_path)  # crashed-build debris
         batch_ids = sorted(int(b) for b in meta.get("batches", {}))
         merged = batch_ids[: max(0, len(batch_ids) - keep_last)]
         if len(merged) < 2:

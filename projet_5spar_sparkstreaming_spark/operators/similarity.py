@@ -615,6 +615,7 @@ def append_to_ivf_index(
     import numpy as np
 
     from projet_5spar_sparkstreaming_spark.fsio import (
+        clear_stale_build_marker,
         read_json,
         write_json,
         writer_lease,
@@ -626,6 +627,10 @@ def append_to_ivf_index(
         meta = read_json(spark, meta_path)
         if meta is None:
             raise FileNotFoundError(f"no IVF index at {index_path}")
+        # committed meta + held lease: a still-present build marker is
+        # a crashed build's debris — shed it before it can misroute a
+        # later transient meta-None read into a store-eating rebuild
+        clear_stale_build_marker(spark, index_path)
         cent = np.array(meta["centroids"], dtype=np.float64)
         n_rows = _write_ivf_batch(
             vecs, index_path, id_col, vec_col, cent, batch_id,
@@ -669,6 +674,11 @@ def compact_ivf_index(
         meta = read_json(spark, meta_path)
         if meta is None:
             raise FileNotFoundError(f"no IVF index at {index_path}")
+        from projet_5spar_sparkstreaming_spark.fsio import (
+            clear_stale_build_marker,
+        )
+
+        clear_stale_build_marker(spark, index_path)  # crashed-build debris
         batch_ids = sorted(int(b) for b in meta.get("batches", {}))
         merged = batch_ids[: max(0, len(batch_ids) - keep_last)]
         if len(merged) < 2:
@@ -722,6 +732,15 @@ def compact_ivf_index(
         merged_rows = sum(batches.pop(str(b)) for b in merged)
         batches[str(merged_id)] = merged_rows + batches.pop(str(merged_id), 0)
         meta["version"] = version + 1
+        if "sized_for_rows" not in meta:
+            # LEGACY backfill (r12 advice): pre-field metas can't say
+            # what the quantizer was sized for, and after THIS merge
+            # the min-batch count would be a sum of many batches —
+            # estimate by inverting auto_ivf_centroids (cells ~
+            # sqrt(n)/4) at the stored cell count, so needs_ivf_rebuild
+            # regains a denominator that reflects the geometry's
+            # actual capacity
+            meta["sized_for_rows"] = (4 * len(meta["centroids"])) ** 2
         lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, meta_path, meta)  # the flip
         if legacy_root:
@@ -758,6 +777,9 @@ def rebuild_ivf_index(
     say when, this says how, and no caller has to keep the raw corpus
     around: the stored ``(id, vec)`` rows ARE the corpus.
 
+    Behavior note: resets ``sized_for_rows`` to the store's current
+    total, so the rebuild-when-outgrown clock restarts here.
+
     Reader-safe like compaction: new centroids are trained (k-means on
     a bounded sample, ``n_centroids="auto"`` sized from the meta's
     total row count), ALL stored vectors are re-assigned and rewritten
@@ -788,6 +810,11 @@ def rebuild_ivf_index(
         meta = read_json(spark, meta_path)
         if meta is None:
             raise FileNotFoundError(f"no IVF index at {index_path}")
+        from projet_5spar_sparkstreaming_spark.fsio import (
+            clear_stale_build_marker,
+        )
+
+        clear_stale_build_marker(spark, index_path)  # crashed-build debris
         version = int(meta.get("version", 0))
         snapshot = dict(meta["batches"])
         total_rows = sum(int(v) for v in snapshot.values())
@@ -861,15 +888,22 @@ def needs_ivf_rebuild(meta: dict | None, growth_factor: float = 4.0) -> bool:
     ~2x the cells and per-query scoring inside the old mega-cells has
     doubled). ``sized_for_rows`` is written by build (its
     ``expected_rows`` when given, else the seed batch's count) and
-    reset by every rebuild; indexes persisted before the field existed
-    fall back to the seed batch's recorded count."""
+    reset by every rebuild.
+
+    LEGACY metas (persisted before the field existed) return False
+    explicitly: the old min-batch-count fallback broke after a
+    compaction — the surviving merged batch's count is the SUM of many
+    batches, so the inferred sizing was inflated and the trigger
+    suppressed or wildly delayed (r12 advice). Rather than guess from
+    corrupted evidence, the predicate declines until the next
+    ``compact_ivf_index``/``rebuild_ivf_index`` backfills the field
+    (compaction estimates it by inverting ``auto_ivf_centroids`` at
+    the stored cell count; rebuild stamps the retrain total)."""
     if meta is None:
         return False
     batches = meta.get("batches") or {}
     total = sum(int(v) for v in batches.values())
     sized_for = meta.get("sized_for_rows")
-    if not sized_for and batches:
-        sized_for = batches[str(min(int(b) for b in batches))]
     return bool(sized_for) and total >= growth_factor * int(sized_for)
 
 
@@ -907,14 +941,21 @@ def query_ivf_index(
     vs brute 12.5-17.6 s at 5M; 9-19 s vs 112-131 s at 50M — see
     ``tools/ivf_crossover.py``, IVF_CROSSOVER_r11.json).
 
-    DEFAULTS ship the measured findings (r12, verdict task 1):
-    ``route="auto"`` (the store-size routing above) and
-    ``n_probe="auto"`` (constant probed FRACTION of the cells — a
-    fixed width erodes recall as cells grow: measured 0.996 -> 0.874
-    going 5M -> 50M rows at n_probe=4). A bare call gets the path the
-    crossover artifacts say wins; pass ``route="ivf"`` with an explicit
-    ``n_probe`` to pin the legacy probe behavior (benchmarks measuring
-    the probe path itself do exactly that)."""
+    **BEHAVIOR CHANGE (r12)** — defaults flipped from
+    ``route="ivf", n_probe=4`` to ``route="auto", n_probe="auto"``:
+    a bare call on a store at or under ``brute_cutoff_rows`` (2M) now
+    EXACT-scans instead of probing (different plan, recall 1.0 instead
+    of approximate), and any auto-probed call widens its probe set as
+    the store grows. Callers that pinned behavior on the old defaults
+    must now pass ``route="ivf", n_probe=4`` explicitly. The flip
+    ships the measured findings (r11/r12 crossover + scale-stress
+    artifacts): ``route="auto"`` picks the measured winner by store
+    size, and ``n_probe="auto"`` probes a constant FRACTION of the
+    cells — a fixed width erodes recall as cells grow (measured
+    0.996 -> 0.874 going 5M -> 50M rows at n_probe=4), which is why
+    ``route="ivf"`` without an explicit ``n_probe`` gets the auto
+    width rather than the old fixed 4. Benchmarks measuring the probe
+    path itself pin both knobs."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -1593,6 +1634,13 @@ def build_embed_lsh_index(
             # what the LSH parameters were SIZED for — the basis of the
             # rebuild-when-outgrown policy (needs_embed_lsh_rebuild)
             "sized_for_rows": int(sized_for) if sized_for else n_rows,
+            # the recall sizing the params were derived UNDER — the
+            # rebuild predicate and the rebuild itself must re-derive
+            # with the SAME sizing, or a build at recall_at=0.995 gets
+            # judged (and silently re-sized) at the 0.99 default
+            # (r12 advice)
+            "recall_at": float(recall_at),
+            "target_recall": float(target_recall),
         }
         lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, _embed_meta_path(index_path), meta)
@@ -1612,7 +1660,11 @@ def append_to_embed_lsh_index(
     idempotent under replay (``batch_id=N`` overwrite + meta key
     replace), serialized against compactions and other appends by the
     cross-process ``writer_lease``. Returns the batch row count."""
-    from projet_5spar_sparkstreaming_spark.fsio import write_json, writer_lease
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        clear_stale_build_marker,
+        write_json,
+        writer_lease,
+    )
 
     spark = vecs.sparkSession
     with writer_lease(spark, index_path) as lease:
@@ -1621,6 +1673,10 @@ def append_to_embed_lsh_index(
             raise FileNotFoundError(
                 f"no embedding LSH index at {index_path} (build_embed_lsh_index first)"
             )
+        # committed meta + held lease: a still-present build marker is
+        # a crashed build's debris — shed it before it can misroute a
+        # later transient meta-None read into a store-eating rebuild
+        clear_stale_build_marker(spark, index_path)
         n_rows = _write_embed_batch(
             vecs,
             index_path,
@@ -1787,6 +1843,11 @@ def compact_embed_lsh_index(
         meta = read_embed_lsh_meta(spark, index_path)
         if meta is None:
             raise FileNotFoundError(f"no embedding LSH index at {index_path}")
+        from projet_5spar_sparkstreaming_spark.fsio import (
+            clear_stale_build_marker,
+        )
+
+        clear_stale_build_marker(spark, index_path)  # crashed-build debris
         batch_ids = sorted(int(b) for b in meta.get("batches", {}))
         merged = batch_ids[: max(0, len(batch_ids) - keep_last)]
         if len(merged) < 2:
@@ -1861,7 +1922,14 @@ def needs_embed_lsh_rebuild(meta: dict | None, min_extra_planes: int = 1) -> boo
     total = sum(int(v) for v in batches.values())
     if not total:
         return False
-    p_auto, _ = auto_lsh_params(total, dim=int(meta.get("dim", 64)))
+    # re-derive under the SAME recall sizing the index was built with
+    # (persisted in the meta since r13); indexes persisted before the
+    # fields existed get the build-time defaults they were sized under
+    p_auto, _ = auto_lsh_params(
+        total, dim=int(meta.get("dim", 64)),
+        recall_at=float(meta.get("recall_at", 0.99)),
+        target_recall=float(meta.get("target_recall", 0.95)),
+    )
     return p_auto >= int(meta["n_planes"]) + min_extra_planes
 
 
@@ -1870,8 +1938,8 @@ def rebuild_embed_lsh_index(
     index_path: str,
     n_planes: int | str = "auto",
     n_tables: int | str = "auto",
-    recall_at: float = 0.99,
-    target_recall: float = 0.95,
+    recall_at: float | None = None,
+    target_recall: float | None = None,
     target_partitions: int | None = None,
 ) -> dict:
     """RETRAIN a grown embed-LSH index's parameters from its own stored
@@ -1909,10 +1977,24 @@ def rebuild_embed_lsh_index(
         meta = read_embed_lsh_meta(spark, index_path)
         if meta is None:
             raise FileNotFoundError(f"no embed LSH index at {index_path}")
+        from projet_5spar_sparkstreaming_spark.fsio import (
+            clear_stale_build_marker,
+        )
+
+        clear_stale_build_marker(spark, index_path)  # crashed-build debris
         version = int(meta.get("version", 0))
         snapshot = dict(meta["batches"])
         total_rows = sum(int(v) for v in snapshot.values())
         dim = int(meta["dim"])
+        # default to the recall sizing the index was BUILT under
+        # (persisted in the meta since r13) so a policy-driven rebuild
+        # can't silently lower a stricter build's sizing (r12 advice);
+        # an explicit argument still overrides, and the meta below
+        # records whatever was actually used.
+        if recall_at is None:
+            recall_at = float(meta.get("recall_at", 0.99))
+        if target_recall is None:
+            target_recall = float(meta.get("target_recall", 0.95))
         if n_planes == "auto" or n_tables == "auto":
             n_planes, n_tables = auto_lsh_params(
                 total_rows, dim=dim,
@@ -1961,6 +2043,8 @@ def rebuild_embed_lsh_index(
         meta["n_tables"] = int(n_tables)
         meta["version"] = version + 1
         meta["sized_for_rows"] = total_rows
+        meta["recall_at"] = float(recall_at)
+        meta["target_recall"] = float(target_recall)
         lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, _embed_meta_path(index_path), meta)  # the flip
     return meta

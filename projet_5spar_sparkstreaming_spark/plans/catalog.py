@@ -58,6 +58,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_table(spark, sf_dir, name)
 
 
+def _await_or_raise(q, name: str, timeout: int = 300) -> None:
+    """Block until the streaming query terminates; raise if it doesn't.
+
+    ``StreamingQuery.awaitTermination(timeout)`` returns False on
+    timeout instead of raising — a silent return lets the caller read a
+    half-built sink table and fail its oracle flakily with a useless
+    diagnostic. Every streaming catalog query goes through this helper
+    so a contended run surfaces as a clear TimeoutError, never as a
+    wrong-answer flake.
+    """
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"{name}: streaming query not terminated in {timeout}s"
+        )
+
+
 # ---------------------------------------------------------------------------
 # Event analytics (reference parity: SURVEY.md section 2.5/2.6/2.7)
 # ---------------------------------------------------------------------------
@@ -426,7 +443,7 @@ def q_stream_minute_counts(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, name)
     return spark.table(name)
 
 
@@ -451,7 +468,7 @@ def q_stream_user_activity(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, name)
     return spark.table(name)
 
 
@@ -487,7 +504,7 @@ def q_stream_session_counts(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, name)
     return spark.table(name)
 
 
@@ -536,7 +553,7 @@ def q_stream_stream_join(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, name)
     return spark.table(name)
 
 
@@ -588,7 +605,7 @@ def q_stream_stream_left_join(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, name)
     return spark.table(name)
 
 
@@ -621,7 +638,7 @@ def q_stream_first_event_per_user(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, name)
     return spark.table(name)
 
 
@@ -653,7 +670,7 @@ def q_stream_running_key_stats(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, name)
     return spark.table(name).select("key", "n_events", "max_value")
 
 
@@ -682,7 +699,7 @@ def q_stream_curate_corpus(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, name)
     return spark.table(name)
 
 
@@ -713,7 +730,7 @@ def q_stream_neardup_ingest(spark, sf_dir):
         f"{base}/chk",
         trigger={"availableNow": True},
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, "q_stream_neardup_ingest")
     return spark.read.parquet(f"{base}/out").select("doc_id")
 
 
@@ -744,7 +761,7 @@ def q_stream_enriched_segment_counts(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, name)
     return spark.table(name)
 
 
@@ -812,7 +829,7 @@ def q_stream_decontamination(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, name)
     return spark.table(name)
 
 
@@ -850,7 +867,7 @@ def q_stream_pii_scan(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, name)
     return spark.table(name)
 
 
@@ -3256,33 +3273,33 @@ def q_stream_ivf_maintenance(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     base = tempfile.mkdtemp(prefix="ivf_maint_")
-    emb.select("vec_id", "embedding").repartition(10).write.mode(
-        "overwrite"
-    ).parquet(f"{base}/src")
-    stream = (
-        spark.readStream.schema(spark.read.parquet(f"{base}/src").schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{base}/src")
-    )
-    q = stream_ivf_ingest(
-        stream, f"{base}/idx", f"{base}/chk",
-        trigger={"availableNow": True},
-        rebuild_growth_factor=4.0,
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "stream_ivf_maintenance: stream not terminated in 300s"
+    try:
+        emb.select("vec_id", "embedding").repartition(10).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/src")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(f"{base}/src").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/src")
         )
-    queries = emb.filter(F.col("vec_id") < 20)
-    emitted = query_ivf_index(
-        spark, queries, f"{base}/idx", "vec_id", "embedding",
-        k=5, n_probe=6, route="ivf",  # the REBUILT geometry's probe path
-    )
-    probe = _ann_containment_escapees(emitted, queries, emb, k_relaxed=40)
-    n_escapees = int(probe.collect()[0]["n_escapees"])
-    meta = read_json(spark, f"{base}/idx/_centroids.json")
-    shutil.rmtree(base, ignore_errors=True)
+        q = stream_ivf_ingest(
+            stream, f"{base}/idx", f"{base}/chk",
+            trigger={"availableNow": True},
+            rebuild_growth_factor=4.0,
+        )
+        _await_or_raise(q, "q_stream_ivf_maintenance")
+        queries = emb.filter(F.col("vec_id") < 20)
+        emitted = query_ivf_index(
+            spark, queries, f"{base}/idx", "vec_id", "embedding",
+            k=5, n_probe=6, route="ivf",  # the REBUILT geometry's probe path
+        )
+        probe = _ann_containment_escapees(emitted, queries, emb, k_relaxed=40)
+        n_escapees = int(probe.collect()[0]["n_escapees"])
+        meta = read_json(spark, f"{base}/idx/_centroids.json")
+    finally:
+        # delete on EVERY exit path — a timeout / failed collect must
+        # not leak a full source copy + index + checkpoint (r12 advice)
+        shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         [(n_escapees, int(meta.get("version", 0)), len(meta["batches"]))],
         "n_escapees long, meta_version long, n_batches long",
@@ -3309,44 +3326,39 @@ def q_stream_ivf_ingest(spark, sf_dir):
         stream_ivf_ingest,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
-    base = tempfile.mkdtemp(prefix="ivf_ingest_")
-    emb.select("vec_id", "embedding").repartition(3).write.mode(
-        "overwrite"
-    ).parquet(f"{base}/src")
-    stream = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{base}/src").schema
-        )
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{base}/src")
-    )
-    q = stream_ivf_ingest(
-        stream, f"{base}/idx", f"{base}/chk",
-        trigger={"availableNow": True},
-        expected_index_rows=2_000_000,
-    )
-    if not q.awaitTermination(300):
-        # availableNow not done in 300 s: the probe below would read a
-        # HALF-BUILT index and fail the zero-escapee oracle flakily —
-        # raise so the failure is diagnosable (r11 advice)
-        q.stop()
-        raise TimeoutError(
-            "stream_ivf_ingest: availableNow stream not terminated in 300s"
-        )
-    queries = emb.filter(F.col("vec_id") < 20)
-    emitted = query_ivf_index(
-        spark, queries, f"{base}/idx", "vec_id", "embedding",
-        k=5, n_probe=6, route="ivf",
-    )
-    probe = _ann_containment_escapees(emitted, queries, emb, k_relaxed=40)
-    # the escapee count is one row — materialize it NOW so the mkdtemp
-    # base (source copy + index + checkpoint) can be deleted instead of
-    # leaking a full index per invocation (warmup + recorded passes)
-    rows = probe.collect()
     import shutil
 
-    shutil.rmtree(base, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="ivf_ingest_")
+    try:
+        emb.select("vec_id", "embedding").repartition(3).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/src")
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{base}/src").schema
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/src")
+        )
+        q = stream_ivf_ingest(
+            stream, f"{base}/idx", f"{base}/chk",
+            trigger={"availableNow": True},
+            expected_index_rows=2_000_000,
+        )
+        _await_or_raise(q, "q_stream_ivf_ingest")
+        queries = emb.filter(F.col("vec_id") < 20)
+        emitted = query_ivf_index(
+            spark, queries, f"{base}/idx", "vec_id", "embedding",
+            k=5, n_probe=6, route="ivf",
+        )
+        probe = _ann_containment_escapees(emitted, queries, emb, k_relaxed=40)
+        # the escapee count is one row — materialize it NOW so the
+        # mkdtemp base (source copy + index + checkpoint) can be deleted
+        # instead of leaking a full index per invocation
+        rows = probe.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, probe.schema)
 
 

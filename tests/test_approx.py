@@ -87,8 +87,10 @@ def test_ivf_top_k_auto_probe_resolves(spark):
 def test_needs_ivf_rebuild_predicate_pure_metadata():
     """The rebuild-when-outgrown policy is a pure metadata predicate:
     trips at growth_factor x sized_for_rows, resets with the field,
-    falls back to the seed batch's count for pre-r12 metas, and never
-    trips on missing/empty metadata."""
+    declines explicitly for pre-r12 metas (the old min-batch fallback
+    read a post-compaction merged count as the sizing — inflated, so
+    the trigger was suppressed; r12 advice), and never trips on
+    missing/empty metadata."""
     from projet_5spar_sparkstreaming_spark.operators.similarity import (
         needs_ivf_rebuild,
     )
@@ -102,9 +104,11 @@ def test_needs_ivf_rebuild_predicate_pure_metadata():
     assert not needs_ivf_rebuild(grown, growth_factor=8.0)
     # a rebuild resets sized_for_rows to the flip-time total
     assert not needs_ivf_rebuild({**grown, "sized_for_rows": 400})
-    # legacy meta without the field: seed batch (min id) is the basis
+    # legacy meta without the field: DECLINE until compact/rebuild
+    # backfills it — after a compaction the min batch is a merged SUM,
+    # so any inference from batch counts is corrupted evidence
     legacy = {"batches": {"0": 50, "1": 50, "2": 50, "3": 50}}
-    assert needs_ivf_rebuild(legacy)  # 200 >= 4*50
+    assert not needs_ivf_rebuild(legacy)
     assert not needs_ivf_rebuild({"batches": {"0": 100, "1": 50}})
     # build sized for an EXPECTED corpus (expected_rows) doesn't trip
     # while the stream is still filling up to it

@@ -1128,6 +1128,146 @@ def test_ingest_guard_refuses_rebuild_when_meta_missing(spark, tmp_path):
     require_index_meta_consistent(spark, idx, {"n": 3})
 
 
+def test_embed_lsh_meta_persists_recall_sizing(spark, tmp_path):
+    """r12 advice: the recall sizing the LSH params were derived under
+    must ride in the meta — needs_embed_lsh_rebuild and
+    rebuild_embed_lsh_index re-derive auto_lsh_params, and without the
+    persisted values a build at a stricter recall gets judged (and on
+    rebuild silently re-sized) at the 0.99/0.95 defaults."""
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        auto_lsh_params,
+        build_embed_lsh_index,
+        read_embed_lsh_meta,
+        rebuild_embed_lsh_index,
+    )
+
+    idx = str(tmp_path / "el_recall")
+    meta = build_embed_lsh_index(
+        _vecs_df(spark, _vec_rows(11, range(40))), idx, "vec_id", "embedding",
+        recall_at=0.995, target_recall=0.97, expected_rows=2_000,
+        batch_id=0,
+    )
+    assert (meta["recall_at"], meta["target_recall"]) == (0.995, 0.97)
+    assert read_embed_lsh_meta(spark, idx)["recall_at"] == 0.995
+    # rebuild with no recall args re-derives under the BUILD's sizing
+    rebuilt = rebuild_embed_lsh_index(spark, idx)
+    exp_p, exp_t = auto_lsh_params(
+        40, dim=64, recall_at=0.995, target_recall=0.97
+    )
+    assert (rebuilt["n_planes"], rebuilt["n_tables"]) == (exp_p, exp_t)
+    assert (rebuilt["recall_at"], rebuilt["target_recall"]) == (0.995, 0.97)
+
+
+def test_ivf_compaction_backfills_legacy_sized_for(spark, tmp_path):
+    """A pre-r12 meta has no sized_for_rows, and after a compaction the
+    min-batch count is a merged SUM — the old fallback inferred an
+    inflated sizing and suppressed the rebuild trigger (r12 advice).
+    needs_ivf_rebuild now declines on legacy metas, and compaction
+    backfills the field by inverting auto_ivf_centroids at the stored
+    cell count so the predicate regains a meaningful denominator."""
+    from projet_5spar_sparkstreaming_spark.fsio import read_json, write_json
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        needs_ivf_rebuild,
+    )
+
+    idx = str(tmp_path / "ivf_legacy")
+    build_ivf_index(
+        _vecs_df(spark, _vec_rows(7, range(20))), idx, "vec_id", "embedding",
+        n_centroids=2, batch_id=0,
+    )
+    for b in (1, 2, 3):
+        append_to_ivf_index(
+            _vecs_df(spark, _vec_rows(7 + b, range(20 * b, 20 * b + 10))),
+            idx, "vec_id", "embedding", batch_id=b,
+        )
+    meta_path = idx + "/_centroids.json"
+    meta = read_json(spark, meta_path)
+    del meta["sized_for_rows"]  # simulate a pre-r12 meta
+    write_json(spark, meta_path, meta)
+    assert not needs_ivf_rebuild(read_json(spark, meta_path))  # declines
+    compacted = compact_ivf_index(spark, idx, keep_last=1)
+    n_cells = len(compacted["centroids"])
+    assert compacted["sized_for_rows"] == (4 * n_cells) ** 2
+    assert read_json(spark, meta_path)["sized_for_rows"] == (4 * n_cells) ** 2
+
+
+def test_mutations_shed_stale_build_marker(spark, tmp_path):
+    """A build that crashes BETWEEN its meta write and its
+    clear_build_marker leaves the '{index}.building' marker up forever
+    over a fully committed index (r12 advice). If it lingered, a later
+    transient data-present/meta-None read would be silently honored as
+    'crashed build, safe to rebuild' and the rebuild's recursive delete
+    would eat the accumulated store. The first lease-holding mutation
+    that observes a committed meta must shed the marker — for all three
+    index families."""
+    from projet_5spar_sparkstreaming_spark.fsio import (
+        build_marker_present,
+        set_build_marker,
+    )
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+    )
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        append_to_embed_lsh_index,
+        append_to_ivf_index,
+        build_embed_lsh_index,
+        build_ivf_index,
+    )
+
+    # minhash: append sheds it
+    mh = str(tmp_path / "mh_idx")
+    build_minhash_index(
+        _docs_df(spark, [_doc(i, f"s{i}") for i in range(5)]),
+        mh, "doc_id", "text", batch_id=0,
+    )
+    set_build_marker(spark, mh)  # simulate crash post-meta, pre-clear
+    append_to_minhash_index(
+        _docs_df(spark, [_doc(i, f"t{i}") for i in range(5, 8)]),
+        mh, "doc_id", "text", batch_id=1,
+    )
+    assert not build_marker_present(spark, mh)
+
+    # minhash: compaction sheds it too
+    append_to_minhash_index(
+        _docs_df(spark, [_doc(i, f"u{i}") for i in range(8, 11)]),
+        mh, "doc_id", "text", batch_id=2,
+    )
+    set_build_marker(spark, mh)
+    compact_minhash_index(spark, mh, keep_last=1)
+    assert not build_marker_present(spark, mh)
+
+    # embed-LSH: append sheds it
+    el = str(tmp_path / "el_idx")
+    build_embed_lsh_index(
+        _vecs_df(spark, _vec_rows(1, range(6))), el, "vec_id", "embedding",
+        batch_id=0,
+    )
+    set_build_marker(spark, el)
+    append_to_embed_lsh_index(
+        _vecs_df(spark, _vec_rows(2, range(6, 9))), el, "vec_id", "embedding",
+        batch_id=1,
+    )
+    assert not build_marker_present(spark, el)
+
+    # IVF: append sheds it
+    iv = str(tmp_path / "iv_idx")
+    build_ivf_index(
+        _vecs_df(spark, _vec_rows(3, range(12))), iv, "vec_id", "embedding",
+        n_centroids=2, batch_id=0,
+    )
+    set_build_marker(spark, iv)
+    append_to_ivf_index(
+        _vecs_df(spark, _vec_rows(4, range(12, 15))), iv, "vec_id",
+        "embedding", batch_id=1,
+    )
+    assert not build_marker_present(spark, iv)
+
+
 def test_writer_lease_holder_write_failure_releases_lock(spark, tmp_path):
     """ADVICE r9: if fs.create(lock, false) succeeds but writing the
     holder JSON faults (disk full, stream fault), the lock must NOT be

@@ -1,5 +1,6 @@
-"""Concurrent lease FUZZ (r11 verdict task 4): N real processes race
-append / compact / rebuild on ONE shared IVF index while the parent
+"""Concurrent lease FUZZ (r11 verdict task 4; all three index families
+since r13 per the r12 verdict task 3): N real processes race
+append / compact / rebuild on ONE shared index while the parent
 SIGKILLs them at random, then the full invariant set is checked.
 
 The r11 breaker-vs-new-holder fix and the boot-id host identity were
@@ -8,8 +9,12 @@ generalizes: random interleavings of real writers, random corpse
 locks for survivors to break (the dead-pid immediate break and the
 tombstone rename race run for real, repeatedly), whole-store rewrites
 (compact/rebuild) racing appends, and kill -9 landing anywhere
-including mid-meta-swap. Invariants after the carnage + replay of
-in-flight appends (what a streaming checkpoint would do):
+including mid-meta-swap. The fencing this validates guards 11
+meta-mutation sites across the IVF, minhash, and embed-LSH families —
+r12 fuzzed only IVF; the minhash append/compact and the r12
+whole-store ``rebuild_embed_lsh_index`` rewrite path now race under
+the same harness. Invariants after the carnage + replay of in-flight
+appends (what a streaming checkpoint would do):
 
   1. the meta is readable and covers every ACKNOWLEDGED append's rows;
   2. the live data tree matches the meta total EXACTLY (orphans from
@@ -17,8 +22,9 @@ in-flight appends (what a streaming checkpoint would do):
      the next whole-store rewrite);
   3. every acknowledged or replayed id range is stored exactly once;
   4. exactly one live version serves queries through the public path;
-  5. a fresh compact + rebuild from the parent still succeed (no
-     wedged lock, no drift-guard false positive).
+  5. a fresh compact (+ rebuild where the family has one) from the
+     parent still succeeds (no wedged lock, no drift-guard false
+     positive).
 """
 
 from __future__ import annotations
@@ -40,6 +46,7 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 from lease_fuzz_child import (  # noqa: E402
     IDS_PER_BATCH,
     ROWS_PER_APPEND,
+    batch_docs,
     batch_rows,
 )
 
@@ -49,11 +56,11 @@ FUZZ_CAP = 300.0  # hard wall when the box is too contended to make ops
 SEED_ROWS = 200
 
 
-def _spawn(slot: int, epoch: int, idx: str, jdir: str):
+def _spawn(slot: int, epoch: int, idx: str, jdir: str, family: str):
     journal = os.path.join(jdir, f"w{slot}.journal")
     err = open(os.path.join(jdir, f"w{slot}.e{epoch}.stderr"), "w")
     proc = subprocess.Popen(
-        [sys.executable, CHILD, idx, journal, str(slot), str(epoch)],
+        [sys.executable, CHILD, idx, journal, str(slot), str(epoch), family],
         stdout=subprocess.DEVNULL,
         stderr=err,
         start_new_session=True,
@@ -108,39 +115,230 @@ def _parse_journals(jdir: str) -> dict:
     }
 
 
-@pytest.mark.parametrize("n_workers,fuzz_sec", [(N_WORKERS, FUZZ_SEC)])
+class _IvfFamily:
+    """Family adapter: seed build, in-flight replay, store invariants,
+    fresh whole-store ops, and a public-path query check."""
+
+    name = "ivf"
+    meta_name = "_centroids.json"
+
+    def seed(self, spark, idx):
+        import numpy as np
+
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            build_ivf_index,
+        )
+
+        rng = np.random.RandomState(3)
+        rows = []
+        for i in range(SEED_ROWS):
+            v = rng.randn(8)
+            rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+        seed = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        build_ivf_index(seed, idx, "vec_id", "embedding", n_centroids=8, batch_id=0)
+        return seed
+
+    def replay(self, spark, idx, bid):
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            append_to_ivf_index,
+        )
+
+        df = spark.createDataFrame(
+            batch_rows(bid), "vec_id long, embedding array<double>"
+        )
+        append_to_ivf_index(df, idx, "vec_id", "embedding", bid)
+
+    def store_ids(self, spark, idx, meta):
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            _ivf_data_dir,
+        )
+
+        live = _ivf_data_dir(spark, idx, int(meta.get("version", 0)))
+        store = spark.read.option("basePath", live).parquet(live)
+        return [r["id"] for r in store.select("id").collect()]
+
+    def fresh_ops(self, spark, idx):
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            compact_ivf_index,
+            rebuild_ivf_index,
+        )
+
+        compact_ivf_index(spark, idx, keep_last=2, target_partitions=4)
+        rebuild_ivf_index(spark, idx, n_centroids=8, target_partitions=4)
+
+    def query_check(self, spark, idx, seed):
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            query_ivf_index,
+        )
+
+        probes = seed.limit(5)
+        served = query_ivf_index(
+            spark, probes, idx, "vec_id", "embedding",
+            k=1, exclude_self=False, route="brute",
+        )
+        assert sorted(
+            (r["query_id"], r["neighbor_id"]) for r in served.collect()
+        ) == [(i, i) for i in range(5)]
+
+
+class _MinhashFamily:
+    name = "minhash"
+    meta_name = "_meta.json"
+
+    def seed(self, spark, idx):
+        from projet_5spar_sparkstreaming_spark.operators.dedup import (
+            build_minhash_index,
+        )
+
+        rows = [
+            (i, " ".join(f"seed{i}_{j}" for j in range(30)))
+            for i in range(SEED_ROWS)
+        ]
+        seed = spark.createDataFrame(rows, "doc_id long, text string")
+        build_minhash_index(seed, idx, "doc_id", "text", batch_id=0)
+        return seed
+
+    def replay(self, spark, idx, bid):
+        from projet_5spar_sparkstreaming_spark.operators.dedup import (
+            append_to_minhash_index,
+        )
+
+        df = spark.createDataFrame(batch_docs(bid), "doc_id long, text string")
+        append_to_minhash_index(df, idx, "doc_id", "text", bid)
+
+    def store_ids(self, spark, idx, meta):
+        from projet_5spar_sparkstreaming_spark.fsio import versioned_subdir
+
+        version = int(meta.get("version", 0))
+        sigs = spark.read.option(
+            "basePath", versioned_subdir(idx, "sigs", version)
+        ).parquet(versioned_subdir(idx, "sigs", version))
+        ids = [r["id"] for r in sigs.select("id").collect()]
+        # the bands tree must track the sigs tree exactly: bands rows
+        # per doc == meta's band count
+        bands = spark.read.option(
+            "basePath", versioned_subdir(idx, "bands", version)
+        ).parquet(versioned_subdir(idx, "bands", version))
+        assert bands.count() == len(ids) * int(meta["bands"])
+        return ids
+
+    def fresh_ops(self, spark, idx):
+        from projet_5spar_sparkstreaming_spark.operators.dedup import (
+            compact_minhash_index,
+        )
+
+        compact_minhash_index(spark, idx, keep_last=2, target_partitions=4)
+
+    def query_check(self, spark, idx, seed):
+        from projet_5spar_sparkstreaming_spark.operators.dedup import (
+            minhash_query_index,
+        )
+
+        # an exact copy of seed doc 0 under a new id must match it
+        probe = spark.createDataFrame(
+            [(10_000_000_000, " ".join(f"seed0_{j}" for j in range(30)))],
+            "doc_id long, text string",
+        )
+        pairs = minhash_query_index(probe, idx, "doc_id", "text", threshold=0.8)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (10_000_000_000, 0) in got or (0, 10_000_000_000) in got, got
+
+
+class _EmbedFamily:
+    name = "embed"
+    meta_name = "_meta.json"
+
+    def seed(self, spark, idx):
+        import numpy as np
+
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            build_embed_lsh_index,
+        )
+
+        rng = np.random.RandomState(3)
+        rows = []
+        for i in range(SEED_ROWS):
+            v = rng.randn(8)
+            rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+        seed = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        build_embed_lsh_index(
+            seed, idx, "vec_id", "embedding", dim=8,
+            expected_rows=SEED_ROWS + 40 * ROWS_PER_APPEND, batch_id=0,
+        )
+        return seed
+
+    def replay(self, spark, idx, bid):
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            append_to_embed_lsh_index,
+        )
+
+        df = spark.createDataFrame(
+            batch_rows(bid), "vec_id long, embedding array<double>"
+        )
+        append_to_embed_lsh_index(df, idx, "vec_id", "embedding", bid)
+
+    def store_ids(self, spark, idx, meta):
+        from projet_5spar_sparkstreaming_spark.fsio import versioned_subdir
+
+        version = int(meta.get("version", 0))
+        vecs = spark.read.option(
+            "basePath", versioned_subdir(idx, "vecs", version)
+        ).parquet(versioned_subdir(idx, "vecs", version))
+        ids = [r["id"] for r in vecs.select("id").collect()]
+        # buckets tree tracks the vecs tree: n_tables rows per vector
+        buckets = spark.read.option(
+            "basePath", versioned_subdir(idx, "buckets", version)
+        ).parquet(versioned_subdir(idx, "buckets", version))
+        assert buckets.count() == len(ids) * int(meta["n_tables"])
+        return ids
+
+    def fresh_ops(self, spark, idx):
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            compact_embed_lsh_index,
+            rebuild_embed_lsh_index,
+        )
+
+        compact_embed_lsh_index(spark, idx, keep_last=2, target_partitions=4)
+        rebuild_embed_lsh_index(spark, idx, target_partitions=4)
+
+    def query_check(self, spark, idx, seed):
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            embed_lsh_query_index,
+        )
+
+        # an exact copy of seed vec 0 under a new id must match it
+        probe = seed.filter(F.col("vec_id") == 0).select(
+            F.lit(10_000_000_000).cast("long").alias("vec_id"), "embedding"
+        )
+        pairs = embed_lsh_query_index(
+            probe, idx, "vec_id", "embedding", threshold=0.95
+        )
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (10_000_000_000, 0) in got or (0, 10_000_000_000) in got, got
+
+
+FAMILIES = {f.name: f for f in (_IvfFamily(), _MinhashFamily(), _EmbedFamily())}
+
+
+@pytest.mark.parametrize("family", sorted(FAMILIES))
 def test_lease_fuzz_concurrent_mutations_survive_random_kill9(
-    spark, tmp_path, n_workers, fuzz_sec
+    spark, tmp_path, family
 ):
     from projet_5spar_sparkstreaming_spark.fsio import read_json
-    from projet_5spar_sparkstreaming_spark.operators.similarity import (
-        _ivf_data_dir,
-        append_to_ivf_index,
-        build_ivf_index,
-        compact_ivf_index,
-        query_ivf_index,
-        rebuild_ivf_index,
-    )
 
+    fam = FAMILIES[family]
+    n_workers, fuzz_sec = N_WORKERS, FUZZ_SEC
     idx = str(tmp_path / "fuzz_idx")
     jdir = str(tmp_path / "journals")
     os.makedirs(jdir)
 
     # seed: batch 0, ids 0..SEED_ROWS-1 (disjoint from worker ranges)
-    import numpy as np
-
-    rng = np.random.RandomState(3)
-    seed_rows = []
-    for i in range(SEED_ROWS):
-        v = rng.randn(8)
-        seed_rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
-    seed = spark.createDataFrame(seed_rows, "vec_id long, embedding array<double>")
-    build_ivf_index(seed, idx, "vec_id", "embedding", n_centroids=8, batch_id=0)
+    seed = fam.seed(spark, idx)
 
     workers: dict[int, tuple] = {}
     epochs = {s: 0 for s in range(n_workers)}
     for s in range(n_workers):
-        workers[s] = _spawn(s, 0, idx, jdir)
+        workers[s] = _spawn(s, 0, idx, jdir, family)
 
     killed_pids: set[int] = set()
     prng = random.Random(99)
@@ -183,7 +381,7 @@ def test_lease_fuzz_concurrent_mutations_survive_random_kill9(
                 _kill(proc)
                 kills += 1
                 epochs[slot] += 1
-                workers[slot] = _spawn(slot, epochs[slot], idx, jdir)
+                workers[slot] = _spawn(slot, epochs[slot], idx, jdir, family)
             time.sleep(prng.uniform(3.0, 6.0))
     finally:
         for slot, (proc, _) in workers.items():
@@ -211,17 +409,13 @@ def test_lease_fuzz_concurrent_mutations_survive_random_kill9(
     # replay every killed in-flight append verbatim (same batch_id,
     # same rows) — exactly what the streaming checkpoint does
     for bid in j["inflight"]:
-        df = spark.createDataFrame(
-            batch_rows(bid), "vec_id long, embedding array<double>"
-        )
-        append_to_ivf_index(df, idx, "vec_id", "embedding", bid)
+        fam.replay(spark, idx, bid)
 
     def check_invariants() -> dict:
-        meta = read_json(spark, idx + "/_centroids.json")
+        meta = read_json(spark, f"{idx}/{fam.meta_name}")
         assert meta is not None, "meta unreadable after fuzz"
-        live = _ivf_data_dir(spark, idx, int(meta.get("version", 0)))
-        store = spark.read.option("basePath", live).parquet(live)
-        total = store.count()
+        ids = fam.store_ids(spark, idx, meta)
+        total = len(ids)
         meta_total = sum(int(v) for v in meta["batches"].values())
         assert total == meta_total, (total, meta_total)
         expected = SEED_ROWS + ROWS_PER_APPEND * (
@@ -229,7 +423,6 @@ def test_lease_fuzz_concurrent_mutations_survive_random_kill9(
         )
         assert total == expected, (total, expected)
         # every acknowledged/replayed id range stored exactly once
-        ids = [r["id"] for r in store.select("id").collect()]
         assert len(ids) == len(set(ids)), "duplicate ids in store"
         idset = set(ids)
         assert set(range(SEED_ROWS)) <= idset, "seed rows lost"
@@ -244,15 +437,7 @@ def test_lease_fuzz_concurrent_mutations_survive_random_kill9(
 
     # survivors' locks are gone / breakable: fresh whole-store ops and
     # a public-path query must succeed from the parent
-    compact_ivf_index(spark, idx, keep_last=2, target_partitions=4)
-    rebuild_ivf_index(spark, idx, n_centroids=8, target_partitions=4)
+    fam.fresh_ops(spark, idx)
     meta = check_invariants()
-    probes = seed.limit(5)
-    served = query_ivf_index(
-        spark, probes, idx, "vec_id", "embedding",
-        k=1, exclude_self=False, route="brute",
-    )
-    assert sorted(
-        (r["query_id"], r["neighbor_id"]) for r in served.collect()
-    ) == [(i, i) for i in range(5)]
+    fam.query_check(spark, idx, seed)
     assert int(meta["version"]) >= 1

@@ -1,27 +1,37 @@
 """Lease-fuzz WORKER for the concurrent index-mutation stress test
-(tests/test_lease_fuzz.py — r11 verdict task 4).
+(tests/test_lease_fuzz.py — r11 verdict task 4, extended to all three
+persistent index families in r13 per the r12 verdict task 3).
 
 The r11 breaker-vs-new-holder fix (fsio.py) was verified by STAGED
 shims: one interleaving per test. This worker generalizes that to real
 concurrency: N of these processes race append / compact / rebuild on
-ONE shared IVF index while the parent SIGKILLs them at random. Every
+ONE shared index while the parent SIGKILLs them at random. Every
 mutation is journaled to a per-worker file with a ``START`` line
 *before* the op and an ``ACK`` line only *after* it returns, so the
 parent can distinguish acknowledged ops (must be durable) from
 in-flight ops at kill time (must be replayable) and check the full
 invariant set afterwards: meta covers every acknowledged batch, the
 stored rows match the meta exactly after in-flight replays, one live
-version serves queries, and a fresh compact+rebuild still succeed.
+version serves queries, and a fresh compact(+rebuild) still succeed.
+
+Families (the fencing they exercise guards 11 meta-mutation sites
+across all three — r12 fuzzed only IVF):
+  ivf      append_to_ivf_index / compact_ivf_index / rebuild_ivf_index
+  minhash  append_to_minhash_index / compact_minhash_index (no rebuild:
+           band structure is size-independent by construction, SCALE.md)
+  embed    append_to_embed_lsh_index / compact_embed_lsh_index /
+           rebuild_embed_lsh_index (the r12 whole-store rewrite path)
 
 Ops are deterministic functions of their batch_id (seeded numpy), so
 the parent can REPLAY any killed in-flight append verbatim — exactly
 what a streaming checkpoint does with an uncommitted micro-batch.
 
-Usage: python tools/lease_fuzz_child.py INDEX JOURNAL WORKER_SLOT EPOCH
-  INDEX        shared IVF index path
+Usage: python tools/lease_fuzz_child.py INDEX JOURNAL WORKER_SLOT EPOCH [FAMILY]
+  INDEX        shared index path
   JOURNAL      this worker's append-only journal file
   WORKER_SLOT  0..N-1 (partitions the batch_id space)
   EPOCH        respawn counter (keeps batch_ids unique across respawns)
+  FAMILY       ivf (default) | minhash | embed
 """
 
 from __future__ import annotations
@@ -52,6 +62,78 @@ def batch_rows(batch_id: int):
     return out
 
 
+def batch_docs(batch_id: int):
+    """Deterministic (doc_id, text) rows for the minhash family — each
+    doc's token stream is a pure function of its id, so replays are
+    verbatim and no two docs near-dup each other by accident."""
+    lo = batch_id * IDS_PER_BATCH
+    return [
+        (int(lo + i), " ".join(f"tok{lo + i}_{j}" for j in range(30)))
+        for i in range(ROWS_PER_APPEND)
+    ]
+
+
+def _make_ops(family: str, spark, index: str):
+    """(append, compact, rebuild_or_None) closures for ``family``; each
+    append takes a batch_id and returns the row count."""
+    if family == "ivf":
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            append_to_ivf_index,
+            compact_ivf_index,
+            rebuild_ivf_index,
+        )
+
+        def _append(batch_id: int) -> int:
+            df = spark.createDataFrame(
+                batch_rows(batch_id), "vec_id long, embedding array<double>"
+            )
+            return append_to_ivf_index(df, index, "vec_id", "embedding", batch_id)
+
+        return (
+            _append,
+            lambda: compact_ivf_index(spark, index, keep_last=2, target_partitions=2),
+            lambda: rebuild_ivf_index(spark, index, n_centroids=8, target_partitions=2),
+        )
+    if family == "minhash":
+        from projet_5spar_sparkstreaming_spark.operators.dedup import (
+            append_to_minhash_index,
+            compact_minhash_index,
+        )
+
+        def _append(batch_id: int) -> int:
+            df = spark.createDataFrame(
+                batch_docs(batch_id), "doc_id long, text string"
+            )
+            return append_to_minhash_index(df, index, "doc_id", "text", batch_id)
+
+        return (
+            _append,
+            lambda: compact_minhash_index(spark, index, keep_last=2, target_partitions=2),
+            None,  # band structure is size-independent: no rebuild op
+        )
+    if family == "embed":
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            append_to_embed_lsh_index,
+            compact_embed_lsh_index,
+            rebuild_embed_lsh_index,
+        )
+
+        def _append(batch_id: int) -> int:
+            df = spark.createDataFrame(
+                batch_rows(batch_id), "vec_id long, embedding array<double>"
+            )
+            return append_to_embed_lsh_index(
+                df, index, "vec_id", "embedding", batch_id
+            )
+
+        return (
+            _append,
+            lambda: compact_embed_lsh_index(spark, index, keep_last=2, target_partitions=2),
+            lambda: rebuild_embed_lsh_index(spark, index, target_partitions=2),
+        )
+    raise ValueError(f"unknown family {family!r}")
+
+
 def main() -> None:
     index, journal, slot, epoch = (
         sys.argv[1],
@@ -59,18 +141,14 @@ def main() -> None:
         int(sys.argv[3]),
         int(sys.argv[4]),
     )
+    family = sys.argv[5] if len(sys.argv) > 5 else "ivf"
     import random
 
-    from projet_5spar_sparkstreaming_spark.operators.similarity import (
-        append_to_ivf_index,
-        compact_ivf_index,
-        rebuild_ivf_index,
-    )
+    from projet_5spar_sparkstreaming_spark.fsio import LeaseLostError
     from projet_5spar_sparkstreaming_spark.session import get_spark
 
-    from projet_5spar_sparkstreaming_spark.fsio import LeaseLostError
-
     spark = get_spark(f"lease_fuzz_w{slot}", master="local[2]")
+    append, compact, rebuild = _make_ops(family, spark, index)
     rng = random.Random(1000 * slot + epoch)
     jf = os.open(journal, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
 
@@ -80,28 +158,27 @@ def main() -> None:
 
     log(f"SPAWN {slot} {epoch}")
     print("READY", flush=True)
+    ops = ["append", "compact"] + (["rebuild"] if rebuild else [])
+    weights = [0.8, 0.1, 0.1] if rebuild else [0.8, 0.2]
     for i in range(10_000):  # parent kills us long before this runs out
         # mostly appends; compactions and rebuilds stir the version
         # flips and whole-store rewrites the appends race against
-        op = rng.choices(["append", "compact", "rebuild"], [0.8, 0.1, 0.1])[0]
+        op = rng.choices(ops, weights)[0]
         try:
             if op == "append":
                 # slot+1 keeps every worker batch_id disjoint from the
                 # parent's seed batch 0
                 batch_id = (slot + 1) * 1_000_000 + epoch * 10_000 + i
-                df = spark.createDataFrame(
-                    batch_rows(batch_id), "vec_id long, embedding array<double>"
-                )
                 log(f"START APPEND {batch_id}")
-                n = append_to_ivf_index(df, index, "vec_id", "embedding", batch_id)
+                n = append(batch_id)
                 log(f"ACK APPEND {batch_id} {n}")
             elif op == "compact":
                 log("START COMPACT")
-                compact_ivf_index(spark, index, keep_last=2, target_partitions=2)
+                compact()
                 log("ACK COMPACT")
             else:
                 log("START REBUILD")
-                rebuild_ivf_index(spark, index, n_centroids=8, target_partitions=2)
+                rebuild()
                 log("ACK REBUILD")
         except LeaseLostError:
             # DESIGNED abort: our lease was displaced mid-mutation by a
