@@ -156,6 +156,33 @@ def _calibrate(spark) -> dict:
     }
 
 
+def _cpu_stat() -> dict | None:
+    """Cumulative CPU jiffies by class from /proc/stat — the start/end
+    DELTA over the whole bench window answers what the 2-second
+    calibration kernels cannot: was this (VM) host stolen from or
+    iowait-bound at any point DURING the 25-minute run. r13: two
+    same-day runs measured 41.0 vs 50.2 s on identical code while both
+    runs' calibration kernels read within 4% of reference — whatever
+    moves these totals is not visible in a short idle probe, so the
+    whole-window accounting rides in the payload."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        names = ["user", "nice", "system", "idle", "iowait",
+                 "irq", "softirq", "steal", "guest", "guest_nice"]
+        return dict(zip(names, map(int, parts[1:])))
+    except (OSError, ValueError):
+        return None
+
+
+def _cpu_stat_delta_pct(start: dict | None, end: dict | None) -> dict | None:
+    if not start or not end:
+        return None
+    delta = {k: end[k] - start[k] for k in end if k in start}
+    total = sum(delta.values()) or 1
+    return {k: round(100.0 * v / total, 2) for k, v in delta.items()}
+
+
 def _calib_scale(calib: dict) -> float | None:
     """Host-speed factor vs the pinned reference: geometric mean of the
     two kernels' now/ref ratios. >1 means THIS run's host is slower
@@ -312,6 +339,23 @@ def bench_stored_index(spark, sf_dir: str) -> dict[str, dict]:
     }
     for name in builds:
         out[f"stored_{name}_query"]["build_sec"] = builds[name]
+    # Maintenance-path cost on record (r12 verdict polish item): the
+    # embed-LSH REBUILD is a whole-store rewrite (re-bucket every
+    # stored vector under a retrained hyperplane stack + vecs copy) —
+    # the op the streaming maintenance policy fires mid-stream, so its
+    # cost needs round-over-round tracking like the query paths. Params
+    # pinned (the store's own meta recall sizing, auto plane/table
+    # re-derivation at the current total) so the work is identical
+    # each round. The IVF twin (rebuild_ivf_index) is timed inside the
+    # stream_ivf_maintenance graded entry; minhash has no rebuild by
+    # construction (band structure is size-independent, SCALE.md).
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        rebuild_embed_lsh_index,
+    )
+
+    t0 = time.time()
+    rebuild_embed_lsh_index(spark, el_store, target_partitions=8)
+    out["embed_lsh_rebuild"] = {"sec": round(time.time() - t0, 3)}
     shutil.rmtree(base, ignore_errors=True)
     return out
 
@@ -744,6 +788,7 @@ def main() -> None:
     # payload records the 1-min load average at start and end — a
     # reader (or the next round's diff) can discount a noisy run.
     load_start = round(os.getloadavg()[0], 2)
+    stat_start = _cpu_stat()
     # Host-speed anchor at bench START (after one throwaway to warm the
     # JIT/codegen path the hash-agg kernel measures); a second sample
     # at bench END catches load arriving mid-run.
@@ -922,6 +967,9 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "loadavg_1m": {"start": load_start,
                        "end": round(os.getloadavg()[0], 2)},
+        # whole-window CPU accounting (steal/iowait over the full run —
+        # what the short calibration kernels can miss)
+        "cpu_stat_delta_pct": _cpu_stat_delta_pct(stat_start, _cpu_stat()),
         "outliers_reran": reran,
     }
     print(json.dumps(payload))

@@ -75,6 +75,31 @@ def _await_or_raise(q, name: str, timeout: int = 300) -> None:
         )
 
 
+def _scratch_dir(spark, prefix: str) -> str:
+    """FRESH scratch dir (checkpoint / stream temp) under a
+    session-scoped base that is removed at driver exit. Streaming
+    checkpoints cannot be reused across invocations — a re-run against
+    a committed checkpoint considers the source already processed and
+    serves an EMPTY sink — so each call gets a new directory; parking
+    them under one atexit-registered base keeps repeated sweep runs
+    from leaking a dir per invocation (r12 verdict polish item; same
+    lifecycle as ``_session_store_path``)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sparkgraft_scratch_{spark.sparkContext.applicationId}",
+    )
+    if base not in _SESSION_STORE_BASES:
+        _SESSION_STORE_BASES.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 # ---------------------------------------------------------------------------
 # Event analytics (reference parity: SURVEY.md section 2.5/2.6/2.7)
 # ---------------------------------------------------------------------------
@@ -422,7 +447,6 @@ def q_stream_minute_counts(spark, sf_dir):
     # trigger, complete-mode memory sink. Oracle-checkable because the
     # final state equals the batch tumbling aggregation (stream/batch
     # parity, the invariant the reference lacked).
-    import tempfile
 
     from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
 
@@ -434,7 +458,7 @@ def q_stream_minute_counts(spark, sf_dir):
         "cnt",
     )
     name = "q_stream_minute_counts_sink"
-    chk = tempfile.mkdtemp(prefix="chk_stream_minute_")
+    chk = _scratch_dir(spark, "chk_stream_minute_")
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -452,14 +476,13 @@ def q_stream_user_activity(spark, sf_dir):
     # stream replay (stream/batch parity with user_activity's oracle —
     # keyed state instead of windowed state, complementing
     # stream_minute_counts).
-    import tempfile
 
     from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
 
     stream = read_parquet_stream(spark, sf_dir, "events")
     agg = stream.groupBy("user_id").agg(F.count("*").alias("toot_count"))
     name = "q_stream_user_activity_sink"
-    chk = tempfile.mkdtemp(prefix="chk_stream_user_")
+    chk = _scratch_dir(spark, "chk_stream_user_")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -478,7 +501,6 @@ def q_stream_session_counts(spark, sf_dir):
     # fallen behind the final watermark (max ts - 1h) are emitted,
     # exactly the late-data eviction contract. The oracle replicates
     # both the sessionization AND the watermark cutoff.
-    import tempfile
 
     from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
 
@@ -495,7 +517,7 @@ def q_stream_session_counts(spark, sf_dir):
         "n",
     )
     name = "q_stream_session_counts_sink"
-    chk = tempfile.mkdtemp(prefix="chk_stream_sess_")
+    chk = _scratch_dir(spark, "chk_stream_sess_")
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -515,7 +537,6 @@ def q_stream_stream_join(spark, sf_dir):
     # Inner joins emit every match once both rows have arrived, so the
     # availableNow end-state equals the batch interval join — giving
     # this stream-stream join an exact SQL oracle.
-    import tempfile
 
     from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
     from projet_5spar_sparkstreaming_spark.streaming.joins import interval_join
@@ -544,7 +565,7 @@ def q_stream_stream_join(spark, sf_dir):
         "user_id", "purchase_id", "signup_id", "purchase_ts", "signup_ts", "value"
     )
     name = "q_stream_stream_join_sink"
-    chk = tempfile.mkdtemp(prefix="chk_ss_join_")
+    chk = _scratch_dir(spark, "chk_ss_join_")
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -566,7 +587,6 @@ def q_stream_stream_left_join(spark, sf_dir):
     # watermark is max(ts) - 1h, so the batch oracle is: inner matches
     # UNION unmatched purchases with purchase_ts < max(ts) - 1h
     # (younger unmatched purchases are still in state, never emitted).
-    import tempfile
 
     from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
     from projet_5spar_sparkstreaming_spark.streaming.joins import interval_join
@@ -596,7 +616,7 @@ def q_stream_stream_left_join(spark, sf_dir):
         "user_id", "purchase_id", "signup_id", "purchase_ts", "signup_ts", "value"
     )
     name = "q_stream_stream_left_join_sink"
-    chk = tempfile.mkdtemp(prefix="chk_ss_ljoin_")
+    chk = _scratch_dir(spark, "chk_ss_ljoin_")
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -617,7 +637,6 @@ def q_stream_first_event_per_user(spark, sf_dir):
     # batch argmin; event_id is the tie-break on BOTH sides so equal
     # timestamps (possible under a regenerated distribution) still
     # resolve to one deterministic row.
-    import tempfile
 
     from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
     from projet_5spar_sparkstreaming_spark.streaming.stateful import (
@@ -629,7 +648,7 @@ def q_stream_first_event_per_user(spark, sf_dir):
     )
     first = stream_first_seen(ev, ["user_id"], order_col=["ts", "event_id"])
     name = "q_stream_first_event_sink"
-    chk = tempfile.mkdtemp(prefix="chk_first_seen_")
+    chk = _scratch_dir(spark, "chk_first_seen_")
     q = (
         first.writeStream.format("memory")
         .queryName(name)
@@ -649,7 +668,6 @@ def q_stream_running_key_stats(spark, sf_dir):
     # ORDER-INDEPENDENT outputs (count, max) are exposed — a float
     # running total's addition order differs between engines, which is
     # exactly the class the determinism sweep exists to catch.
-    import tempfile
 
     from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
     from projet_5spar_sparkstreaming_spark.streaming.stateful import (
@@ -661,7 +679,7 @@ def q_stream_running_key_stats(spark, sf_dir):
     )
     stats = running_key_stats(ev, "user_key", "value")
     name = "q_stream_running_stats_sink"
-    chk = tempfile.mkdtemp(prefix="chk_running_")
+    chk = _scratch_dir(spark, "chk_running_")
     q = (
         stats.writeStream.format("memory")
         .queryName(name)
@@ -680,7 +698,6 @@ def q_stream_curate_corpus(spark, sf_dir):
     # first-seen dedup over the replayed documents stream converge to
     # curate_corpus on the same input (min-id canonical per
     # fingerprint, T8 stream/batch parity for the whole chain).
-    import tempfile
 
     from projet_5spar_sparkstreaming_spark.plans.corpus import curate_corpus_stream
     from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
@@ -690,7 +707,7 @@ def q_stream_curate_corpus(spark, sf_dir):
         docs, min_quality=0.59, min_tokens=10, max_tokens=100_000
     ).select("doc_id", "lang", "quality", "n_tokens")
     name = "q_stream_curate_sink"
-    chk = tempfile.mkdtemp(prefix="chk_curate_")
+    chk = _scratch_dir(spark, "chk_curate_")
     q = (
         curated.writeStream.format("memory")
         .queryName(name)
@@ -714,7 +731,6 @@ def q_stream_neardup_ingest(spark, sf_dir):
     # crash-replay exclusion cases are pinned by
     # tests/test_streaming.py::test_stream_neardup_ingest_guard and
     # tests/test_index_lifecycle.py.
-    import tempfile
 
     from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
     from projet_5spar_sparkstreaming_spark.streaming.dedup import (
@@ -722,7 +738,7 @@ def q_stream_neardup_ingest(spark, sf_dir):
     )
 
     docs = read_parquet_stream(spark, sf_dir, "documents").select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="neardup_ingest_")
+    base = _scratch_dir(spark, "neardup_ingest_")
     q = stream_neardup_ingest(
         docs,
         f"{base}/out",
@@ -740,7 +756,6 @@ def q_stream_enriched_segment_counts(spark, sf_dir):
     # streaming state for the join — map-side broadcast per
     # micro-batch), then aggregates per market segment. Converges to
     # the batch join + groupBy.
-    import tempfile
 
     from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
     from projet_5spar_sparkstreaming_spark.streaming.jobs import enrich_with_dim
@@ -752,7 +767,7 @@ def q_stream_enriched_segment_counts(spark, sf_dir):
     enriched = enrich_with_dim(ev, dim, "user_id", how="inner")
     agg = enriched.groupBy("c_mktsegment").agg(F.count("*").alias("cnt"))
     name = "q_stream_enriched_sink"
-    chk = tempfile.mkdtemp(prefix="chk_enrich_")
+    chk = _scratch_dir(spark, "chk_enrich_")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -775,7 +790,6 @@ def q_stream_decontamination(spark, sf_dir):
     # micro-batch exactly like the batch operator's join side. After an
     # availableNow replay the answer equals ngram_overlap_join on the
     # same split (T8 stream/batch parity).
-    import tempfile
 
     from projet_5spar_sparkstreaming_spark.operators.dedup import _shingle_hashes
     from projet_5spar_sparkstreaming_spark.sources.files import read_parquet_stream
@@ -820,7 +834,7 @@ def q_stream_decontamination(spark, sf_dir):
         )
     )
     name = "q_stream_decontamination_sink"
-    chk = tempfile.mkdtemp(prefix="chk_decontam_")
+    chk = _scratch_dir(spark, "chk_decontam_")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -840,7 +854,6 @@ def q_stream_pii_scan(spark, sf_dir):
     # it appends row-for-row and an availableNow replay equals the
     # batch query exactly (T8 stream/batch parity). The 100 TB shape of
     # "redact before anything lands in the lake".
-    import tempfile
 
     from projet_5spar_sparkstreaming_spark.functions.text import (
         pii_counts,
@@ -858,7 +871,7 @@ def q_stream_pii_scan(spark, sf_dir):
         .alias("redacted_chars"),
     )
     name = "q_stream_pii_scan_sink"
-    chk = tempfile.mkdtemp(prefix="chk_pii_")
+    chk = _scratch_dir(spark, "chk_pii_")
     q = (
         scanned.writeStream.format("memory")
         .queryName(name)
@@ -3261,7 +3274,6 @@ def q_stream_ivf_maintenance(spark, sf_dir):
     # path, exactly one version flip, and all 10 batches appended
     # (batches survive the rebuild verbatim).
     import shutil
-    import tempfile
 
     from projet_5spar_sparkstreaming_spark.fsio import read_json
     from projet_5spar_sparkstreaming_spark.operators.similarity import (
@@ -3272,7 +3284,7 @@ def q_stream_ivf_maintenance(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    base = tempfile.mkdtemp(prefix="ivf_maint_")
+    base = _scratch_dir(spark, "ivf_maint_")
     try:
         emb.select("vec_id", "embedding").repartition(10).write.mode(
             "overwrite"
@@ -3317,7 +3329,6 @@ def q_stream_ivf_ingest(spark, sf_dir):
     # contract over the STREAM-BUILT store: every emitted neighbor must
     # sit in the exact top-40 with a truthful cosine — oracle says the
     # escapee count is zero.
-    import tempfile
 
     from projet_5spar_sparkstreaming_spark.operators.similarity import (
         query_ivf_index,
@@ -3329,7 +3340,7 @@ def q_stream_ivf_ingest(spark, sf_dir):
     import shutil
 
     emb = _t(spark, sf_dir, "embeddings")
-    base = tempfile.mkdtemp(prefix="ivf_ingest_")
+    base = _scratch_dir(spark, "ivf_ingest_")
     try:
         emb.select("vec_id", "embedding").repartition(3).write.mode(
             "overwrite"

@@ -82,7 +82,9 @@ def main() -> None:
             driver="org.duckdb.DuckDBDriver",
             trigger={"availableNow": True},
         )
-        q.awaitTermination(180)
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("jdbc stream not terminated in 180s")
 
     run("chk_a")
     back = read_jdbc_table(spark, url, "posts", properties=props, custom_schema="value BIGINT, batch_id BIGINT")

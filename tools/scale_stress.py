@@ -556,7 +556,9 @@ def run_stream_ingest_flatness(spark, n: int, n_batches: int = 10) -> dict:
         f"{base}/chk",
         trigger={"availableNow": True},
     )
-    q.awaitTermination(1800)
+    if not q.awaitTermination(1800):
+        q.stop()
+        raise TimeoutError("ingest stream not terminated in 1800s")
     per_batch = [
         round(float(p["durationMs"]["triggerExecution"]) / 1000.0, 2)
         for p in q.recentProgress

@@ -80,7 +80,9 @@ def main() -> None:
         make, canary_batches=1, target_batch_sec=TARGET_SEC,
         max_files=MAX_FILES,
     )
-    q.awaitTermination(1800)
+    if not q.awaitTermination(1800):
+        q.stop()
+        raise TimeoutError("fixed-point stream not terminated in 1800s")
     sec_total = round(time.time() - t0, 1)
     progress = list(q.recentProgress)
     per_batch = [
