@@ -295,7 +295,9 @@ def _stream_src(tmp_path, guard):
 
 @pytest.mark.parametrize("guard", ["minhash", "embed", "ivf"])
 @pytest.mark.parametrize(
-    "killpoint", ["before_index_append", "mid_append_meta", "mid_first_build"]
+    "killpoint",
+    ["before_index_append", "mid_append_meta", "mid_first_build",
+     "post_build_meta"],
 )
 def test_kill9_streaming_guard_exactly_once(spark, tmp_path, guard, killpoint):
     """r10 verdict task 5 (+ the r11 IVF maintenance stream): SIGKILL
@@ -353,6 +355,23 @@ def test_kill9_streaming_guard_exactly_once(spark, tmp_path, guard, killpoint):
         )
         assert os.path.isdir(idx), "build data never hit disk pre-kill"
         assert read_json(spark, f"{idx}/{meta_name}") is None
+        assert build_marker_present(spark, idx)
+
+    if killpoint == "post_build_meta":
+        # the child died BETWEEN the build's meta write and its marker
+        # clear (r12 advice): the index is fully committed but the
+        # .building marker is stale debris — the restart's first
+        # lease-holding mutation must shed it (the post-restart
+        # build_marker_present assertion below is the check)
+        from projet_5spar_sparkstreaming_spark.fsio import (
+            build_marker_present,
+            read_json,
+        )
+
+        meta_name = (
+            "_centroids.json" if guard == "ivf" else "_meta.json"
+        )
+        assert read_json(spark, f"{idx}/{meta_name}") is not None
         assert build_marker_present(spark, idx)
 
     # restart the SAME guard from the SAME checkpoint in this process;

@@ -67,6 +67,18 @@ def install_barrier(guard: str, killpoint: str) -> None:
         fsio.write_json = hooked_build_wj
         return
 
+    if killpoint == "post_build_meta":
+        # hang BETWEEN the build's committed meta write and its
+        # clear_build_marker — the r12-advice stale-marker window: the
+        # index is fully valid but '{index}.building' survives the
+        # crash, and without the r13 shed a later transient meta-None
+        # read would be misread as a crashed build and rebuilt over
+        def hooked_cm(spark, path):
+            _hang()
+
+        fsio.clear_build_marker = hooked_cm
+        return
+
     def wrap_append(real):
         # both append signatures carry batch_id as the 5th positional
         def hooked(*args, **kwargs):
