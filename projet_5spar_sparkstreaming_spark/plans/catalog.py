@@ -3318,6 +3318,81 @@ def q_stream_ivf_maintenance(spark, sf_dir):
     )
 
 
+def q_stream_embed_lsh_maintenance(spark, sf_dir):
+    # The embed-LSH twin of stream_ivf_maintenance (r13): the
+    # embeddings table streamed as 10 micro-batches through
+    # stream_embed_neardup_ingest with rebuild_when_outgrown=True and
+    # the LSH params sized for batch 0 only (expected_index_rows =
+    # n/10) — needs_embed_lsh_rebuild (plane count the sizing math
+    # wants at the CURRENT total vs pinned, ~log2 growth) trips
+    # mid-stream and rebuild_embed_lsh_index re-buckets the whole
+    # store under retrained hyperplanes with a reader-safe version
+    # flip. Plane growth over a 10x stream is ~log2(10) = 3+, so AT
+    # LEAST one rebuild fires at every sf (the exact count depends on
+    # rounding in auto_lsh_params — the oracle pins the boolean, the
+    # zero-escapee containment through the REBUILT params, all 10
+    # batches preserved verbatim, and every arrival appended).
+    import shutil
+
+    from projet_5spar_sparkstreaming_spark.fsio import versioned_subdir
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        embed_lsh_query_index,
+        read_embed_lsh_meta,
+    )
+    from projet_5spar_sparkstreaming_spark.streaming.dedup import (
+        stream_embed_neardup_ingest,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n_src = emb.count()
+    base = _scratch_dir(spark, "embed_maint_")
+    try:
+        emb.repartition(10).write.mode("overwrite").parquet(f"{base}/src")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(f"{base}/src").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/src")
+        )
+        q = stream_embed_neardup_ingest(
+            stream, f"{base}/out", f"{base}/idx", f"{base}/chk",
+            threshold=0.95, dim=64,
+            trigger={"availableNow": True},
+            expected_index_rows=max(50, n_src // 10),
+            rebuild_when_outgrown=True,
+        )
+        _await_or_raise(q, "q_stream_embed_lsh_maintenance")
+        meta = read_embed_lsh_meta(spark, f"{base}/idx")
+        version = int(meta.get("version", 0))
+        # containment through the rebuilt params: exact copies of 20
+        # stored vectors under shifted ids must emit only truthful
+        # pairs (cosine matches the expression-path recompute, >= the
+        # relaxed floor) — n_escapees = 0
+        probes = emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+        )
+        emitted = embed_lsh_query_index(
+            probes, f"{base}/idx", "vec_id", "embedding", threshold=0.9
+        )
+        vdir = versioned_subdir(f"{base}/idx", "vecs", version)
+        stored = spark.read.option("basePath", vdir).parquet(vdir)
+        stored_vecs = stored.select(
+            F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+        )
+        n_escapees = int(
+            _pair_cosine_escapees(emitted, probes, stored_vecs, floor=0.85)
+            .collect()[0]["n_escapees"]
+        )
+        n_stored = stored.count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_escapees, version >= 1, len(meta["batches"]), n_stored)],
+        "n_escapees long, rebuilt boolean, n_batches long, stored_rows long",
+    )
+
+
 def q_stream_ivf_ingest(spark, sf_dir):
     # IVF streaming maintenance (streaming/dedup.py: stream_ivf_ingest,
     # the third index family's streaming path): the embeddings table
@@ -4681,6 +4756,18 @@ def _oracles() -> dict[str, str | None]:
             "CAST(1 AS BIGINT) AS meta_version, "
             "CAST(10 AS BIGINT) AS n_batches"
         ),
+        # r13 embed-LSH maintenance twin: zero containment escapees
+        # through the REBUILT params, at least one rebuild fired
+        # (plane growth over a 10x stream is ~log2(10) — the exact
+        # flip count depends on auto_lsh_params rounding, so the
+        # boolean is the sf-invariant contract), all 10 batches
+        # preserved, every arrival appended to the store
+        "stream_embed_lsh_maintenance": (
+            "SELECT CAST(0 AS BIGINT) AS n_escapees, "
+            "true AS rebuilt, "
+            "CAST(10 AS BIGINT) AS n_batches, "
+            "(SELECT count(*) FROM embeddings) AS stored_rows"
+        ),
         "embedding_neardup_containment": (
             "SELECT CAST(0 AS BIGINT) AS n_escapees"
         ),
@@ -5097,6 +5184,7 @@ def catalog() -> list[CatalogQuery]:
         "knn_ivf_containment": q_knn_ivf_containment,
         "stream_ivf_ingest": q_stream_ivf_ingest,
         "stream_ivf_maintenance": q_stream_ivf_maintenance,
+        "stream_embed_lsh_maintenance": q_stream_embed_lsh_maintenance,
         "embedding_neardup_containment": q_embedding_neardup_containment,
         "incremental_embedding_containment": q_incremental_embedding_containment,
         "stored_minhash_containment": q_stored_minhash_containment,
