@@ -180,6 +180,21 @@ class _IvfFamily:
             (r["query_id"], r["neighbor_id"]) for r in served.collect()
         ) == [(i, i) for i in range(5)]
 
+    def read_probe(self, spark, idx, seed):
+        # cheap mid-fuzz public-path read: the probe path (meta ->
+        # centroids -> partition-pruned scan) against whatever version
+        # is live RIGHT NOW
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            query_ivf_index,
+        )
+
+        rows = query_ivf_index(
+            spark, seed.limit(2), idx, "vec_id", "embedding",
+            k=1, n_probe=2, exclude_self=False, route="ivf",
+        ).collect()
+        for r in rows:
+            assert r["cosine"] == r["cosine"]  # finite, not NaN
+
 
 class _MinhashFamily:
     name = "minhash"
@@ -242,6 +257,21 @@ class _MinhashFamily:
         pairs = minhash_query_index(probe, idx, "doc_id", "text", threshold=0.8)
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         assert (10_000_000_000, 0) in got or (0, 10_000_000_000) in got, got
+
+    def read_probe(self, spark, idx, seed):
+        # cheap mid-fuzz public-path read: params from the live meta,
+        # bucket join against whatever sigs/bands version is live now
+        from projet_5spar_sparkstreaming_spark.operators.dedup import (
+            minhash_query_index,
+        )
+
+        probe = spark.createDataFrame(
+            [(10_000_000_001, " ".join(f"seed1_{j}" for j in range(30)))],
+            "doc_id long, text string",
+        )
+        minhash_query_index(
+            probe, idx, "doc_id", "text", threshold=0.8
+        ).collect()
 
 
 class _EmbedFamily:
@@ -316,6 +346,19 @@ class _EmbedFamily:
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         assert (10_000_000_000, 0) in got or (0, 10_000_000_000) in got, got
 
+    def read_probe(self, spark, idx, seed):
+        # cheap mid-fuzz public-path read against the live version
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            embed_lsh_query_index,
+        )
+
+        probe = seed.filter(F.col("vec_id") == 1).select(
+            F.lit(10_000_000_001).cast("long").alias("vec_id"), "embedding"
+        )
+        embed_lsh_query_index(
+            probe, idx, "vec_id", "embedding", threshold=0.95
+        ).collect()
+
 
 FAMILIES = {f.name: f for f in (_IvfFamily(), _MinhashFamily(), _EmbedFamily())}
 
@@ -359,6 +402,31 @@ def test_lease_fuzz_concurrent_mutations_survive_random_kill9(
             and j_["acked_compacts"] + j_["acked_rebuilds"] >= 1
             and kills >= 2
         )
+    # CONCURRENT READER (r13): the reader-safe-version-flip claim says
+    # a public-path query that loads the meta NOW scans a tree that
+    # stays resolvable — retained until the NEXT compaction. The parent
+    # exercises that claim DURING the carnage, not just after: one
+    # public read per fuzz iteration. A single failure is tolerated
+    # per the documented retention window (a reader slower than one
+    # full compaction cycle can lose its tree; a fresh meta read must
+    # then succeed) — two consecutive failures = a genuinely broken
+    # public read path, and the fuzz fails with both errors.
+    reader_reads = 0
+
+    def _read_or_fail_twice():
+        nonlocal reader_reads
+        try:
+            fam.read_probe(spark, idx, seed)
+        except Exception as first:
+            try:
+                fam.read_probe(spark, idx, seed)
+            except Exception as second:
+                raise AssertionError(
+                    "public read path failed twice in a row during fuzz: "
+                    f"first={first!r} second={second!r}"
+                ) from second
+        reader_reads += 1
+
     try:
         # let the first JVMs come up before the first kill
         time.sleep(12)
@@ -382,6 +450,7 @@ def test_lease_fuzz_concurrent_mutations_survive_random_kill9(
                 kills += 1
                 epochs[slot] += 1
                 workers[slot] = _spawn(slot, epochs[slot], idx, jdir, family)
+            _read_or_fail_twice()
             time.sleep(prng.uniform(3.0, 6.0))
     finally:
         for slot, (proc, _) in workers.items():
@@ -399,6 +468,7 @@ def test_lease_fuzz_concurrent_mutations_survive_random_kill9(
 
     j = _parse_journals(jdir)
     assert kills >= 2, f"only {kills} kills — fuzz never got going"
+    assert reader_reads >= 3, f"only {reader_reads} concurrent reads — vacuous"
     # coverage was the loop condition; reaching here without it means
     # even FUZZ_CAP seconds couldn't get ops through — a wedge, not load
     assert len(j["acked_appends"]) >= 2, ("no appends acknowledged "
