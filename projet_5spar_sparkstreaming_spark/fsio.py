@@ -107,6 +107,22 @@ def _host_boot_id() -> str:
         return ""
 
 
+def _proc_starttime(pid: int) -> str:
+    """The pid's kernel start time (/proc/<pid>/stat field 22, jiffies
+    since boot) — a (boot_id, pid, starttime) triple is a unique
+    process identity, immune to pid recycling. Empty string when
+    unreadable (non-Linux, or the pid is gone)."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            stat = f.read()
+        # field 2 (comm) may contain spaces/parens: split after the
+        # LAST ')' — starttime is overall field 22, i.e. index 19 of
+        # the remainder (whose first entry is field 3, state)
+        return stat.rsplit(")", 1)[1].split()[19]
+    except Exception:
+        return ""
+
+
 def _read_holder(spark: SparkSession, lock_path: str) -> Any:
     """Best-effort parse of a lock file's holder JSON; None when the
     file is absent, torn, or unreadable."""
@@ -119,12 +135,21 @@ def _read_holder(spark: SparkSession, lock_path: str) -> Any:
 def _holder_dead_on_this_host(holder: Any) -> bool:
     """True iff the recorded ``holder`` ran ON THIS HOST (hostname AND
     boot id must both match — hostname alone collides across cloned
-    VMs / same-``--hostname`` containers) and its pid no longer exists
-    — a kill -9'd writer, breakable immediately instead of after
+    VMs / same-``--hostname`` containers) and its process is provably
+    gone — a kill -9'd writer, breakable immediately instead of after
     ``stale_sec`` (which exists for holders whose liveness CANNOT be
     checked: another host, or a lock whose holder JSON never landed).
-    Pid recycling or any parse failure falls back to the TTL path
-    (returns False)."""
+
+    "Provably gone" (r13, found by the extended lease fuzz): the pid
+    no longer exists, OR the pid exists but its kernel start time
+    differs from the one the holder recorded — a RECYCLED pid. With
+    pid_max 32768 a process-churny host wraps the pid space well
+    inside one stale TTL, and the old pid-exists probe then mistook an
+    unrelated live process for the dead holder, stalling every writer
+    for the full 30-minute TTL (observed as a 600 s acquisition
+    timeout in FUZZ_EXTENDED_r13). Legacy holders without a recorded
+    ``pid_start`` keep the conservative TTL path; any parse failure
+    falls back to the TTL path (returns False)."""
     try:
         if not isinstance(holder, dict):
             return False
@@ -137,11 +162,21 @@ def _holder_dead_on_this_host(holder: Any) -> bool:
         if pid <= 0:
             return False
         _os.kill(pid, 0)  # signal 0: existence probe only
+        recorded = holder.get("pid_start")
+        if recorded:
+            live = _proc_starttime(pid)
+            if live and live != str(recorded):
+                return True  # pid recycled: the holder itself is dead
         return False
     except ProcessLookupError:
         return True
     except Exception:
         return False
+
+
+# a JSON-less lock older than this is torn debris from a holder killed
+# between its create and its holder-JSON write (see writer_lease)
+_JSONLESS_GRACE_SEC = 60.0
 
 
 def _break_stale_lock(
@@ -321,6 +356,9 @@ def writer_lease(
                 try:
                     holder = {
                         "pid": _os.getpid(),
+                        # pid start time: (boot_id, pid, pid_start) is
+                        # a recycling-proof process identity (r13)
+                        "pid_start": _proc_starttime(_os.getpid()),
                         "host": _socket.gethostname(),
                         "boot_id": _host_boot_id(),
                         "token": _uuid.uuid4().hex,
@@ -340,8 +378,22 @@ def writer_lease(
             st = fs.getFileStatus(lock)
             age = _time.time() - st.getModificationTime() / 1000.0
             observed = _read_holder(spark, lock_name)
-            if age > stale_sec or _holder_dead_on_this_host(observed):
-                _break_stale_lock(spark, lock_name, observed, stale_sec)
+            # Torn-lock grace (r13, found by the extended lease fuzz):
+            # a holder killed BETWEEN its create and its holder-JSON
+            # write leaves a JSON-less lock that the dead-pid probe
+            # cannot judge (no pid) — it used to wait the full 30-min
+            # TTL. A live acquisition writes its JSON milliseconds
+            # after the create, so a JSON-less lock older than 60 s is
+            # debris; if an extreme scheduler pause ever makes this
+            # judgment wrong, the displaced holder's commit fence
+            # (validate) aborts it instead of clobbering.
+            break_ttl = (
+                _JSONLESS_GRACE_SEC
+                if observed is None and stale_sec > _JSONLESS_GRACE_SEC
+                else stale_sec
+            )
+            if age > break_ttl or _holder_dead_on_this_host(observed):
+                _break_stale_lock(spark, lock_name, observed, break_ttl)
                 continue
         except Exception:
             pass  # released between create and stat — retry now

@@ -1719,6 +1719,74 @@ def test_break_stale_lock_jsonless_fresh_vs_old(spark, tmp_path):
     assert not os.path.exists(lock_file)
 
 
+def test_recycled_pid_holder_judged_dead(spark):
+    """r13, found by the extended lease fuzz: with pid_max 32768 a
+    process-churny host wraps the pid space inside one stale TTL, and
+    the dead-pid probe then mistook an unrelated LIVE process wearing
+    the corpse's recycled pid for the holder — every writer stalled for
+    the full 30-min TTL (observed as a 600 s acquisition timeout). The
+    holder identity is now the recycling-proof (boot_id, pid,
+    pid_start) triple."""
+    import os
+    import socket
+
+    from projet_5spar_sparkstreaming_spark import fsio
+
+    alive_pid = os.getpid()
+    base = {
+        "pid": alive_pid,
+        "host": socket.gethostname(),
+        "boot_id": fsio._host_boot_id(),
+    }
+    real_start = fsio._proc_starttime(alive_pid)
+    assert real_start  # Linux: /proc/<pid>/stat readable
+    # same pid, DIFFERENT start time: a recycled pid — provably dead
+    assert fsio._holder_dead_on_this_host({**base, "pid_start": "1"})
+    # same pid, same start time: genuinely alive
+    assert not fsio._holder_dead_on_this_host(
+        {**base, "pid_start": real_start}
+    )
+    # legacy holder without the field: conservative TTL path
+    assert not fsio._holder_dead_on_this_host(base)
+    # and a pid that does not exist stays immediately-dead
+    dead = {**base, "pid": 4_194_000, "pid_start": "1"}
+    assert fsio._holder_dead_on_this_host(dead) or os.path.exists(
+        f"/proc/{dead['pid']}"
+    )
+
+
+def test_torn_jsonless_lock_breaks_after_grace(spark, tmp_path):
+    """r13, found by the extended lease fuzz: a holder killed BETWEEN
+    its lock create and its holder-JSON write leaves an empty lock the
+    dead-pid probe cannot judge (no pid) — writers used to wait the
+    full 30-min TTL. A JSON-less lock older than the 60 s grace is now
+    broken; a fresh one is still spared (could be a live holder's
+    in-flight write)."""
+    import os
+    import time
+
+    from projet_5spar_sparkstreaming_spark import fsio
+    from projet_5spar_sparkstreaming_spark.fsio import writer_lease
+
+    idx = str(tmp_path / "torn_idx")
+    lock_file = idx + ".writer.lock"
+    # fresh empty lock: NOT broken inside the grace window
+    open(lock_file, "w").close()
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        with writer_lease(spark, idx, timeout_sec=2.0):
+            pass
+    assert os.path.exists(lock_file)
+    # aged past the grace: broken, lease acquired well under the TTL
+    os.utime(lock_file, (time.time() - 120, time.time() - 120))
+    t0 = time.time()
+    with writer_lease(spark, idx, timeout_sec=30.0) as lease:
+        lease.validate()
+    assert time.time() - t0 < 10.0
+    assert fsio._JSONLESS_GRACE_SEC == 60.0
+
+
 def test_read_json_reprobe_after_concurrent_publish(spark, tmp_path, monkeypatch):
     """ADVICE r10: read_json's exists→open TOCTOU — when the .old
     aside vanishes between probe and open because a concurrent
