@@ -23,6 +23,7 @@ import contextlib as _contextlib
 import json
 import os as _os
 import socket as _socket
+import threading as _threading
 import time as _time
 import uuid as _uuid
 from typing import Any
@@ -179,6 +180,78 @@ def _holder_dead_on_this_host(holder: Any) -> bool:
 _JSONLESS_GRACE_SEC = 60.0
 
 
+def _hb_params() -> tuple[float, float]:
+    """(heartbeat interval, declared-dead silence threshold) in seconds
+    for the lease heartbeat (r13 verdict task 1). Env-overridable so
+    crash harnesses can compress the timeline without production code
+    paths diverging: ``SPARK_GRAFT_LEASE_HB_SEC`` (default 10) and
+    ``SPARK_GRAFT_LEASE_HB_DEAD_SEC`` (default 90). The dead threshold
+    is floored at 3 heartbeat intervals so one missed stamp (FS hiccup,
+    GC pause) can never read as death."""
+    try:
+        hb = float(_os.environ.get("SPARK_GRAFT_LEASE_HB_SEC") or 10.0)
+    except Exception:
+        hb = 10.0
+    hb = max(hb, 0.1)
+    try:
+        dead = float(_os.environ.get("SPARK_GRAFT_LEASE_HB_DEAD_SEC") or 90.0)
+    except Exception:
+        dead = 90.0
+    return hb, max(dead, 3.0 * hb)
+
+
+def _holder_heartbeat_silent(
+    spark: SparkSession, lock_name: str, holder: Any, lock_age: float
+) -> bool:
+    """True iff the recorded ``holder`` DECLARED a heartbeat contract
+    (``hb_dead_sec`` in its holder JSON) and has now been silent longer
+    than it promised — the CROSS-HOST liveness probe the r13 identity
+    fix could not provide (r13 verdict: ``_holder_dead_on_this_host``
+    is same-host only by design, so on shared object storage a writer
+    crashing on host A stalled host B's writers for the full 30-min
+    ``stale_sec`` TTL).
+
+    A live holder re-stamps ``{lock}.hb`` every ``hb_sec`` (see
+    ``writer_lease``); silence is judged from that file's mtime — the
+    same clock convention as the existing lock-age staleness check, so
+    no new cross-host clock-skew exposure. When no heartbeat from THIS
+    holder's token has ever landed (first stamp lost, or a previous
+    holder's stale stamp lingers), silence falls back to the lock's own
+    age: the holder writes its first stamp immediately after acquiring,
+    so a declared-heartbeat lock with no matching stamp after
+    ``hb_dead_sec`` is equally dead. Legacy holders that never declared
+    the contract keep the conservative TTL path (returns False); any
+    probe failure also returns False (TTL fallback)."""
+    try:
+        if not isinstance(holder, dict):
+            return False
+        dead = float(holder.get("hb_dead_sec") or 0.0)
+        if dead <= 0.0:
+            return False  # legacy holder: TTL fallback only
+        hb_name = lock_name + ".hb"
+        hb = _read_holder(spark, hb_name)
+        if isinstance(hb, dict) and hb.get("token") == holder.get("token"):
+            fs, hpath = _fs_path(spark, hb_name)
+            try:
+                st = fs.getFileStatus(hpath)
+            except Exception:
+                # killed (or mid-rename) between write_json's two
+                # renames: the .old aside is what _read_holder parsed —
+                # judge silence from ITS mtime (at most one interval
+                # older than the torn stamp; safely under dead_sec for
+                # a live holder, and the only durable evidence for a
+                # dead one)
+                st = fs.getFileStatus(
+                    spark._jvm.org.apache.hadoop.fs.Path(hb_name + ".old")
+                )
+            silence = _time.time() - st.getModificationTime() / 1000.0
+        else:
+            silence = lock_age
+        return silence > dead
+    except Exception:
+        return False
+
+
 def _break_stale_lock(
     spark: SparkSession,
     lock_name: str,
@@ -320,9 +393,17 @@ def writer_lease(
     polls up to ``timeout_sec`` then raises ``TimeoutError``; a lock
     older than ``stale_sec`` is presumed crashed and broken — and a
     holder recorded as THIS host whose pid is gone (kill -9'd writer)
-    is broken immediately, no TTL wait (``_holder_dead_on_this_host``;
-    the TTL remains the fallback for holders whose liveness can't be
-    probed — another host, or a lock whose holder JSON never landed).
+    is broken immediately, no TTL wait (``_holder_dead_on_this_host``).
+    CROSS-HOST liveness (r13 verdict task 1) is a heartbeat: the holder
+    declares ``hb_sec``/``hb_dead_sec`` in its holder JSON and a daemon
+    thread re-stamps the sibling ``{lock}.hb`` every ``hb_sec`` (~10 s
+    default; one small write_json, trivial next to any index mutation),
+    so ANY waiter — same host or foreign — may break the lock once the
+    heartbeat has been silent longer than the holder's own declared
+    ``hb_dead_sec`` (~90 s default; ``_holder_heartbeat_silent``). The
+    TTL remains the fallback for holders that never declared the
+    contract (legacy metas, mixed-version writers) and for locks whose
+    holder JSON never landed (those get the 60 s JSON-less grace).
     Either break is claimed ATOMICALLY by renaming the stale lock to a
     per-breaker tombstone name (rename succeeds for exactly one
     process), so two waiters that both observed staleness can never
@@ -352,6 +433,7 @@ def writer_lease(
             # the lock file exists and is OURS; if the holder-metadata
             # write faults (disk full, stream fault) we must not orphan
             # it — every other writer would block until stale_sec
+            hb_sec, hb_dead_sec = _hb_params()
             try:
                 try:
                     holder = {
@@ -363,6 +445,12 @@ def writer_lease(
                         "boot_id": _host_boot_id(),
                         "token": _uuid.uuid4().hex,
                         "acquired_unix": _time.time(),
+                        # heartbeat contract (r14): waiters on ANY host
+                        # may treat heartbeat silence > hb_dead_sec as
+                        # death — the cross-host break the pid probe
+                        # can't provide
+                        "hb_sec": hb_sec,
+                        "hb_dead_sec": hb_dead_sec,
                     }
                     out.write(bytearray(json.dumps(holder).encode("utf-8")))
                 finally:
@@ -392,7 +480,11 @@ def writer_lease(
                 if observed is None and stale_sec > _JSONLESS_GRACE_SEC
                 else stale_sec
             )
-            if age > break_ttl or _holder_dead_on_this_host(observed):
+            if (
+                age > break_ttl
+                or _holder_dead_on_this_host(observed)
+                or _holder_heartbeat_silent(spark, lock_name, observed, age)
+            ):
                 _break_stale_lock(spark, lock_name, observed, break_ttl)
                 continue
         except Exception:
@@ -405,11 +497,67 @@ def writer_lease(
                 "manually)"
             )
         _time.sleep(poll_sec)
+    hb_name = lock_name + ".hb"
+
+    def _stamp() -> None:
+        write_json(
+            spark,
+            hb_name,
+            {"token": holder["token"], "heartbeat_unix": _time.time()},
+        )
+
+    try:
+        # first stamp lands BEFORE the mutation starts, so a waiter that
+        # sees no matching stamp judges silence from the lock's age —
+        # never from a previous holder's stale stamp
+        _stamp()
+    except Exception:
+        try:
+            fs.delete(lock, False)
+        except Exception:
+            pass
+        raise
+    stop_hb = _threading.Event()
+
+    def _beat() -> None:
+        # daemon: dies instantly with the process under kill -9, which
+        # is exactly what makes the silence a liveness signal. A single
+        # failed stamp is retried next tick; sustained stamp failure is
+        # indistinguishable from death by design, and the displaced
+        # holder's commit fence (validate) turns a wrong break into an
+        # abort, never a clobber.
+        while not stop_hb.wait(holder["hb_sec"]):
+            try:
+                _stamp()
+            except Exception:
+                pass
+
+    beater = _threading.Thread(
+        target=_beat, name="writer-lease-heartbeat", daemon=True
+    )
+    beater.start()
     try:
         yield _LeaseHandle(spark, lock_name, holder["token"])
     finally:
+        stop_hb.set()
+        beater.join(timeout=5.0)
         try:
             fs.delete(lock, False)
+        except Exception:
+            pass
+        try:
+            # drop OUR heartbeat (and write_json's crash asides). Token
+            # check: release deletes the lock first, so a racing new
+            # holder may already have stamped — never delete theirs
+            # (the benign residual race — they stamp between our read
+            # and delete — costs them one interval of perceived
+            # liveness; the next tick recreates the file).
+            hb = _read_holder(spark, hb_name)
+            if hb is None or (
+                isinstance(hb, dict) and hb.get("token") == holder["token"]
+            ):
+                for suffix in ("", ".old", ".tmp"):
+                    delete_path(spark, hb_name + suffix, recursive=False)
         except Exception:
             pass
 

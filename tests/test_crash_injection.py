@@ -258,6 +258,72 @@ def test_kill9_mid_mutation_recovers(spark, tmp_path, family, op):
     _recover_and_check(spark, family, op, idx)
 
 
+def test_kill9_between_lock_create_and_holder_json(spark, tmp_path):
+    """r13 verdict task 5: the 60 s JSON-less grace (fsio.py,
+    _JSONLESS_GRACE_SEC) was unit-tested with synthetic debris only —
+    here a REAL process is SIGKILLed between the writer lease's
+    create(lock, overwrite=false) and its holder-JSON write. The torn
+    lock has no holder identity (no pid probe, no heartbeat token), so
+    the ONLY admissible break is the JSON-less grace; a follow-on
+    writer must acquire within grace+epsilon — never the 30-min TTL —
+    and the re-run mutation must converge to a consistent index."""
+    import projet_5spar_sparkstreaming_spark.fsio as fsio
+
+    family, op = "minhash", "append"
+    idx = str(tmp_path / "torn_lock_idx")
+    _seed_index(spark, family, op, idx)
+
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="1g")
+    proc = subprocess.Popen(
+        [sys.executable, CHILD, family, op, "post_lock_create", idx],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        start_new_session=True,
+        env=env,
+    )
+    try:
+        line, deadline = "", time.time() + 180
+        while time.time() < deadline:
+            line = proc.stdout.readline().strip()
+            if line in ("READY", "COMPLETED_WITHOUT_BARRIER"):
+                break
+            if proc.poll() is not None:
+                break
+        assert line == "READY", f"child never reached barrier: {line!r}"
+        os.killpg(proc.pid, signal.SIGKILL)
+    finally:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait(timeout=30)
+
+    # the torn state this killpoint exists to produce: lock file on
+    # disk, holder JSON never landed (empty / unparseable)
+    lock = idx + ".writer.lock"
+    assert os.path.exists(lock), "kill landed before the lock create"
+    assert fsio._read_holder(spark, lock) is None, "holder JSON landed"
+
+    # compress the grace so the test proves the MECHANISM in seconds
+    # (production keeps 60 s); age the lock past it rather than sleep
+    real_grace = fsio._JSONLESS_GRACE_SEC
+    fsio._JSONLESS_GRACE_SEC = 5.0
+    old = time.time() - 6.0
+    os.utime(lock, (old, old))
+    try:
+        t0 = time.monotonic()
+        _recover_and_check(spark, family, op, idx)
+        elapsed = time.monotonic() - t0
+    finally:
+        fsio._JSONLESS_GRACE_SEC = real_grace
+    # grace-scale, not TTL-scale: the whole re-run (break + append +
+    # consistency checks, several Spark jobs) stays well under a minute
+    # where a TTL wait alone would be 1800 s
+    assert elapsed < 120.0, elapsed
+    assert not os.path.exists(lock)
+
+
 STREAM_CHILD = os.path.join(REPO, "tools", "crash_stream_child.py")
 
 

@@ -25,6 +25,14 @@ appends (what a streaming checkpoint would do):
   5. a fresh compact (+ rebuild where the family has one) from the
      parent still succeeds (no wedged lock, no drift-guard false
      positive).
+
+Since r14 the whole matrix also runs in ``foreign_host`` mode (r13
+verdict task 1): every worker's fsio host identity is spoofed to a
+unique fake host, disabling the same-host (boot_id, pid, pid_start)
+fast break for EVERY corpse lock — only the lease heartbeat
+(fsio._holder_heartbeat_silent) can admit waiters before the 30-min
+TTL. The parent measures kill -> next-completed-op gaps and the first
+post-carnage replay and asserts both stay at heartbeat scale.
 """
 
 from __future__ import annotations
@@ -55,16 +63,37 @@ FUZZ_SEC = 35.0  # minimum fuzz window; extends to FUZZ_CAP for coverage
 FUZZ_CAP = 300.0  # hard wall when the box is too contended to make ops
 SEED_ROWS = 200
 
+# foreign-host mode (r13 verdict task 1): every worker's fsio identity
+# is spoofed to a UNIQUE fake host, so nobody can use the same-host
+# dead-pid fast break on anybody's corpse lock — the lease heartbeat is
+# the only sub-TTL liveness signal, and it must carry the whole fuzz.
+# Short knobs keep the break latency inside the fuzz window; stale_sec
+# stays at the production 1800 s (mutation call sites use the default),
+# so ANY post-corpse progress is heartbeat-break evidence.
+FOREIGN_HB_SEC = "2"
+FOREIGN_HB_DEAD_SEC = "8"
+# loose liveness ceiling for kill -> next acknowledged op in foreign
+# mode: hb_dead (8 s) + lease poll + a full Spark mutation under
+# contention. TTL-scale stalls (600 s acquisition timeout / 1800 s
+# stale break) sit two orders of magnitude above it.
+FOREIGN_MAX_GAP_SEC = 240.0
 
-def _spawn(slot: int, epoch: int, idx: str, jdir: str, family: str):
+
+def _spawn(slot: int, epoch: int, idx: str, jdir: str, family: str,
+           mode: str = "same_host"):
     journal = os.path.join(jdir, f"w{slot}.journal")
     err = open(os.path.join(jdir, f"w{slot}.e{epoch}.stderr"), "w")
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="1g")
+    if mode == "foreign_host":
+        env["SPARK_GRAFT_FUZZ_SPOOF_HOST"] = f"fuzz-foreign-w{slot}e{epoch}"
+        env["SPARK_GRAFT_LEASE_HB_SEC"] = FOREIGN_HB_SEC
+        env["SPARK_GRAFT_LEASE_HB_DEAD_SEC"] = FOREIGN_HB_DEAD_SEC
     proc = subprocess.Popen(
         [sys.executable, CHILD, idx, journal, str(slot), str(epoch), family],
         stdout=subprocess.DEVNULL,
         stderr=err,
         start_new_session=True,
-        env=dict(os.environ, SPARK_GRAFT_DRIVER_MEM="1g"),
+        env=env,
     )
     return proc, journal
 
@@ -81,6 +110,7 @@ def _parse_journals(jdir: str) -> dict:
     acked_appends: dict[int, int] = {}
     inflight: set[int] = set()
     acked_compacts = acked_rebuilds = aborts = 0
+    done_times: list[float] = []  # ACK/ABORT unix times (@-suffixed)
     for name in sorted(os.listdir(jdir)):
         if not name.endswith(".journal"):
             continue
@@ -106,13 +136,65 @@ def _parse_journals(jdir: str) -> dict:
                 # fence firing — an aborted append stays in ``inflight``
                 # (started, never acknowledged) and is replayed
                 aborts += 1
+            else:
+                continue
+            # op COMPLETIONS (ACK/ABORT) prove a writer got THROUGH the
+            # lease; their times bound how long any corpse lock stalled
+            # the fleet (START lines don't — a started op may be parked
+            # waiting on the lease)
+            if parts[:1] != ["START"] and parts and parts[-1].startswith("@"):
+                try:
+                    done_times.append(float(parts[-1][1:]))
+                except ValueError:
+                    pass
     return {
         "acked_appends": acked_appends,
         "inflight": sorted(inflight),
         "acked_compacts": acked_compacts,
         "acked_rebuilds": acked_rebuilds,
         "aborts": aborts,
+        "done_times": sorted(done_times),
     }
+
+
+def _kill_gaps(jdir: str, done_times: list[float]) -> list[float]:
+    """Seconds from each parent kill to the FIRST op completion (ACK or
+    designed ABORT, any worker) after it — the fleet-liveness bound a
+    corpse lock's break latency shows up in. Kills with no later
+    completion (e.g. the last kill of the window) contribute nothing."""
+    kills_path = os.path.join(jdir, "kills.times")
+    if not os.path.exists(kills_path):
+        return []
+    gaps = []
+    with open(kills_path) as f:
+        for line in f:
+            try:
+                k = float(line.strip())
+            except ValueError:
+                continue
+            later = [d for d in done_times if d > k]
+            if later:
+                gaps.append(round(later[0] - k, 3))
+    return gaps
+
+
+def _write_parent_metrics(
+    jdir: str, mode: str, gaps: list[float], first_replay_sec
+) -> None:
+    """Persist the parent-side latency evidence next to the journals so
+    tools/fuzz_extended.py can lift it into the committed artifact."""
+    import json as _json
+
+    with open(os.path.join(jdir, "parent_metrics.json"), "w") as f:
+        _json.dump(
+            {
+                "mode": mode,
+                "kill_to_next_done_sec": gaps,
+                "max_kill_to_next_done_sec": max(gaps) if gaps else None,
+                "first_replay_sec": first_replay_sec,
+            },
+            f,
+        )
 
 
 class _IvfFamily:
@@ -363,9 +445,10 @@ class _EmbedFamily:
 FAMILIES = {f.name: f for f in (_IvfFamily(), _MinhashFamily(), _EmbedFamily())}
 
 
+@pytest.mark.parametrize("mode", ["same_host", "foreign_host"])
 @pytest.mark.parametrize("family", sorted(FAMILIES))
 def test_lease_fuzz_concurrent_mutations_survive_random_kill9(
-    spark, tmp_path, family
+    spark, tmp_path, family, mode
 ):
     from projet_5spar_sparkstreaming_spark.fsio import read_json
 
@@ -381,7 +464,7 @@ def test_lease_fuzz_concurrent_mutations_survive_random_kill9(
     workers: dict[int, tuple] = {}
     epochs = {s: 0 for s in range(n_workers)}
     for s in range(n_workers):
-        workers[s] = _spawn(s, 0, idx, jdir, family)
+        workers[s] = _spawn(s, 0, idx, jdir, family, mode)
 
     killed_pids: set[int] = set()
     prng = random.Random(99)
@@ -448,8 +531,12 @@ def test_lease_fuzz_concurrent_mutations_survive_random_kill9(
                 killed_pids.add(proc.pid)
                 _kill(proc)
                 kills += 1
+                with open(os.path.join(jdir, "kills.times"), "a") as kf:
+                    kf.write(f"{time.time():.3f}\n")
                 epochs[slot] += 1
-                workers[slot] = _spawn(slot, epochs[slot], idx, jdir, family)
+                workers[slot] = _spawn(
+                    slot, epochs[slot], idx, jdir, family, mode
+                )
             _read_or_fail_twice()
             time.sleep(prng.uniform(3.0, 6.0))
     finally:
@@ -476,10 +563,28 @@ def test_lease_fuzz_concurrent_mutations_survive_random_kill9(
     assert len(j["acked_appends"]) + len(j["inflight"]) >= 5, j
     assert j["acked_compacts"] + j["acked_rebuilds"] >= 1, j
 
+    # kill -> next-completed-op latency: in foreign mode the spoof
+    # disables the same-host fast break, so every gap here is bounded
+    # by the heartbeat break — TTL-scale stalls (600 s acquisition
+    # timeout, 1800 s stale TTL) would blow straight through the bound
+    gaps = _kill_gaps(jdir, j["done_times"])
+    if mode == "foreign_host":
+        assert gaps, "no completed op after any kill — fleet wedged"
+        assert max(gaps) < FOREIGN_MAX_GAP_SEC, (max(gaps), gaps)
+
     # replay every killed in-flight append verbatim (same batch_id,
-    # same rows) — exactly what the streaming checkpoint does
+    # same rows) — exactly what the streaming checkpoint does. The
+    # FIRST replay is timed: it must get past whatever corpse lock the
+    # final mass-kill left behind (heartbeat-scale in foreign mode).
+    t0 = time.time()
+    first_replay_sec = None
     for bid in j["inflight"]:
         fam.replay(spark, idx, bid)
+        if first_replay_sec is None:
+            first_replay_sec = round(time.time() - t0, 3)
+            if mode == "foreign_host":
+                assert first_replay_sec < FOREIGN_MAX_GAP_SEC, first_replay_sec
+    _write_parent_metrics(jdir, mode, gaps, first_replay_sec)
 
     def check_invariants() -> dict:
         meta = read_json(spark, f"{idx}/{fam.meta_name}")

@@ -19,6 +19,12 @@ Usage: python tools/crash_child.py FAMILY OP BARRIER INDEX_PATH
           mid_data_write     -> killed while the batch parquet write
                                 is in flight (parent kills on the
                                 WRITE_START line, jittered)
+          post_lock_create   -> killed BETWEEN the writer lease's
+                                create(lock, overwrite=false) and its
+                                holder-JSON write — the torn JSON-less
+                                lock no liveness probe can judge
+                                (r13 verdict task 5); broken only by
+                                fsio's 60 s JSON-less grace
 The parent pre-seeds append/compact indexes; this child only runs the
 mutation. Appends use batch_id=7."""
 
@@ -84,6 +90,30 @@ def install_barrier(barrier: str) -> None:
             return real_pq(self, path, **kw)
 
         DataFrameWriter.parquet = hooked_pq
+    elif barrier == "post_lock_create":
+        real_fs_path = fsio._fs_path
+
+        class WrapFS:
+            def __init__(self, fs):
+                self._fs = fs
+
+            def __getattr__(self, name):
+                return getattr(self._fs, name)
+
+            def create(self, path, *args):
+                out = self._fs.create(path, *args)
+                if str(path).endswith(".writer.lock"):
+                    # the lock EXISTS (create succeeded) but its holder
+                    # JSON has not been written — the torn state only a
+                    # real kill here can produce
+                    _hang()
+                return out
+
+        def hooked(spark, path):
+            fs, hp = real_fs_path(spark, path)
+            return WrapFS(fs), hp
+
+        fsio._fs_path = hooked
     else:
         raise SystemExit(f"unknown barrier {barrier!r}")
 

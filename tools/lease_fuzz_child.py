@@ -32,6 +32,19 @@ Usage: python tools/lease_fuzz_child.py INDEX JOURNAL WORKER_SLOT EPOCH [FAMILY]
   WORKER_SLOT  0..N-1 (partitions the batch_id space)
   EPOCH        respawn counter (keeps batch_ids unique across respawns)
   FAMILY       ivf (default) | minhash | embed
+
+Foreign-host mode (r13 verdict task 1): when the env var
+``SPARK_GRAFT_FUZZ_SPOOF_HOST`` is set, this worker's fsio host
+identity (hostname + boot_id) is patched to that value BEFORE any lock
+is taken, so the holder JSONs it writes claim a host no other process
+shares — every sibling (and the parent) then sees its corpse locks as
+FOREIGN, the same-host (boot_id, pid, pid_start) fast break declines,
+and the only sub-TTL liveness signal left is the lease heartbeat. The
+parent gives each spawn a UNIQUE spoof value so workers can't
+fast-break each other either. Combined with short
+``SPARK_GRAFT_LEASE_HB_SEC`` / ``SPARK_GRAFT_LEASE_HB_DEAD_SEC``, the
+fuzz then proves corpse locks are broken at heartbeat scale, not
+TTL/timeout scale, under real kill -9.
 """
 
 from __future__ import annotations
@@ -143,6 +156,20 @@ def main() -> None:
     )
     family = sys.argv[5] if len(sys.argv) > 5 else "ivf"
     import random
+    import time
+
+    spoof = os.environ.get("SPARK_GRAFT_FUZZ_SPOOF_HOST")
+    if spoof:
+        # foreign-host mode: this worker's locks must look like they
+        # came from a host nobody here is on (see module docstring)
+        from projet_5spar_sparkstreaming_spark import fsio
+
+        fsio._host_boot_id = lambda: f"boot-{spoof}"
+
+        class _SpoofSocket:
+            gethostname = staticmethod(lambda: spoof)
+
+        fsio._socket = _SpoofSocket()
 
     from projet_5spar_sparkstreaming_spark.fsio import LeaseLostError
     from projet_5spar_sparkstreaming_spark.session import get_spark
@@ -153,7 +180,9 @@ def main() -> None:
     jf = os.open(journal, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
 
     def log(line: str) -> None:
-        os.write(jf, (line + "\n").encode())
+        # trailing @<unix> lets the parent measure kill -> next-ack
+        # latency (heartbeat-scale break evidence in foreign mode)
+        os.write(jf, (f"{line} @{time.time():.3f}\n").encode())
         os.fsync(jf)
 
     log(f"SPAWN {slot} {epoch}")
