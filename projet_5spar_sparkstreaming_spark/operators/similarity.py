@@ -739,8 +739,19 @@ def compact_ivf_index(
             # estimate by inverting auto_ivf_centroids (cells ~
             # sqrt(n)/4) at the stored cell count, so needs_ivf_rebuild
             # regains a denominator that reflects the geometry's
-            # actual capacity
-            meta["sized_for_rows"] = (4 * len(meta["centroids"])) ** 2
+            # actual capacity. CLAMPED to the store's current total
+            # (r13 ADVICE): the inversion assumes the cell count was
+            # auto-derived, but a legacy index built with an explicit
+            # n_centroids — or sitting at the 4096 cap, where the
+            # inversion yields a ~268M-row denominator — would have its
+            # rebuild trigger suppressed indefinitely. The quantizer
+            # can never have been sized for MORE rows than the store
+            # holds at this compaction, so the total is a sound upper
+            # bound; an underestimate merely re-arms the trigger early
+            # (a wasted rebuild at worst, never a wrong answer).
+            total_now = sum(int(v) for v in batches.values())
+            inverted = (4 * len(meta["centroids"])) ** 2
+            meta["sized_for_rows"] = max(1, min(inverted, total_now))
         lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, meta_path, meta)  # the flip
         if legacy_root:

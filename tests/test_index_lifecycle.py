@@ -1164,7 +1164,11 @@ def test_ivf_compaction_backfills_legacy_sized_for(spark, tmp_path):
     inflated sizing and suppressed the rebuild trigger (r12 advice).
     needs_ivf_rebuild now declines on legacy metas, and compaction
     backfills the field by inverting auto_ivf_centroids at the stored
-    cell count so the predicate regains a meaningful denominator."""
+    cell count — CLAMPED to the store's compaction-time total (r13
+    ADVICE): a legacy index built with an explicit n_centroids (or at
+    the 4096 cap, where the inversion yields ~268M rows) must not have
+    its rebuild trigger suppressed indefinitely by a denominator far
+    above any corpus the quantizer ever saw."""
     from projet_5spar_sparkstreaming_spark.fsio import read_json, write_json
     from projet_5spar_sparkstreaming_spark.operators.similarity import (
         append_to_ivf_index,
@@ -1190,8 +1194,37 @@ def test_ivf_compaction_backfills_legacy_sized_for(spark, tmp_path):
     assert not needs_ivf_rebuild(read_json(spark, meta_path))  # declines
     compacted = compact_ivf_index(spark, idx, keep_last=1)
     n_cells = len(compacted["centroids"])
-    assert compacted["sized_for_rows"] == (4 * n_cells) ** 2
-    assert read_json(spark, meta_path)["sized_for_rows"] == (4 * n_cells) ** 2
+    total = sum(compacted["batches"].values())  # 50 rows stored
+    # the inversion at 2 cells says 64; the store only holds 50 — the
+    # clamp takes the smaller, so the trigger re-arms on real growth
+    expect = max(1, min((4 * n_cells) ** 2, total))
+    assert compacted["sized_for_rows"] == expect
+    assert read_json(spark, meta_path)["sized_for_rows"] == expect
+
+    # the ADVICE case proper: EXPLICIT cell count far above the corpus
+    # (the 4096-cap shape in miniature) — uninverted the backfill would
+    # be (4*8)^2 = 1024 and 4x growth would need 4096 rows; clamped, it
+    # is the 30-row store, and the predicate re-arms at 120
+    idx2 = str(tmp_path / "ivf_legacy_capped")
+    build_ivf_index(
+        _vecs_df(spark, _vec_rows(17, range(20))), idx2, "vec_id",
+        "embedding", n_centroids=8, batch_id=0,
+    )
+    for b in (1, 2):
+        append_to_ivf_index(
+            _vecs_df(spark, _vec_rows(17 + b, range(100 * b, 100 * b + 5))),
+            idx2, "vec_id", "embedding", batch_id=b,
+        )
+    meta_path2 = idx2 + "/_centroids.json"
+    meta2 = read_json(spark, meta_path2)
+    del meta2["sized_for_rows"]
+    write_json(spark, meta_path2, meta2)
+    compacted2 = compact_ivf_index(spark, idx2, keep_last=1)
+    total2 = sum(compacted2["batches"].values())  # 30 << (4*8)^2 = 1024
+    assert compacted2["sized_for_rows"] == total2
+    assert needs_ivf_rebuild(
+        {**compacted2, "batches": {"0": 4 * total2}}
+    ), "clamped backfill must re-arm the trigger at plausible growth"
 
 
 def test_mutations_shed_stale_build_marker(spark, tmp_path):
