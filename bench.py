@@ -16,6 +16,16 @@ caches), then THREE recorded passes; per query we report the MEDIAN
 a single-run bench cannot distinguish a 1.2x regression from
 environment noise, and round-over-round comparisons kept flagging
 phantom drift on sub-second queries.
+
+COMMIT RULE (pre-declared, r13 verdict task 2): the artifact committed
+as BENCH_FULL.json is the LAST full run of the round — never the
+fastest of several. Earlier runs of the same code, if any, are
+disclosed in BENCH_ATTRIBUTION_r{N}.json. Round-over-round comparisons
+read `queries_normalized` (host-speed-calibrated, see _calibrate) with
+`cpu_stat_delta_pct.steal` alongside; raw wall-clock diffs under ~25%
+on this host are measurement noise (BENCH_ATTRIBUTION_r13.json's
+same-day identical-code experiment: 44.59 vs 50.19 s, mechanism =
+neighbor CPU steal).
 """
 
 from __future__ import annotations
@@ -80,6 +90,12 @@ BENCH_QUERIES = [
     "doc_pii_scan",
     "embedding_pair_sims",
     "embedding_neardup_pairs",
+    # r13 verdict task 3: the suite's embed near-dup member at the
+    # DEDUP-GRADE threshold (0.8, planted twins, full SQL oracle) —
+    # linear by design where the 0.3 entry above is the documented
+    # adversarial quadratic (candidates unavoidably O(n^2) when the
+    # threshold sits below the corpus's background cosine)
+    "embedding_neardup_pairs_dedup",
     "duplicate_span_pairs",
     # round-5 additions: chunker, stratified/quality sampling, cross-set
     # embedding dedup. (The *_containment contract queries are NOT
@@ -765,11 +781,22 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
         if canary_durs and auto_durs and n > 1:
             fixed = _st.median(canary_durs)
             marginal = max(_st.median(auto_durs) - fixed, 0.0) / (n - 1)
-            fp_files = round((8.0 - fixed) / marginal) if marginal > 0 else None
+            # r13 ADVICE: when the fpt=1 canary median already exceeds
+            # the 8 s target (fixed >= 8.0) the fixed point is below
+            # one file — clamp to 1 rather than emitting a negative
+            # estimate; and a legitimate estimate of 1 must not be
+            # treated as missing downstream (`is not None`, not truthy)
+            fp_files = (
+                max(1, round((8.0 - fixed) / marginal))
+                if marginal > 0 and fixed < 8.0
+                else (1 if marginal > 0 else None)
+            )
             stats["fixed_point_files_est"] = fp_files
             rows_per_file = stats["rows_in"] / 96.0
             stats["fixed_point_rows_est"] = (
-                round(fp_files * rows_per_file) if fp_files else None
+                round(fp_files * rows_per_file)
+                if fp_files is not None
+                else None
             )
         out[auto] = stats
     shutil.rmtree(base, ignore_errors=True)
@@ -971,6 +998,17 @@ def main() -> None:
         # what the short calibration kernels can miss)
         "cpu_stat_delta_pct": _cpu_stat_delta_pct(stat_start, _cpu_stat()),
         "outliers_reran": reran,
+        # suite-change log: entries added to/removed from BENCH_QUERIES
+        # since the previous round, so the headline total is never
+        # silently compared across different suites
+        "suite_changes": {
+            "r14": ["+embedding_neardup_pairs_dedup (dedup-grade 0.8 "
+                    "linear member; 0.3 entry kept as the adversarial "
+                    "quadratic twin)"],
+        },
+        # commit rule (r13 verdict task 2): the artifact below is the
+        # LAST full run of the round, never a selected-fastest
+        "commit_rule": "last_full_run",
     }
     print(json.dumps(payload))
     # The driver's BENCH_r{N}.json artifact keeps only a truncated tail
