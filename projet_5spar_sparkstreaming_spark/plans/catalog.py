@@ -3953,6 +3953,58 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     )
 
 
+def q_embedding_neardup_pairs_dedup(spark, sf_dir):
+    # The DEDUP-GRADE twin of embedding_neardup_pairs (r13 verdict
+    # task 3): the headline suite needed a linear member — at the 0.3
+    # threshold the near-orthogonal synthetic corpus makes candidates
+    # quadratic by information-theoretic necessity (sign bits can't
+    # separate cosine-0.3 pairs from background; 36x at the sf1
+    # decade, kept as the adversarial twin), while at 0.8 — the
+    # threshold an actual "drop embedding-duplicates from 100 TB"
+    # pipeline runs — auto LSH params keep candidates linear
+    # (SCALE_STRESS: 5k->5M linear at 0.8-0.9).
+    #
+    # The base table is near-orthogonal (max pair cosine 0.60 at
+    # sf0.1), so duplicates are PLANTED: every 10th vector gets a twin
+    # under id+1,000,000 with +0.05 on its first coordinate (the
+    # vectors are unit-norm, so that is cosine ~0.9987 against its
+    # source — real near-dup grade, not bit-equal). That construction
+    # is exact SQL, which upgrades this entry from the 0.3 twin's
+    # rows-only check to a FULL value oracle: with the fixed
+    # hyperplane seeds the emitted set equals the exact all-pairs
+    # join at >= 0.8 (planted twins only — verified at all three SFs;
+    # no accidental pair reaches 0.8, no twin-twin pair either).
+    # recall_at=0.99/target 0.999 sizes the table count so a planted
+    # pair's miss probability is ~2e-7 per pair (checked analytically
+    # AND by the oracle equality at every graded SF).
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).cast("long").alias("vec_id"),
+        F.expr(
+            "concat(array(embedding[0] + cast(0.05 as double)), "
+            "slice(embedding, 2, size(embedding) - 1))"
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
+    return cosine_near_dup_pairs(
+        corpus,
+        "vec_id",
+        "embedding",
+        threshold=0.8,
+        n_planes="auto",
+        n_tables="auto",
+        recall_at=0.99,
+        target_recall=0.999,
+    )
+
+
 def q_incremental_embedding_pairs(spark, sf_dir):
     # Daily-crawl embedding dedup: a small "new batch" slice checked
     # against the rest of the corpus as the stored index — the index is
@@ -5194,6 +5246,7 @@ def catalog() -> list[CatalogQuery]:
         "knn_lsh": q_knn_lsh,
         "embedding_pair_sims": q_embedding_pair_sims,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "embedding_neardup_pairs_dedup": q_embedding_neardup_pairs_dedup,
         "incremental_embedding_pairs": q_incremental_embedding_pairs,
         "neardup_edit_distance": q_neardup_edit_distance,
         "embedding_pos_norms": q_embedding_pos_norms,
@@ -5494,6 +5547,30 @@ def catalog() -> list[CatalogQuery]:
         "DOUBLE)) * 512.0)) AS b FROM embeddings WHERE vec_id < 64)"
     )
     oracles["embedding_neardup_pairs"] = None  # LSH candidates: rows-only
+    # The dedup-grade twin has a FULL value oracle (r13 verdict task 3):
+    # the planted-twin construction is exact SQL and the base corpus is
+    # near-orthogonal, so the LSH emitter's result must EQUAL the exact
+    # all-pairs join at >= 0.8 — rounded cosine filter on both sides,
+    # zero-norm guard matching the Arrow kernel (see knn_bruteforce).
+    oracles["embedding_neardup_pairs_dedup"] = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "corpus AS ("
+        "  SELECT vec_id, v FROM e "
+        "  UNION ALL "
+        "  SELECT vec_id + 1000000, list_prepend(v[1] + 0.05, v[2:]) "
+        "  FROM e WHERE vec_id % 10 = 0"
+        "), "
+        "n AS (SELECT vec_id, v, "
+        "sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM corpus) "
+        "SELECT id_a, id_b, cosine FROM ("
+        "  SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "  ROUND(CASE WHEN a.nrm * b.nrm > 0 THEN "
+        "    list_inner_product(a.v, b.v) / (a.nrm * b.nrm) "
+        "    ELSE 0.0 END, 6) AS cosine "
+        "  FROM n a JOIN n b ON a.vec_id < b.vec_id"
+        ") WHERE cosine >= 0.8"
+    )
     oracles["incremental_embedding_pairs"] = None  # LSH candidates: rows-only
     # The video query has an EXACT SQL oracle: the render is
     # byte = least(255, floor(abs(v)*512)) per embedding value, each
