@@ -55,7 +55,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lifecycle, real-codec invariants) the current sample doesn't
     touch. Still-standing earlier proposals with costs:
     ``q7_nation_volume`` (2.0 s), ``q2_min_cost_supplier`` (3.1 s),
-    ``stored_minhash_containment`` (6.2 s)."""
+    ``stored_minhash_containment`` (6.2 s). New r14 options:
+    ``embedding_neardup_pairs_dedup`` (dedup-grade planted-twin embed
+    near-dup, FULL value oracle, 1.8 s at sf0.01 — the cheapest way to
+    add LSH-ANN value coverage to the graded sample) and
+    ``stream_embed_lsh_maintenance`` (mid-stream hyperplane rebuild
+    with zero containment escapees, full SQL oracle; 54.4 s at sf0.01
+    cold — propose only if the budget tolerates a heavyweight)."""
     return {q.name: q.build for q in catalog()}
 
 

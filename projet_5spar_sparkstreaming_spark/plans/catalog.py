@@ -3072,6 +3072,12 @@ def q_doc_gopher_rules(spark, sf_dir):
 
 
 def q_doc_lang_id(spark, sf_dir):
+    # Corpus language histogram via the marker-token n-gram heuristic
+    # (functions/textstats.py:language_id — stopword hit counts per
+    # language, argmax with a deterministic tie-break): the language-ID
+    # stage of the curation pipeline as its own graded query, exact
+    # SQL-replicable (the oracle re-derives the same marker scores in
+    # DuckDB).
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.withColumn("lang_pred", language_id("text"))
