@@ -1309,6 +1309,55 @@ def _cosine_verify_arrow(joined: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _lsh_candidate_fence(
+    op: str,
+    est_pairs: float,
+    budget: "int | str | None",
+    n_rows: int,
+) -> None:
+    """Analytic pre-join candidate budget for the sign-LSH bucket joins
+    (r14, forced by the sf10 decade sweep): at thresholds BELOW the
+    corpus's background cosine the recall constraint pins planes to the
+    floor and the bucket join's candidate volume goes quadratic — the
+    text path's exact-join fence (``ngram_jaccard_pairs``) raises a
+    designed error there, but the embed path had no fence and at 100x
+    data it exhausted the spill disk instead of failing cleanly
+    (BENCH_SF10_r14.json: incremental_embedding_pairs, SparkOutOfMemory
+    "No space left on device" mid-sort).
+
+    The estimate is pure arithmetic — ZERO extra Spark jobs: a random
+    near-orthogonal pair collides in one table with probability
+    ~(1/2)^planes (theta ~ pi/2), union-bounded over tables, so
+    expected candidates ~ tables * 2^-planes * pairs. That bound is
+    deliberately slightly conservative (union bound; ignores
+    dedupDuplicates) — the right direction for a fence. ``"auto"``
+    budget = max(3e8, 128 * n): 3e8 candidates is the measured safe
+    side on this host (the sf1 decade's 1.66e8 at threshold 0.3 runs
+    in ~70 s; the sf10 incremental case's 1.3e9 died), and the linear
+    term keeps genuinely huge corpora at dedup thresholds unaffected
+    (their planes scale ~log2 n, estimate ~cand_per_row * n)."""
+    if budget is None:
+        return
+    cap = (
+        max(300_000_000, 128 * n_rows)
+        if budget == "auto"
+        else int(budget)
+    )
+    if est_pairs > cap:
+        raise RuntimeError(
+            f"{op} candidate budget exceeded: the analytic "
+            f"orthogonal-background bound estimates ~{est_pairs:,.0f} "
+            f"bucket-join candidates (budget {cap:,}, "
+            f"max_candidate_pairs={budget!r}). The threshold sits at or "
+            "below the corpus's background cosine, where sign-LSH "
+            "planes pin to the recall floor and candidates are "
+            "quadratic by information-theoretic necessity. Raise the "
+            "threshold to dedup grade (0.8+), set max_bucket_size to "
+            "collapse duplication-grade buckets, or pass a larger / "
+            "None max_candidate_pairs to force the join."
+        )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     corpus_id: str,
@@ -1322,6 +1371,7 @@ def cosine_near_dup_pairs(
     recall_at: float | None = None,
     target_recall: float = 0.95,
     cand_per_row: float = 0.2,
+    max_candidate_pairs: int | str | None = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-dup PAIRS (id_a, id_b, cosine >= threshold)
     — the embedding twin of ``minhash_near_dup_pairs``: sign-LSH buckets
@@ -1359,7 +1409,15 @@ def cosine_near_dup_pairs(
     ``recall_at`` (default max(threshold, 0.99) — the true-duplicate
     cosine for dedup thresholds). Fixed plane counts measurably go
     quadratic at the 500k stress tier; auto is the 100 TB setting.
+
+    ``max_candidate_pairs`` (r14, forced by the sf10 sweep): the
+    analytic candidate fence — see ``_lsh_candidate_fence``. Active
+    whenever a corpus count is already in hand (auto params) or the
+    caller passed a NUMERIC budget (which buys the count); ``None``
+    disables, and the "auto"-budget-with-explicit-params combination
+    skips silently (no free count to estimate from).
     """
+    n_count = None
     if n_planes == "auto" or n_tables == "auto":
         n_count = corpus.count()
         n_planes, n_tables = auto_lsh_params(
@@ -1371,6 +1429,16 @@ def cosine_near_dup_pairs(
             target_recall=target_recall,
             cand_per_row=cand_per_row,
         )
+    if max_candidate_pairs is not None:
+        if n_count is None and not isinstance(max_candidate_pairs, str):
+            n_count = corpus.count()  # numeric budget buys the count
+        if n_count is not None:
+            _lsh_candidate_fence(
+                "cosine_near_dup_pairs",
+                n_tables * 0.5 ** n_planes * n_count * (n_count - 1) / 2,
+                max_candidate_pairs,
+                n_count,
+            )
     ids_vecs = corpus.select(
         F.col(corpus_id).alias("__id"), F.col(corpus_vec).alias("__v")
     )
@@ -1476,6 +1544,7 @@ def cosine_incremental_pairs(
     recall_at: float | None = None,
     target_recall: float = 0.95,
     verify: bool = True,
+    max_candidate_pairs: int | str | None = "auto",
 ) -> DataFrame:
     """Embedding near-dup pairs ACROSS two corpora (id_a from
     ``new_vecs``, id_b from ``index_vecs``) — the daily-crawl shape for
@@ -1490,16 +1559,40 @@ def cosine_incremental_pairs(
     random-collision volume). Equal ids across sides are legitimate
     matches (different corpora). ``verify=True`` exact-scores
     candidates with the Arrow batch kernel and filters by threshold.
+
+    ``max_candidate_pairs`` (r14): the analytic candidate fence — see
+    ``_lsh_candidate_fence``. THIS operator is the one the fence was
+    built for: at sf10 (100x data) its threshold-0.3 catalog twin's
+    candidate join exhausted the spill disk mid-sort instead of
+    failing cleanly (BENCH_SF10_r14.json). The cross-corpus estimate
+    needs the new side's count too — one extra count job on the small
+    batch side, noise next to the join it gates; ``None`` disables,
+    and the "auto"-budget-with-explicit-params combination skips
+    (preserves the count-free explicit path, e.g. the stored-index
+    recompute profile).
     """
+    n_index = None
     if n_planes == "auto" or n_tables == "auto":
+        n_index = index_vecs.count()
         n_planes, n_tables = auto_lsh_params(
-            index_vecs.count(),
+            n_index,
             dim=dim,
             recall_at=(
                 recall_at if recall_at is not None else max(threshold, 0.99)
             ),
             target_recall=target_recall,
         )
+    if max_candidate_pairs is not None:
+        if n_index is None and not isinstance(max_candidate_pairs, str):
+            n_index = index_vecs.count()  # numeric budget buys the count
+        if n_index is not None:
+            n_new = new_vecs.count()
+            _lsh_candidate_fence(
+                "cosine_incremental_pairs",
+                n_tables * 0.5 ** n_planes * n_new * n_index,
+                max_candidate_pairs,
+                n_new + n_index,
+            )
     a = _lsh_buckets_arrow(new_vecs, id_col, vec_col, "id_a", n_planes, n_tables, dim)
     b = _lsh_buckets_arrow(
         index_vecs, id_col, vec_col, "id_b", n_planes, n_tables, dim

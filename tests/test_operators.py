@@ -1066,3 +1066,95 @@ def test_ngram_jaccard_candidate_budget(spark):
         ).collect()
     }
     assert dflt == off and len(dflt) > 0
+
+
+def _fence_corpus(spark, n):
+    """n synthetic rows whose vector column is never computed — the
+    analytic fence raises (or passes) before any bucketize executes,
+    so only the COUNT ever runs."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (i * F.col("id") % 97).cast("double"),
+        ).alias("embedding"),
+    )
+
+
+def test_embed_candidate_fence_trips_below_background_threshold(spark):
+    """r14 (forced by the sf10 decade sweep): at a threshold below the
+    corpus's background cosine the recall constraint pins planes to
+    the floor and the sign-LSH bucket join goes quadratic — at sf10 it
+    exhausted the spill disk mid-sort (BENCH_SF10_r14.json). The
+    analytic fence must raise the designed error instead, from pure
+    arithmetic (no join executes)."""
+    import pytest
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        cosine_incremental_pairs,
+        cosine_near_dup_pairs,
+    )
+
+    # self-join shape: planes floor (recall_at 0.5) at 40k rows ->
+    # ~0.69 * 40k^2/2 = 5.5e8 estimated candidates > 3e8 auto budget
+    corpus = _fence_corpus(spark, 40_000)
+    with pytest.raises(RuntimeError, match="candidate budget exceeded"):
+        cosine_near_dup_pairs(
+            corpus, "vec_id", "embedding", threshold=0.3,
+            n_planes="auto", n_tables="auto",
+            recall_at=0.5, target_recall=0.9,
+        )
+    # cross-corpus shape: the exact case that died at sf10 (new batch
+    # x big index at threshold 0.3) in miniature proportions
+    new = _fence_corpus(spark, 5_000)
+    index = _fence_corpus(spark, 300_000)
+    with pytest.raises(RuntimeError, match="candidate budget exceeded"):
+        cosine_incremental_pairs(
+            new, index, "vec_id", "embedding", threshold=0.3,
+            recall_at=0.5, target_recall=0.9,
+        )
+
+
+def test_embed_candidate_fence_passes_dedup_grade_and_opt_outs(spark):
+    """The fence must NOT fire where the engine's linearity is
+    measured: dedup-grade thresholds (planes scale ~log2 n, estimate
+    ~cand_per_row * n), explicit plane counts with the default "auto"
+    budget (no free count to estimate from), and an explicit None."""
+    import pytest
+
+    from projet_5spar_sparkstreaming_spark.operators.similarity import (
+        cosine_incremental_pairs,
+        cosine_near_dup_pairs,
+    )
+
+    corpus = _fence_corpus(spark, 40_000)
+    # dedup threshold, auto params: estimate collapses to ~0
+    assert cosine_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.95,
+        n_planes="auto", n_tables="auto",
+    ) is not None
+    # explicit params + "auto" budget: fence skips (count-free path)
+    assert cosine_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.3,
+        n_planes=4, n_tables=11,
+    ) is not None
+    # None disables even in the tripping configuration
+    assert cosine_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.3,
+        n_planes="auto", n_tables="auto",
+        recall_at=0.5, target_recall=0.9, max_candidate_pairs=None,
+    ) is not None
+    # a NUMERIC budget with explicit params buys the count and fences
+    with pytest.raises(RuntimeError, match="candidate budget exceeded"):
+        cosine_near_dup_pairs(
+            corpus, "vec_id", "embedding", threshold=0.3,
+            n_planes=4, n_tables=11, max_candidate_pairs=1_000_000,
+        )
+    # incremental pass case: dedup threshold over the same big index
+    new = _fence_corpus(spark, 5_000)
+    index = _fence_corpus(spark, 300_000)
+    assert cosine_incremental_pairs(
+        new, index, "vec_id", "embedding", threshold=0.95,
+    ) is not None
