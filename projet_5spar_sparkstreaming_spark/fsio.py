@@ -506,17 +506,26 @@ def writer_lease(
             {"token": holder["token"], "heartbeat_unix": _time.time()},
         )
 
-    try:
+    for _attempt in (0, 1):
         # first stamp lands BEFORE the mutation starts, so a waiter that
         # sees no matching stamp judges silence from the lock's age —
-        # never from a previous holder's stale stamp
-        _stamp()
-    except Exception:
+        # never from a previous holder's stale stamp. Retried once: the
+        # PREVIOUS holder's release deletes its own stamp right after
+        # dropping the lock, and under writer churn that delete can race
+        # this write_json's rename dance (observed in the foreign-host
+        # fuzz as a spurious rename failure at acquisition); the second
+        # attempt runs after the releaser's single delete is done.
         try:
-            fs.delete(lock, False)
+            _stamp()
+            break
         except Exception:
-            pass
-        raise
+            if _attempt:
+                try:
+                    fs.delete(lock, False)
+                except Exception:
+                    pass
+                raise
+            _time.sleep(0.05)
     stop_hb = _threading.Event()
 
     def _beat() -> None:
@@ -546,18 +555,23 @@ def writer_lease(
         except Exception:
             pass
         try:
-            # drop OUR heartbeat (and write_json's crash asides). Token
-            # check: release deletes the lock first, so a racing new
-            # holder may already have stamped — never delete theirs
-            # (the benign residual race — they stamp between our read
-            # and delete — costs them one interval of perceived
-            # liveness; the next tick recreates the file).
+            # drop OUR heartbeat — the LIVE file only. Token check:
+            # release deletes the lock first, so a racing new holder
+            # may already have stamped — never delete theirs (the
+            # benign residual race — they stamp between our read and
+            # delete — costs them one interval of perceived liveness;
+            # the next tick recreates the file). The .old/.tmp dance
+            # siblings are deliberately NOT touched here: deleting the
+            # .tmp raced the NEW holder's in-flight first stamp
+            # (observed in the foreign-host fuzz as a spurious rename
+            # failure), a clean dance leaves neither behind anyway, and
+            # crash debris is cleaned by the next write_json, not by a
+            # release the crashed holder never runs.
             hb = _read_holder(spark, hb_name)
             if hb is None or (
                 isinstance(hb, dict) and hb.get("token") == holder["token"]
             ):
-                for suffix in ("", ".old", ".tmp"):
-                    delete_path(spark, hb_name + suffix, recursive=False)
+                delete_path(spark, hb_name, recursive=False)
         except Exception:
             pass
 

@@ -190,3 +190,46 @@ def test_release_never_deletes_successor_stamp(spark, tmp_path):
     assert swapped["done"], "release cleanup never consulted the stamp"
     assert os.path.exists(hb), "successor's stamp was deleted at release"
     os.remove(hb)
+
+
+def test_first_stamp_retries_past_releaser_delete_race(spark, tmp_path):
+    # under writer churn the PREVIOUS holder's release deletes its own
+    # stamp right as the NEW holder's first stamp is mid-write_json
+    # (observed in the foreign-host fuzz as a spurious rename failure
+    # at acquisition): the first stamp must retry once and the
+    # acquisition succeed — only a SECOND consecutive failure aborts
+    idx = str(tmp_path / "idx")
+    hb = idx + ".writer.lock.hb"
+    real_write = fsio.write_json
+    fails = {"n": 0}
+
+    def flaky(spark_, path, obj):
+        if path == hb and fails["n"] == 0:
+            fails["n"] += 1
+            raise IOError(f"rename {path}.tmp -> {path} failed")
+        return real_write(spark_, path, obj)
+
+    fsio.write_json = flaky
+    try:
+        with writer_lease(spark, idx):
+            assert os.path.exists(hb), "retry never landed the stamp"
+    finally:
+        fsio.write_json = real_write
+    assert fails["n"] == 1
+    assert not os.path.exists(idx + ".writer.lock")
+
+    # persistent stamp failure (FS genuinely broken) still aborts the
+    # acquisition AND releases the lock
+    def broken(spark_, path, obj):
+        if path == hb:
+            raise IOError("persistent stamp failure")
+        return real_write(spark_, path, obj)
+
+    fsio.write_json = broken
+    try:
+        with pytest.raises(IOError, match="persistent stamp failure"):
+            with writer_lease(spark, idx):
+                pass
+    finally:
+        fsio.write_json = real_write
+    assert not os.path.exists(idx + ".writer.lock"), "faulted acquire orphaned the lock"
