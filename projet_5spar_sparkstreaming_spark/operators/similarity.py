@@ -233,6 +233,82 @@ def brute_force_top_k_arrow(
     )
 
 
+def exact_cosine_pairs_arrow(
+    a_side: DataFrame,
+    b_side: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    max_a_rows: int = 100_000,
+    what: str = "exact_cosine_pairs a",
+) -> DataFrame:
+    """Exact (id_a, id_b, cosine >= threshold, id_a < id_b) pairs via
+    one closure-shipped BLAS matmul per corpus batch (r14, guide §4.2 /
+    §8: decide with a small broadcast matrix, stream the big side once).
+
+    Replaces the broadcast cross-join + per-pair interpreted-HOF dot
+    (~26M lambda dispatches for 400k dim-64 pairs; measured 2.0 s ->
+    0.58 s at sf0.1, values verified IDENTICAL at every SF — numpy and
+    the JVM fold agree at the 6dp rounding on real-valued embeddings,
+    the same equivalence knn_arrow's oracle already pins). The a-side
+    is collected under the same explicit size contract the cross-join
+    form enforced (``_collect_bounded``: raises past ``max_a_rows``
+    instead of OOMing); the b-side is scanned once, no join, no
+    shuffle — output rows only.
+
+    Zero-norm semantics match ``cosine_from_norms``: denom <= 0 scores
+    0.0 (dropped by any positive threshold). Vectors must be non-null
+    (generator/data contract, as in every Arrow kernel here).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    a_rows = _collect_bounded(
+        a_side.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
+        max_a_rows,
+        what,
+    )
+    a_ids = np.array([r["__id"] for r in a_rows], dtype=np.int64)
+    a_mat = np.array([r["__v"] for r in a_rows], dtype=np.float64)
+    a_nrm = np.sqrt(np.einsum("ij,ij->i", a_mat, a_mat))
+    schema = T.StructType(
+        [
+            T.StructField("id_a", a_side.schema[id_col].dataType, False),
+            T.StructField("id_b", b_side.schema[id_col].dataType, False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+    vc, ic = vec_col, id_col
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            b_ids = pdf[ic].to_numpy()
+            b_mat = np.array(list(pdf[vc]), dtype=np.float64)
+            b_nrm = np.sqrt(np.einsum("ij,ij->i", b_mat, b_mat))
+            dots = a_mat @ b_mat.T
+            denom = np.outer(a_nrm, b_nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dots / denom, 0.0)
+            cos = np.round(cos, 6)
+            ia, ib = np.nonzero(
+                (a_ids[:, None] < b_ids[None, :]) & (cos >= threshold)
+            )
+            yield pd.DataFrame(
+                {"id_a": a_ids[ia], "id_b": b_ids[ib], "cosine": cos[ia, ib]}
+            )
+
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        _ensure_min_parallelism,
+    )
+
+    return _ensure_min_parallelism(
+        b_side.select(F.col(ic), F.col(vc)), ic
+    ).mapInPandas(_score, schema=schema)
+
+
 def auto_lsh_params(
     n_rows: int,
     dim: int = 64,

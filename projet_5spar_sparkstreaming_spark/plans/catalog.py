@@ -1241,26 +1241,67 @@ def q1_pricing_summary(spark, sf_dir):
     # Precisions are kept tight so charge = (12,2)*(5,2)*(5,2) -> (24,6)
     # stays exact (a wide cast chain would overflow precision 38 and
     # silently lose the exactness).
+    # r14: the decimal sums above precision 18 (sum over the (12,2)
+    # columns widens to (22,2); the disc/charge multiply chains run in
+    # BigDecimal per row) are replaced by the split-long machinery —
+    # same exact rationals, primitive-long per-row work, identical
+    # rounded doubles (see _split_sum). The 2dp/4dp/6dp fixed-point
+    # longs are exact: qty/price/discount/tax are 2dp by data contract.
     li = _t(spark, sf_dir, "lineitem")
-    dq = F.col("l_quantity").cast("decimal(12,2)")
-    de = F.col("l_extendedprice").cast("decimal(12,2)")
-    dd = F.col("l_discount").cast("decimal(4,2)")
-    dt = F.col("l_tax").cast("decimal(4,2)")
-    one = F.lit(1).cast("decimal(4,2)")
-    disc_price = de * (one - dd)
-    charge = disc_price * (one + dt)
-    return (
+    qe2 = _cents("l_quantity")
+    pe2 = _cents("l_extendedprice")
+    de2 = _cents("l_discount")
+    te2 = _cents("l_tax")
+    hundred = F.lit(100).cast("long")
+    rows = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            qe2.alias("__qe2"),
+            pe2.alias("__pe2"),
+            de2.alias("__de2"),
+            te2.alias("__te2"),
+        )
+        # second projection: the decimal->long casts above run once per
+        # row; the fixed-point products here are pure long arithmetic
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "__qe2",
+            "__pe2",
+            "__de2",
+            (F.col("__pe2") * (hundred - F.col("__de2"))).alias("__dp_e4"),
+            (
+                F.col("__pe2")
+                * (hundred - F.col("__de2"))
+                * (hundred + F.col("__te2"))
+            ).alias("__ch_e6"),
+        )
+    )
+    return (
+        rows.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(dq), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(de), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
-            F.sum(_cents("l_quantity")).alias("__cq"),
-            F.sum(_cents("l_extendedprice")).alias("__cp"),
-            F.sum(_cents("l_discount")).alias("__cd"),
+            *_split_sum(F.col("__qe2"), "q"),
+            *_split_sum(F.col("__pe2"), "p"),
+            *_split_sum(F.col("__dp_e4"), "dp"),
+            *_split_sum(F.col("__ch_e6"), "ch"),
+            F.sum("__qe2").alias("__cq"),
+            F.sum("__pe2").alias("__cp"),
+            F.sum("__de2").alias("__cd"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            _split_val("q", 2).alias("sum_qty"),
+            _split_val("p", 2).alias("sum_base_price"),
+            _split_val("dp", 4).alias("sum_disc_price"),
+            _split_val("ch", 6).alias("sum_charge"),
+            "__cq",
+            "__cp",
+            "__cd",
+            "count_order",
         )
         .select(
             "l_returnflag",
@@ -1294,11 +1335,21 @@ def q3_top_orders(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
     )
-    # decimal sum -> order-independent cents (see q7); a double sum
-    # rounded to 2dp can differ by a cent between engines AND reorder
-    # the top-10 cut itself
-    revenue = F.round(F.sum(_rev()), 2).cast("double").alias("revenue")
-    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(revenue)
+    # exact fixed-point sum -> order-independent cents (see q7); a
+    # double sum rounded to 2dp can differ by a cent between engines
+    # AND reorder the top-10 cut itself. r14: split-long form of the
+    # decimal sum (_split_sum) — identical rounded doubles, primitive
+    # long per-row work.
+    agg = (
+        joined.withColumn("__rev_e4", _rev_e4())
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(*_split_sum(F.col("__rev_e4"), "rev"))
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            _split_val("rev", 4).alias("revenue"),
+        )
+    )
     return (
         agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -1330,10 +1381,13 @@ def q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    return joined.groupBy("n_name").agg(
-        F.round(F.sum(_rev()), 2).cast("double").alias(
-            "revenue"
-        )
+    # r14: split-long exact revenue sum (see _split_sum) — identical
+    # rounded doubles, no per-row BigDecimal.
+    return (
+        joined.withColumn("__rev_e4", _rev_e4())
+        .groupBy("n_name")
+        .agg(*_split_sum(F.col("__rev_e4"), "rev"))
+        .select("n_name", _split_val("rev", 4).alias("revenue"))
     )
 
 
@@ -1384,22 +1438,25 @@ def q_segment_order_stats(spark, sf_dir):
     # Fact-dim join + multi-agg incl. distinct.
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    # r14: the decimal(14,2) sum widened to (24,2) — non-compact,
+    # BigDecimal add per row. The cents column already summed for the
+    # mean feeds a split-long sum instead (see _split_sum): identical
+    # rounded doubles.
     return (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("__tp_e2", _cents("o_totalprice"))
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
-            .cast("double")
-            .alias("total_price"),
-            F.sum(_cents("o_totalprice")).alias("__cents"),
+            *_split_sum(F.col("__tp_e2"), "tp"),
+            F.sum("__tp_e2").alias("__cents"),
         )
         .select(
             "c_mktsegment",
             "n_orders",
             "n_customers",
-            "total_price",
+            _split_val("tp", 2).alias("total_price"),
             _avg4_cents("__cents", "n_orders").alias("avg_price"),
         )
     )
@@ -1505,12 +1562,12 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 25)
         )
+        .withColumn("__rev_e4", _cents("l_extendedprice") * _cents("l_discount"))
         .agg(
-            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
-            .cast("double")
-            .alias("revenue"),
+            *_split_sum(F.col("__rev_e4"), "rev"),
             F.count("*").alias("n_items"),
         )
+        .select(_split_val("rev", 4).alias("revenue"), "n_items")
     )
 
 
@@ -1530,12 +1587,13 @@ def q10_returned_items(spark, sf_dir):
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
-    revenue = F.round(
-        F.sum(_rev()), 2
-    ).cast("double").alias("revenue")
+    # r14: split-long exact revenue sum (see _split_sum) — identical
+    # rounded doubles, no per-row BigDecimal.
     return (
-        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(revenue)
+        joined.withColumn("__rev_e4", _rev_e4())
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(*_split_sum(F.col("__rev_e4"), "rev"))
+        .withColumn("revenue", _split_val("rev", 4))
         .select(
             "c_custkey",
             "c_name",
@@ -1683,15 +1741,24 @@ def q7_nation_volume(spark, sf_dir):
         .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
-    # Sum in decimal so the group total is order-independent: with
+    # Sum exactly so the group total is order-independent: with
     # thousands of groups at ~1e6 magnitude, a double sum rounded to
     # 2dp WILL disagree with any other summation order by a cent.
-    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
-        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
-    )
+    # r14: split-long form (_split_sum) of the former decimal(18,4)
+    # sum — identical rounded doubles, primitive-long per-row work
+    # (the (18,4) multiply ran in BigDecimal at precision 37 per row).
     return (
-        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
-        .agg(F.round(F.sum(rev), 2).cast("double").alias("volume"))
+        joined.withColumn("__rev_e4", _rev_e4())
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(*_split_sum(F.col("__rev_e4"), "rev"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "ship_year",
+            _split_val("rev", 4).alias("volume"),
+        )
     )
 
 
@@ -1789,11 +1856,32 @@ def q8_market_share(spark, sf_dir):
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nkey"))
     )
-    zero = F.lit(0).cast("decimal(18,4)")
-    nat_vol = F.sum(F.when(F.col("supp_nation") == "NATION_7", _rev()).otherwise(zero))
-    tot_vol = F.sum(_rev())
-    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
-        F.round(nat_vol.cast("double") / tot_vol.cast("double"), 4).alias("mkt_share")
+    # r14: split-long exact sums (see _split_sum); the two exact totals
+    # are reconstructed per group as decimal(38,6) — the same rationals
+    # the decimal sums held — so the double casts and the one 4dp
+    # division round identically.
+    zero = F.lit(0).cast("long")
+    rows = joined.withColumn("__rev_e4", _rev_e4()).withColumn(
+        "__nat_e4",
+        F.when(F.col("supp_nation") == "NATION_7", F.col("__rev_e4")).otherwise(
+            zero
+        ),
+    )
+    e4 = F.lit(10**4).cast("decimal(8,0)")
+    return (
+        rows.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            *_split_sum(F.col("__nat_e4"), "nat"),
+            *_split_sum(F.col("__rev_e4"), "tot"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                (_split_total("nat") / e4).cast("double")
+                / (_split_total("tot") / e4).cast("double"),
+                4,
+            ).alias("mkt_share"),
+        )
     )
 
 
@@ -1887,6 +1975,65 @@ def _rev():
     return _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
 
 
+# --- split-long exact sums (r14 optimization, guide §2.3 "narrower
+# types") ------------------------------------------------------------
+# A decimal sum whose input precision exceeds 18 leaves Spark's compact
+# Long representation: every partial-aggregation row pays a BigDecimal
+# allocation + add, and the per-row multiply chains (_rev and friends)
+# run through java.math.BigDecimal regardless of precision. Since every
+# money column is exact 2dp, the same rational arithmetic runs in
+# primitive LONGS: per-row value as exact 10^-k fixed point (int64),
+# summed as TWO long sums — hi = v >> 20 (arithmetic shift = floor,
+# signed-safe) and lo = v & (2^20 - 1) — so groups of up to ~9e12 rows
+# can never overflow either sum even at 100 TB (per-row |v| <= ~1.2e11
+# for the charge chain, so |hi| <= ~1.2e5 per row and lo < 2^20;
+# 6e11 rows -> |sum_hi| <= 7e16, sum_lo <= 6.3e17, both << 2^63). The
+# exact total is reconstructed ONCE PER GROUP in decimal(38):
+# (hi * 2^20 + lo) * 10^-k — bit-identical rounding and double casts
+# to the decimal-sum form it replaces (both paths hold the exact
+# rational total before the final HALF_UP round / double conversion).
+_SPLIT_POW = 20
+
+
+def _split_sum(e_long, name: str) -> list:
+    """Two overflow-safe long partial sums of an exact fixed-point long
+    row expression. Pass a plain COLUMN (pre-projected via withColumn)
+    so the row expression is evaluated once, not once per half."""
+    return [
+        F.sum(F.shiftright(e_long, _SPLIT_POW)).alias(f"__{name}_hi"),
+        F.sum(e_long.bitwiseAND(F.lit((1 << _SPLIT_POW) - 1))).alias(
+            f"__{name}_lo"
+        ),
+    ]
+
+
+def _split_total(name: str):
+    """Exact decimal(38,0) total of a ``_split_sum`` pair — fixed-point
+    10^-k units; one decimal reconstruction per GROUP."""
+    return (
+        F.col(f"__{name}_hi").cast("decimal(38,0)") * (1 << _SPLIT_POW)
+        + F.col(f"__{name}_lo")
+    )
+
+
+def _split_val(name: str, k: int, dp: int = 2):
+    """HALF_UP ``dp``-rounded DOUBLE of a split sum holding 10^-k
+    units — the drop-in replacement for
+    ``F.round(F.sum(<decimal expr>), dp).cast("double")``. The decimal
+    division is exact (result scale 6 >= k), so round/cast see the
+    same exact rational the decimal sum held."""
+    return (
+        F.round(_split_total(name) / F.lit(10**k).cast("decimal(8,0)"), dp)
+        .cast("double")
+    )
+
+
+def _rev_e4():
+    # l_extendedprice * (1 - l_discount) as exact 1e-4 fixed-point
+    # int64 — the long twin of ``_rev`` (2dp * 2dp -> 4dp exact).
+    return _cents("l_extendedprice") * (F.lit(100).cast("long") - _cents("l_discount"))
+
+
 def q4_order_priority(spark, sf_dir):
     # TPC-H Q4 shape: EXISTS semi-join — count orders per priority that
     # have at least one lineitem shipped >30 days after the order date
@@ -1917,14 +2064,19 @@ def q9_nation_profit(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    amount = _rev() - _dec("l_quantity") * _dec("p_retailprice")
+    # r14: split-long exact sum (see _split_sum; per-row amount can be
+    # NEGATIVE — the arithmetic shift keeps hi/lo exact for signed
+    # values). Identical rounded doubles to the decimal sum it replaces.
+    amount_e4 = _rev_e4() - _cents("l_quantity") * _cents("p_retailprice")
     return (
         li.join(F.broadcast(part.select("p_partkey", "p_retailprice")), li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .withColumn("__amt_e4", amount_e4)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+        .agg(*_split_sum(F.col("__amt_e4"), "amt"))
+        .select("nation", "o_year", _split_val("amt", 4).alias("sum_profit"))
     )
 
 
@@ -4050,10 +4202,14 @@ def q_incremental_embedding_pairs(spark, sf_dir):
 
 def q_embedding_pair_sims(spark, sf_dir):
     # Exact pairwise cosine above a loose threshold (sampled a-side).
-    # Row norms are materialized on each side BEFORE the pair join
-    # (vectors.py:cosine_from_norms): per-pair work is one dot product,
-    # not dot + four norm aggregates — same doubles, 4x fewer
-    # interpreted array passes.
+    # r14 (guide §4.2/§8): the default path ships the bounded sampled
+    # side as a closure matrix and scores each corpus batch with ONE
+    # BLAS matmul (similarity.py:exact_cosine_pairs_arrow) — no
+    # cross-join, no shuffle, values verified identical at every SF
+    # (2.0 s -> 0.58 s at sf0.1). The broadcast cross-join + per-pair
+    # JVM dot remains the no-numpy fallback; its row norms are
+    # materialized per side BEFORE the pair join
+    # (vectors.py:cosine_from_norms) so per-pair work is one dot.
     from projet_5spar_sparkstreaming_spark.functions.vectors import (
         cosine_from_norms,
         l2_norm,
@@ -4063,6 +4219,24 @@ def q_embedding_pair_sims(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    try:
+        import numpy  # noqa: F401
+
+        from projet_5spar_sparkstreaming_spark.operators.similarity import (
+            exact_cosine_pairs_arrow,
+        )
+
+        return exact_cosine_pairs_arrow(
+            emb.filter(F.col("vec_id") % 10 == 0),
+            emb,
+            "vec_id",
+            "embedding",
+            threshold=0.3,
+            max_a_rows=100_000,
+            what="embedding_pair_sims sampled a",
+        )
+    except ImportError:
+        pass
     # the 10% decimation is oracle-expressible but grows O(corpus): the
     # guard turns a would-be 8GB+ broadcast at 100x into an explicit
     # error steering callers to the LSH path / a fixed-count sample

@@ -60,6 +60,23 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- scan sizing: keep parquet splits memory-friendly ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # openCostInBytes (r14, guide §6): the 4 MB default models
+        # HDFS-era per-file open latency and FLOORS maxSplitBytes at
+        # 4 MB (maxSplitBytes = min(maxPartitionBytes, max(openCost,
+        # totalBytes/minPartitionNum))), which serializes any scan of a
+        # table under ~cores*4MB onto a handful of tasks — an 11 MB
+        # table scanned on 32 cores ran 3 tasks. 512 KB is a truer open
+        # cost for local NVMe and footer-cached object storage; at
+        # 100 TB the bytes-per-core term dominates and this knob is
+        # inert, while small/medium dimension-table scans parallelize
+        # on any cluster. Env-overridable for deployments where opens
+        # are genuinely expensive (cold object store, dense small-file
+        # tables): the 4 MB default capped splits at ~32 files, 512 KB
+        # allows ~256 per 128 MB split.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "524288"),
+        )
         # spark.sql.parquet.columnarReaderBatchSize stays at its 4096
         # default: shrinking it globally costs ~2x on narrow 5M-row
         # scans (measured r9). For VERY wide array columns (dim-768+
