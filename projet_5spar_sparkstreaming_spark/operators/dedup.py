@@ -328,11 +328,19 @@ def ngram_jaccard_pairs(
     # and verification intersect then work on fixed-width ints instead of
     # ~20-byte strings (smaller shuffle, faster sort/intersect). A 64-bit
     # collision within one near-dup candidate pair is ~2^-64 — the
-    # Jaccard value is exact for all practical purposes.
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.sort_array(_shingle_hashes(text_col, n)).alias("__sh"),
-    ).cache()  # reused by the prefix index and both sides of verification
+    # Jaccard value is exact for all practical purposes. r14: the
+    # arrays come from the Arrow kernel (_shingle_arrays; JVM-HOF
+    # fallback without numpy) — the interpreted HOF shingler was the
+    # dominant per-doc scan cost (the decon path's identical swap
+    # measured ~6x on a 5M-doc scan, SCALE_STRESS_r08); hash family is
+    # internal (both join sides and the verify intersect come from the
+    # same kernel, and jaccard counts are family-independent).
+    # the budget fence's corpus count (already needed below) doubles as
+    # the Arrow-vs-HOF shingler dispatch signal — no extra job; with
+    # the fence disabled the dispatcher probes plan stats instead
+    n_docs = df.count() if max_candidate_pairs is not None else None
+    sh = _shingle_arrays(df, id_col, text_col, n, n_rows=n_docs).cache()
+    # ^ reused by the prefix index and both sides of verification
     # PPJoin prefix under the RAREST-FIRST global order — see
     # _ppjoin_prefix (shared with the sampled budget screen).
     prefix = (
@@ -362,7 +370,7 @@ def ngram_jaccard_pairs(
         # exact bound (the happy path pays only the sampled pipeline);
         # the band between runs the exact bound as before, so
         # borderline corpora get the identical decision.
-        n_docs = df.count()  # column-pruned scan; also feeds "auto"
+        # (n_docs counted above, before the shingler dispatch)
         budget = (
             1_000_000 + 64 * n_docs
             if max_candidate_pairs == "auto"
@@ -594,14 +602,15 @@ def ngram_jaccard_join(
     with union-df 1 exist on one side only and are dropped from the
     prefixes (no cross match possible).
     """
-    shl = left.select(
-        F.col(id_col).alias("__id"),
-        F.sort_array(_shingle_hashes(text_col, n)).alias("__sh"),
-    ).cache()
-    shr = right.select(
-        F.col(id_col).alias("__id"),
-        F.sort_array(_shingle_hashes(text_col, n)).alias("__sh"),
-    ).cache()
+    # r14: size-dispatched shingler, decided ONCE for both sides (the
+    # union-df global order and the cross joins need one hash family);
+    # the index side is the scale axis, so its plan-stats estimate
+    # drives the verdict — see _shingle_arrays
+    big = max(
+        _plan_bytes_est(right) or 0, _plan_bytes_est(left) or 0
+    ) >= _ARROW_SHINGLE_MIN_BYTES
+    shl = _shingle_arrays(left, id_col, text_col, n, use_arrow=big).cache()
+    shr = _shingle_arrays(right, id_col, text_col, n, use_arrow=big).cache()
     exploded = shl.withColumn("__side", F.lit("L")).unionByName(
         shr.withColumn("__side", F.lit("R"))
     ).select(
@@ -704,10 +713,9 @@ def containment_pairs(
     verification on candidates. Returns (id_a, id_b, containment)
     with id_a the contained doc; excludes self-pairs.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.sort_array(_shingle_hashes(text_col, n)).alias("__sh"),
-    ).cache()
+    # r14: Arrow shingle kernel (see ngram_jaccard_pairs) — the
+    # containment values |A∩B|/|A| are hash-family-independent
+    sh = _shingle_arrays(df, id_col, text_col, n).cache()
     exploded = sh.select(
         "__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__s")
     )
@@ -1079,6 +1087,128 @@ def shingle_hash_rows(
         ]
     )
     return rows.mapInArrow(_rows, schema=schema)
+
+
+def shingle_hash_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(``__id``, ``__sh`` = sorted DISTINCT int64 n-gram hash array)
+    per document, Arrow-vectorized — the array-form sibling of
+    ``shingle_hash_rows`` for the exact-join paths (PPJoin prefix +
+    array_intersect verification), which need per-doc arrays rather
+    than exploded rows (r14, guide §4.2: the interpreted JVM HOF
+    shingler this replaces was the dominant scan cost of the exact
+    paths at scale — the decon corpus path measured its Arrow swap at
+    ~6x on a 5M-doc scan, SCALE_STRESS_r08).
+
+    Tokenization stays JVM-side (``tokens()``), so shingle IDENTITY —
+    which token sequences compare equal — matches ``_shingle_hashes``
+    exactly (>= n tokens: len-n+1 grams; 1..n-1: one truncated gram;
+    zero: one shared empty sentinel). The hash FAMILY is
+    ``_token_gram_hashes``' (not xxhash64-over-slices): consumers
+    compare hashes for equality / count intersections only, so family
+    is an internal detail (collision odds aside — both 64-bit), and
+    both sides of any join must come from THIS function. NULL-text
+    docs emit no row (callers' joins drop them exactly like the NULL
+    array the HOF form produced). Per-doc dedup+sort is one vectorized
+    lexsort over the batch, matching sort_array(array_distinct(...))
+    ordering for int64."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    rows = (
+        _ensure_min_parallelism(df, id_col)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tk"))
+    )
+
+    def _arrays(batches):
+        for batch0 in batches:
+            for batch in _bounded_batch_slices(batch0, "__tk"):
+                ids = batch.column(batch.schema.get_field_index("__id"))
+                tk = batch.column(batch.schema.get_field_index("__tk"))
+                if isinstance(tk, pa.ChunkedArray):
+                    tk = tk.combine_chunks()
+                gflat, glens, _ = _token_gram_hashes(tk, n)
+                g = gflat.astype(np.int64)
+                n_docs = len(glens)
+                doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), glens)
+                # per-doc sorted distinct in one vectorized pass: sort
+                # by (doc, hash), keep first of each (doc, hash) run
+                order = np.lexsort((g, doc_of))
+                gs, ds = g[order], doc_of[order]
+                keep = np.ones(len(gs), dtype=bool)
+                if len(gs) > 1:
+                    keep[1:] = (gs[1:] != gs[:-1]) | (ds[1:] != ds[:-1])
+                gs, ds = gs[keep], ds[keep]
+                out_lens = np.bincount(ds, minlength=n_docs)
+                offsets = np.concatenate([[0], np.cumsum(out_lens)])
+                sh_arr = pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(gs, type=pa.int64()),
+                )
+                yield pa.RecordBatch.from_arrays([ids, sh_arr], ["__id", "__sh"])
+
+    schema = T.StructType(
+        [
+            T.StructField("__id", rows.schema["__id"].dataType, False),
+            T.StructField("__sh", T.ArrayType(T.LongType(), False), False),
+        ]
+    )
+    return rows.mapInArrow(_arrays, schema=schema)
+
+
+# Arrow-vs-HOF shingler crossover (r14, measured): at 500k docs the
+# Arrow kernel shingles 3.5x faster (13.7 s -> 3.9 s at n=3), but on a
+# 5k-doc corpus its python-worker round-trip + repartition exchange
+# LOSE to the already-tuned JVM HOF (the incremental join's two kernel
+# invocations measured 1.6 -> 2.4 s). Dispatch by corpus size: the
+# caller's already-paid fence count when available, else a plan-stats
+# size estimate (optimizer only — no job, ~50 ms driver-side).
+_ARROW_SHINGLE_MIN_ROWS = 30_000
+_ARROW_SHINGLE_MIN_BYTES = 4 << 20
+
+
+def _plan_bytes_est(df: DataFrame) -> int | None:
+    """Optimizer-stats size estimate of a frame (bytes) — file-size
+    derived for parquet scans, no Spark job."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def _shingle_arrays(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    n_rows: int | None = None,
+    use_arrow: bool | None = None,
+) -> DataFrame:
+    """(__id, __sh) per-doc sorted distinct shingle-hash arrays: the
+    Arrow kernel for large corpora (when numpy is available), the
+    interpreted JVM HOF below the crossover. A JOIN's two sides must
+    both come from ONE dispatch decision (one hash family per plan) —
+    decide once and pass the verdict as ``use_arrow`` to both sides."""
+    if use_arrow is not None:
+        big = use_arrow
+    elif n_rows is not None:
+        big = n_rows >= _ARROW_SHINGLE_MIN_ROWS
+    else:
+        big = (_plan_bytes_est(df) or 0) >= _ARROW_SHINGLE_MIN_BYTES
+    if big:
+        try:
+            import numpy  # noqa: F401
+
+            return shingle_hash_arrays(df, id_col, text_col, n)
+        except ImportError:
+            pass
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.sort_array(_shingle_hashes(text_col, n)).alias("__sh"),
+    )
 
 
 def minhash_signature_arrow(

@@ -2393,16 +2393,28 @@ def q_tfidf_top_terms(spark, sf_dir):
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    # document frequency as a count-over-window on the SAME aggregated
-    # rows — one token scan and three shuffles total (doc_id+term agg,
-    # term window, doc_id rank window) instead of recomputing the token
-    # aggregation for a separate df table and joining it back.
+    # (no cache: both consumers below read tf's aggregation exchange,
+    # which ReusedExchange dedups — one token scan either way, and the
+    # bench's recorded passes keep measuring real execution rather
+    # than a warm-pass cache hit)
+    # r14 (guide §2.4): document frequency as a partial-agg groupBy
+    # over the (doc_id, term) rows joined back, NOT a count window
+    # partitioned by term — the window shuffled and sorted the ENTIRE
+    # doc-term table by term (a full exchange of the corpus's largest
+    # intermediate, with stopword-sized window partitions no skew
+    # handling can split), while the agg shuffles only per-partition
+    # (term, count) partials and its output is vocabulary-sized —
+    # broadcastable on moderate corpora (AQE decides; at 100 TB it
+    # degrades to the same single shuffle the window needed, never
+    # worse). Same trick as q_doc_mean_token_freq. Values identical:
+    # count-over-window == groupBy count joined on the same key.
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     nd = docs.agg(F.count("*").alias("__n"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc()
     )
     return (
-        tf.withColumn("doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        tf.join(df_tbl, "term")
         .join(F.broadcast(nd))
         .withColumn(
             "tfidf",

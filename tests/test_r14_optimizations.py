@@ -146,6 +146,54 @@ def test_exact_cosine_pairs_arrow_matches_hof_crossjoin(spark):
     assert len(got) > 0
 
 
+def test_shingle_arrays_arrow_matches_hof_semantics(spark):
+    """The Arrow shingler's per-doc sets must induce the SAME pairwise
+    overlap structure as the JVM HOF shingler (hash family differs;
+    shingle IDENTITY — which token sequences compare equal — must not),
+    including the edge conventions: short docs (one truncated gram),
+    empty docs (one shared sentinel), NULL text (no row)."""
+    pytest.importorskip("numpy")
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        _shingle_arrays,
+    )
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta zeta"),   # near-dup of 0
+        (2, "alpha beta"),                     # short (<n): one truncated gram
+        (3, "alpha beta"),                     # identical short doc
+        (4, ""),                               # empty: sentinel shingle
+        (5, ""),                               # matches other empty docs
+        (6, None),                             # NULL: no shingles at all
+        (7, "alpha beta gamma delta epsilon"),  # exact dup of 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def overlap_matrix(use_arrow: bool):
+        rows = _shingle_arrays(
+            df, "doc_id", "text", 3, use_arrow=use_arrow
+        ).collect()
+        # NULL-text docs: the HOF form keeps a row with a NULL array,
+        # the Arrow form emits no row — downstream-identical (explode
+        # drops the row, verify joins are inner on id); normalize here
+        sets = {r["__id"]: set(r["__sh"]) for r in rows if r["__sh"] is not None}
+        ids = sorted(sets)
+        return ids, {
+            (a, b): (len(sets[a] & sets[b]), len(sets[a]), len(sets[b]))
+            for a in ids
+            for b in ids
+        }
+
+    ids_a, mat_a = overlap_matrix(True)
+    ids_h, mat_h = overlap_matrix(False)
+    assert ids_a == ids_h == [0, 1, 2, 3, 4, 5, 7]  # NULL doc absent
+    assert mat_a == mat_h
+    # sanity: the structure itself is what the conventions promise
+    assert mat_a[(2, 3)][0] == 1  # identical short docs share their gram
+    assert mat_a[(4, 5)][0] == 1  # empty docs share the sentinel
+    assert mat_a[(0, 7)][0] == mat_a[(0, 0)][1]  # exact dup: full overlap
+
+
 def test_exact_cosine_pairs_arrow_bounded_a_side(spark):
     pytest.importorskip("numpy")
     from projet_5spar_sparkstreaming_spark.operators.similarity import (
