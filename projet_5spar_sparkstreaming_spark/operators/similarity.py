@@ -443,7 +443,17 @@ def _train_ivf_centroids(
         ids_vecs = ids_vecs.filter(
             F.pmod(F.xxhash64(F.col("i")), F.lit(modulus)) == 0
         )
-    sample = ids_vecs.select("v").limit(train_limit).collect()
+    # one wave, all partitions (r14): a bare limit().collect() runs
+    # CollectLimitExec's scale-up schedule (1 partition, then x4 per
+    # wave) — ~4 underparallelized jobs whenever the input holds fewer
+    # rows than the limit, which is exactly the trained-sample shape
+    # here; same fix _collect_bounded carries (measured 3x there, r11)
+    from projet_5spar_sparkstreaming_spark.session import scoped_conf
+
+    with scoped_conf(
+        ids_vecs.sparkSession, {"spark.sql.limit.initialNumPartitions": "4096"}
+    ):
+        sample = ids_vecs.select("v").limit(train_limit).collect()
     mat = np.array([r["v"] for r in sample], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
     rng = np.random.RandomState(42)

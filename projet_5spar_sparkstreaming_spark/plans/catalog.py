@@ -192,12 +192,25 @@ def q_json_k_stats(spark, sf_dir):
         F.array(raw),
         lambda r: F.when(r.rlike(r"^-?[0-9]{1,18}$"), r.cast("long")),
     )[0]
-    ev = _t(spark, sf_dir, "events").select("value", k_bound.alias("k_value"))
-    agg = ev.groupBy("k_value").agg(
-        F.count("*").alias("cnt"),
-        F.sum(F.col("value").cast("decimal(14,2)"))
-        .cast("double")
-        .alias("total_value"),
+    # r14: split-long exact sum (see _split_sum) of the cents column —
+    # the decimal(14,2) sum widened to (24,2), a BigDecimal add per
+    # row; the reconstructed exact total casts to the identical double.
+    ev = _t(spark, sf_dir, "events").select(
+        _cents("value").alias("__v_e2"), k_bound.alias("k_value")
+    )
+    agg = (
+        ev.groupBy("k_value")
+        .agg(
+            F.count("*").alias("cnt"),
+            *_split_sum(F.col("__v_e2"), "tv"),
+        )
+        .select(
+            "k_value",
+            "cnt",
+            (_split_total("tv") / F.lit(100).cast("decimal(8,0)"))
+            .cast("double")
+            .alias("total_value"),
+        )
     )
     # Null-k rows ride the aggregate as one extra group and are dropped
     # AFTER it: a pre-agg filter on k_value gets its grouping expression
@@ -3104,13 +3117,16 @@ def q_doc_boilerplate_ratio(spark, sf_dir):
     # sort and buffer (windows cannot be skew-split), while the
     # agg+join form gets map-side combine AND AQE skew-join splitting.
     # Per-doc-distinct shingles mean count(*) IS the doc frequency.
-    # Shingles travel as 64-bit hashes, never as O(L)-byte strings
-    # (operators/dedup.py:_shingle_hashes).
-    from projet_5spar_sparkstreaming_spark.operators.dedup import _shingle_hashes
+    # Shingles travel as 64-bit hashes, never as O(L)-byte strings;
+    # r14: the per-doc distinct arrays come from the size-dispatched
+    # shingler (operators/dedup.py:_shingle_arrays — Arrow kernel at
+    # scale, the tuned JVM HOF below the crossover; the ratio values
+    # are hash-family-independent).
+    from projet_5spar_sparkstreaming_spark.operators.dedup import _shingle_arrays
 
     docs = _t(spark, sf_dir, "documents")
-    ex = docs.select(
-        "doc_id", F.explode(_shingle_hashes("text", 5)).alias("__s")
+    ex = _shingle_arrays(docs, "doc_id", "text", 5).select(
+        F.col("__id").alias("doc_id"), F.explode("__sh").alias("__s")
     )
     dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     return (
