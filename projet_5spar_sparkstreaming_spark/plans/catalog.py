@@ -3117,16 +3117,18 @@ def q_doc_boilerplate_ratio(spark, sf_dir):
     # sort and buffer (windows cannot be skew-split), while the
     # agg+join form gets map-side combine AND AQE skew-join splitting.
     # Per-doc-distinct shingles mean count(*) IS the doc frequency.
-    # Shingles travel as 64-bit hashes, never as O(L)-byte strings;
-    # r14: the per-doc distinct arrays come from the size-dispatched
-    # shingler (operators/dedup.py:_shingle_arrays — Arrow kernel at
-    # scale, the tuned JVM HOF below the crossover; the ratio values
-    # are hash-family-independent).
-    from projet_5spar_sparkstreaming_spark.operators.dedup import _shingle_arrays
+    # Shingles travel as 64-bit hashes, never as O(L)-byte strings
+    # (operators/dedup.py:_shingle_hashes). (r14 note: routing this
+    # through the array-form dispatched shingler was tried and
+    # MEASURED 1.1 -> 2.2 s at sf0.1 — the added sort_array + project
+    # boundary costs more than the kernel saves at this size — so the
+    # direct explode stays; at true scale the exploded-rows Arrow
+    # kernel (shingle_hash_rows + dropDuplicates) is the upgrade path.)
+    from projet_5spar_sparkstreaming_spark.operators.dedup import _shingle_hashes
 
     docs = _t(spark, sf_dir, "documents")
-    ex = _shingle_arrays(docs, "doc_id", "text", 5).select(
-        F.col("__id").alias("doc_id"), F.explode("__sh").alias("__s")
+    ex = docs.select(
+        "doc_id", F.explode(_shingle_hashes("text", 5)).alias("__s")
     )
     dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     return (
