@@ -48,7 +48,9 @@ sys.path.insert(0, REPO)
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/bench_sf1_data"
-OUT = os.path.join(REPO, "BENCH_SF1_r13.json")
+OUT = os.path.join(
+    REPO, os.environ.get("SPARK_GRAFT_SF1_OUT", "BENCH_SF1_r14.json")
+)
 REPLICAS = 10
 PASSES = 2
 
