@@ -29,7 +29,7 @@ everything-matches-its-9-clones artifact:
 
 Expected shape: linear ops ~10x, broadcast joins ~10x (probe side
 scales, build side fixed), window/sort ops ~10x log-ish, fixed-
-overhead queries < 10x. Writes BENCH_SF1_r13.json.
+overhead queries < 10x. Output name: $SPARK_GRAFT_SF1_OUT (default BENCH_SF1_r14.json).
 
 Usage: python tools/bench_sf1.py [--keep]
 """
