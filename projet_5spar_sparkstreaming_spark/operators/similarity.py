@@ -259,19 +259,19 @@ def exact_cosine_pairs_arrow(
     Zero-norm semantics match ``cosine_from_norms``: denom <= 0 scores
     0.0 (dropped by any positive threshold). Vectors must be non-null
     (generator/data contract, as in every Arrow kernel here).
+
+    Rounding note (r15, ADVICE): ``np.round`` is half-to-even on the
+    binary double while the no-numpy cross-join fallback's ``F.round``
+    is HALF_UP on the shortest decimal repr — on a measure-zero 6dp tie
+    the two paths can differ (and a tie AT the threshold could flip a
+    pair). This numpy path is the semantic source of truth wherever
+    numpy is installed; the fallback's divergence class is the same
+    engine-dependent tie ``_avg4_cents`` documents for the oracles.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    a_rows = _collect_bounded(
-        a_side.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
-        max_a_rows,
-        what,
-    )
-    a_ids = np.array([r["__id"] for r in a_rows], dtype=np.int64)
-    a_mat = np.array([r["__v"] for r in a_rows], dtype=np.float64)
-    a_nrm = np.sqrt(np.einsum("ij,ij->i", a_mat, a_mat))
     schema = T.StructType(
         [
             T.StructField("id_a", a_side.schema[id_col].dataType, False),
@@ -279,6 +279,26 @@ def exact_cosine_pairs_arrow(
             T.StructField("cosine", T.DoubleType(), False),
         ]
     )
+    a_rows = _collect_bounded(
+        a_side.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
+        max_a_rows,
+        what,
+    )
+    if not a_rows:
+        # r15 (ADVICE): an empty a-side made np.array([]) 1-D and the
+        # einsum/matmul below raised where the cross-join fallback
+        # returns an empty result — return the same empty frame
+        return a_side.sparkSession.createDataFrame([], schema)
+    # r15 (ADVICE): derive the id dtype from the data instead of
+    # forcing int64 — integral ids still ride as int64, but a string
+    # or other non-integral id column keeps numpy's inferred dtype so
+    # the id_a < id_b compare and the pandas round-trip stay faithful
+    # to the column type
+    a_ids = np.array([r["__id"] for r in a_rows])
+    if a_ids.dtype.kind in ("i", "u"):
+        a_ids = a_ids.astype(np.int64)
+    a_mat = np.array([r["__v"] for r in a_rows], dtype=np.float64)
+    a_nrm = np.sqrt(np.einsum("ij,ij->i", a_mat, a_mat))
     vc, ic = vec_col, id_col
 
     def _score(batches):
@@ -1444,6 +1464,68 @@ def _lsh_candidate_fence(
         )
 
 
+# pairs per candidate-dedup task: ~2M (id_a, id_b) longs is ~100 MB of
+# aggregation hash map — comfortably in one task's execution-memory
+# share at any sane concurrency, large enough that tasks aren't slivers
+_PAIRS_PER_DEDUP_TASK = 2_000_000
+# below this many pairs a task is a sliver: the parallelism floor only
+# engages while tasks still carry >= this much work (measured at sf0.1:
+# spreading a 1.4e6-pair dedup+verify over the cores beat both the
+# single-task funnel, 1.6 vs 3.5 s, AND the legacy inherited shape,
+# 1.6 vs 2.1 s; at sf0.001's ~1e4-pair estimate one task is right)
+_MIN_PAIRS_PER_TASK = 50_000
+
+
+def _sized_pair_dedup(cand: DataFrame, est_pairs: float | None) -> DataFrame:
+    """Dedup an exploding bucket-join's candidate stream with an
+    exchange SIZED FROM THE ANALYTIC PAIR ESTIMATE instead of inherited
+    scan parallelism (r14 verdict task 1, guide §2.2/§5).
+
+    The raw candidate stream is the bucket join's output: its stage
+    inherits the SCAN's partition count, which has nothing to do with
+    pair volume — at sf1 a 5 MB embeddings scan split 10 ways put ten
+    concurrent partial-agg hash maps over ~1.4e8 candidates into one
+    executor's memory pool and every one of them hit the sort/spill
+    fallback (measured 2x: 52 s -> 102 s when openCostInBytes moved the
+    scan from 2 to 10 splits). Duplicate multiplicity across tables is
+    low (~1.2x at dedup thresholds), so map-side partial dedup shrinks
+    almost nothing and its hash maps are pure memory pressure.
+
+    The fix: hash-repartition the raw pairs by (id_a, id_b) into
+    ``ceil(est / _PAIRS_PER_DEDUP_TASK)`` partitions (fixed count — AQE
+    coalescing would size from the MEMBERS bytes it sees upstream, not
+    the exploded pair count) and dedup after the exchange, where every
+    task owns a bounded, right-sized slice. The join stage itself no
+    longer aggregates — it streams pairs straight into shuffle writers.
+    The count is floored at the session's default parallelism while
+    tasks still carry >= _MIN_PAIRS_PER_TASK pairs (scale-adaptive, not
+    a local constant: on a cluster defaultParallelism is the executor
+    core total) — the dedup feeds the Arrow verify stage directly, so
+    an exchange sized purely by memory budget would funnel a
+    cores-wide verify onto a handful of tasks at mid scales. Capped at
+    65536 (a 100 TB dedup-grade corpus estimates ~1e11 candidates;
+    2e6/task would want 5e4 partitions — past that the M x R shuffle
+    block count, guide §2.2, costs more than task-size perfection).
+    When no row count is in hand (explicit params, no budget) the
+    caller's existing shape is preserved unchanged."""
+    if est_pairs is None:
+        return cand.dropDuplicates(["id_a", "id_b"])
+    base = cand.sparkSession.sparkContext.defaultParallelism
+    parts = int(
+        min(
+            65536,
+            max(
+                -(-est_pairs // _PAIRS_PER_DEDUP_TASK),
+                min(base, -(-est_pairs // _MIN_PAIRS_PER_TASK)),
+                1,
+            ),
+        )
+    )
+    return cand.repartition(parts, "id_a", "id_b").dropDuplicates(
+        ["id_a", "id_b"]
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     corpus_id: str,
@@ -1515,16 +1597,19 @@ def cosine_near_dup_pairs(
             target_recall=target_recall,
             cand_per_row=cand_per_row,
         )
-    if max_candidate_pairs is not None:
-        if n_count is None and not isinstance(max_candidate_pairs, str):
-            n_count = corpus.count()  # numeric budget buys the count
-        if n_count is not None:
-            _lsh_candidate_fence(
-                "cosine_near_dup_pairs",
-                n_tables * 0.5 ** n_planes * n_count * (n_count - 1) / 2,
-                max_candidate_pairs,
-                n_count,
-            )
+    if max_candidate_pairs is not None and n_count is None and not isinstance(
+        max_candidate_pairs, str
+    ):
+        n_count = corpus.count()  # numeric budget buys the count
+    est_cand = (
+        n_tables * 0.5 ** n_planes * n_count * (n_count - 1) / 2
+        if n_count is not None
+        else None
+    )
+    if max_candidate_pairs is not None and est_cand is not None:
+        _lsh_candidate_fence(
+            "cosine_near_dup_pairs", est_cand, max_candidate_pairs, n_count
+        )
     ids_vecs = corpus.select(
         F.col(corpus_id).alias("__id"), F.col(corpus_vec).alias("__v")
     )
@@ -1561,14 +1646,13 @@ def cosine_near_dup_pairs(
     banded = banded.cache()
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    cand = _sized_pair_dedup(
         a.join(
             b,
             (F.col("a.__bucket") == F.col("b.__bucket"))
             & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")),
+        est_cand,
     )
     if not verify:
         return cand
@@ -1668,14 +1752,18 @@ def cosine_incremental_pairs(
             ),
             target_recall=target_recall,
         )
-    if max_candidate_pairs is not None:
-        if n_index is None and not isinstance(max_candidate_pairs, str):
-            n_index = index_vecs.count()  # numeric budget buys the count
-        if n_index is not None:
-            n_new = new_vecs.count()
+    if max_candidate_pairs is not None and n_index is None and not isinstance(
+        max_candidate_pairs, str
+    ):
+        n_index = index_vecs.count()  # numeric budget buys the count
+    est_cand = None
+    if n_index is not None:
+        n_new = new_vecs.count()
+        est_cand = n_tables * 0.5 ** n_planes * n_new * n_index
+        if max_candidate_pairs is not None:
             _lsh_candidate_fence(
                 "cosine_incremental_pairs",
-                n_tables * 0.5 ** n_planes * n_new * n_index,
+                est_cand,
                 max_candidate_pairs,
                 n_new + n_index,
             )
@@ -1683,11 +1771,7 @@ def cosine_incremental_pairs(
     b = _lsh_buckets_arrow(
         index_vecs, id_col, vec_col, "id_b", n_planes, n_tables, dim
     )
-    cand = (
-        a.join(b, "__bucket")
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _sized_pair_dedup(a.join(b, "__bucket").select("id_a", "id_b"), est_cand)
     if not verify:
         return cand
     joined = cand.join(
@@ -1739,20 +1823,35 @@ def _write_embed_batch(
     buckets = _lsh_buckets_arrow(
         vecs, id_col, vec_col, "id", n_planes, n_tables, dim
     )
+    obs = Observation()
+    kept = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
     # REBALANCE before each write: without it every batch writes one
     # file per compute partition (core-count slivers), and the stored-
     # index query pays per-file overhead over batches x slivers files.
     # AQE sizes the rebalanced output to the advisory partition size.
-    buckets.hint("rebalance").write.mode("overwrite").parquet(
-        f"{versioned_subdir(index_path, 'buckets', version)}/batch_id={batch_id}"
+    def _write_buckets() -> None:
+        buckets.hint("rebalance").write.mode("overwrite").parquet(
+            f"{versioned_subdir(index_path, 'buckets', version)}/batch_id={batch_id}"
+        )
+
+    def _write_vecs() -> None:
+        kept.observe(obs, F.count(F.lit(1)).alias("rows")).hint(
+            "rebalance"
+        ).write.mode("overwrite").parquet(
+            f"{versioned_subdir(index_path, 'vecs', version)}/batch_id={batch_id}"
+        )
+
+    # r15 (guide §2.6): the bucket pass and the vecs copy are
+    # independent jobs over the same input — overlapped on driver
+    # threads so a micro-batch append pays one round of fixed job cost,
+    # not two (see dedup._parallel_actions; failure fails the batch and
+    # the replay overwrites both batch_id=N subdirs idempotently).
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        _parallel_actions,
     )
-    obs = Observation()
-    kept = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    kept.observe(obs, F.count(F.lit(1)).alias("rows")).hint(
-        "rebalance"
-    ).write.mode("overwrite").parquet(
-        f"{versioned_subdir(index_path, 'vecs', version)}/batch_id={batch_id}"
-    )
+
+    _parallel_actions(_write_buckets, _write_vecs)
     return int(obs.get["rows"])
 
 

@@ -231,19 +231,41 @@ def stream_neardup_ingest(
             n=p_n, num_hashes=p_hashes, bands=p_bands, precomputed_sig=sig,
             meta=meta,
         )
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
-        )
+
+        def _write_survivors() -> None:
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
+
         if meta is None:
+            # first batch: the build DELETES and recreates the index
+            # tree the survivors query never reads (no cross-batch leg
+            # yet), but keep it sequential — it runs once per stream
+            _write_survivors()
             build_minhash_index(
                 batch, index_dir, id_col, text_col,
                 n=p_n, num_hashes=p_hashes, bands=p_bands, batch_id=batch_id,
                 precomputed_sig=sig,
             )
         else:
-            append_to_minhash_index(
-                batch, index_dir, id_col, text_col, batch_id,
-                precomputed_sig=sig,
+            # r15 (guide §2.6): the survivors write and the index
+            # append are independent actions over the same cached
+            # batch/sig tables — overlapped so the micro-batch pays one
+            # round of fixed job cost. Safe under replay: the append
+            # overwrites its own batch_id=N subdirs and re-stamps the
+            # same meta entry; the survivors query's scan listed the
+            # index files at plan time and its batch_id < N pruning
+            # never reads the subdir the append writes.
+            from projet_5spar_sparkstreaming_spark.operators.dedup import (
+                _parallel_actions,
+            )
+
+            _parallel_actions(
+                _write_survivors,
+                lambda: append_to_minhash_index(
+                    batch, index_dir, id_col, text_col, batch_id,
+                    precomputed_sig=sig,
+                ),
             )
         sig.unpersist()
         batch.unpersist()
@@ -390,23 +412,38 @@ def stream_embed_neardup_ingest(
                 batch, index_dir, batch_id, id_col, vec_col, threshold,
                 dim=dim, meta=meta,
             )
-            survivors.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"batch_id={batch_id}")
-            )
+
+            def _write_survivors() -> None:
+                survivors.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"batch_id={batch_id}")
+                )
+
             if meta is None:
+                _write_survivors()
                 build_embed_lsh_index(
                     batch, index_dir, id_col, vec_col,
                     dim=dim, recall_at=max(threshold, 0.99),
                     expected_rows=expected_index_rows, batch_id=batch_id,
                 )
             else:
-                append_to_embed_lsh_index(
-                    batch, index_dir, id_col, vec_col, batch_id
+                # r15 (guide §2.6): overlap the survivors write with
+                # the index append — same replay-safety argument as the
+                # text guard (idempotent batch_id=N overwrites; the
+                # survivors scan's file index predates the append)
+                def _append() -> None:
+                    append_to_embed_lsh_index(
+                        batch, index_dir, id_col, vec_col, batch_id
+                    )
+                    if rebuild_when_outgrown and needs_embed_lsh_rebuild(
+                        read_embed_lsh_meta(spark, index_dir)
+                    ):
+                        rebuild_embed_lsh_index(spark, index_dir)
+
+                from projet_5spar_sparkstreaming_spark.operators.dedup import (
+                    _parallel_actions,
                 )
-                if rebuild_when_outgrown and needs_embed_lsh_rebuild(
-                    read_embed_lsh_meta(spark, index_dir)
-                ):
-                    rebuild_embed_lsh_index(spark, index_dir)
+
+                _parallel_actions(_write_survivors, _append)
         batch.unpersist()
 
     os.makedirs(out_dir, exist_ok=True)
