@@ -1348,21 +1348,18 @@ def q3_top_orders(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
     )
-    # exact fixed-point sum -> order-independent cents (see q7); a
-    # double sum rounded to 2dp can differ by a cent between engines
-    # AND reorder the top-10 cut itself. r14: split-long form of the
-    # decimal sum (_split_sum) — identical rounded doubles, primitive
-    # long per-row work.
-    agg = (
-        joined.withColumn("__rev_e4", _rev_e4())
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(*_split_sum(F.col("__rev_e4"), "rev"))
-        .select(
-            "l_orderkey",
-            "o_orderdate",
-            _split_val("rev", 4).alias("revenue"),
-        )
-    )
+    # decimal sum -> order-independent cents (see q7); a double sum
+    # rounded to 2dp can differ by a cent between engines AND reorder
+    # the top-10 cut itself. r15: REVERTED from the r14 split-long form
+    # to the decimal sum — the per-query A/B (verdict task 2,
+    # plans/r15/ab_split_sums*.json) measured split consistently SLOWER
+    # here at BOTH sf0.1 (1.13x) and the sf1 decade (1.14x): this group
+    # key is near-unique (l_orderkey), so the "once per group" decimal
+    # reconstruction runs ~per row and the two extra partial-agg long
+    # columns ride a millions-of-groups exchange. Values identical
+    # either way (A/B value-compared).
+    revenue = F.round(F.sum(_rev()), 2).cast("double").alias("revenue")
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(revenue)
     return (
         agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -1600,13 +1597,15 @@ def q10_returned_items(spark, sf_dir):
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
-    # r14: split-long exact revenue sum (see _split_sum) — identical
-    # rounded doubles, no per-row BigDecimal.
+    # r15: REVERTED from the r14 split-long sum to the decimal sum —
+    # the verdict-task-2 A/B measured split slower here at both sf0.1
+    # (1.07x) and the sf1 decade (1.08x): per-customer groups are
+    # near-unique, so the per-GROUP decimal reconstruction runs ~per
+    # row (same mechanism as q3). Values identical (A/B-compared).
+    revenue = F.round(F.sum(_rev()), 2).cast("double").alias("revenue")
     return (
-        joined.withColumn("__rev_e4", _rev_e4())
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(*_split_sum(F.col("__rev_e4"), "rev"))
-        .withColumn("revenue", _split_val("rev", 4))
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue)
         .select(
             "c_custkey",
             "c_name",
@@ -1869,32 +1868,18 @@ def q8_market_share(spark, sf_dir):
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nkey"))
     )
-    # r14: split-long exact sums (see _split_sum); the two exact totals
-    # are reconstructed per group as decimal(38,6) — the same rationals
-    # the decimal sums held — so the double casts and the one 4dp
-    # division round identically.
-    zero = F.lit(0).cast("long")
-    rows = joined.withColumn("__rev_e4", _rev_e4()).withColumn(
-        "__nat_e4",
-        F.when(F.col("supp_nation") == "NATION_7", F.col("__rev_e4")).otherwise(
-            zero
-        ),
-    )
-    e4 = F.lit(10**4).cast("decimal(8,0)")
-    return (
-        rows.groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
-            *_split_sum(F.col("__nat_e4"), "nat"),
-            *_split_sum(F.col("__rev_e4"), "tot"),
-        )
-        .select(
-            "o_year",
-            F.round(
-                (_split_total("nat") / e4).cast("double")
-                / (_split_total("tot") / e4).cast("double"),
-                4,
-            ).alias("mkt_share"),
-        )
+    # r15: REVERTED from the r14 split-long sums to the decimal sums —
+    # the verdict-task-2 A/B measured split slower here at both sf0.1
+    # (1.07x) and the sf1 decade (1.09x): with TWO measures the split
+    # form pays four long partial sums + the per-row when() on an extra
+    # projected column, and the decimal sums it replaced dominate only
+    # where decimal CPU dominates (q8 is join-dominated). Values
+    # identical (A/B-compared).
+    zero = F.lit(0).cast("decimal(18,4)")
+    nat_vol = F.sum(F.when(F.col("supp_nation") == "NATION_7", _rev()).otherwise(zero))
+    tot_vol = F.sum(_rev())
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(nat_vol.cast("double") / tot_vol.cast("double"), 4).alias("mkt_share")
     )
 
 
