@@ -1218,18 +1218,46 @@ def ivf_top_k(
     import numpy as np
     from pyspark.sql import types as T
 
-    cent = _train_ivf_centroids(
-        corpus, corpus_id, corpus_vec, n_centroids, kmeans_iters, sample_limit
+    # r15 (guide §2.6): the quantizer training (count job + sample
+    # collect + driver k-means) and the query-side collect are
+    # independent driver-blocking work — overlapped on threads so the
+    # BUILD phase pays one round of job-wave latency, not three
+    # sequential ones (r14 verdict task 8; each job's content — and so
+    # the trained centroids and collected rows — is bit-identical to
+    # the sequential form). The limit conf is scoped around the whole
+    # section: both inner scoped_conf uses set the same value, so the
+    # nesting is race-free.
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        _parallel_actions,
     )
+    from projet_5spar_sparkstreaming_spark.session import scoped_conf
+
+    res: dict = {}
+
+    def _train() -> None:
+        res["cent"] = _train_ivf_centroids(
+            corpus, corpus_id, corpus_vec, n_centroids, kmeans_iters,
+            sample_limit,
+        )
+
+    def _queries() -> None:
+        res["q_rows"] = _collect_bounded(
+            queries.select(
+                F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
+            ),
+            sample_limit,
+            "queries",
+        )
+
+    with scoped_conf(
+        queries.sparkSession,
+        {"spark.sql.limit.initialNumPartitions": "4096"},
+    ):
+        _parallel_actions(_train, _queries)
+    cent, q_rows = res["cent"], res["q_rows"]
     if n_probe == "auto":
         n_probe = auto_ivf_probe(len(cent))
     bucketed = _assign_ivf_cells(corpus, cent, corpus_id, corpus_vec)
-
-    q_rows = _collect_bounded(
-        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")),
-        sample_limit,
-        "queries",
-    )
     probe_rows = []
     for r in q_rows:
         qv = np.asarray(r["qv"], dtype=np.float64)
@@ -1931,6 +1959,15 @@ def build_embed_lsh_index(
             "recall_at": float(recall_at),
             "target_recall": float(target_recall),
         }
+        # r15: queries read with this schema instead of paying per-scan
+        # inference (see dedup._record_store_schemas)
+        from projet_5spar_sparkstreaming_spark.operators.dedup import (
+            _record_store_schemas,
+        )
+
+        meta["schemas"] = _record_store_schemas(
+            spark, index_path, ("buckets", "vecs")
+        )
         lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, _embed_meta_path(index_path), meta)
         clear_build_marker(spark, index_path)
@@ -2043,10 +2080,16 @@ def embed_lsh_query_index(
 
     def _scan(sub: str) -> DataFrame:
         # version pointer from the loaded meta: dirs of that version
-        # survive a concurrent compaction until the one after it
+        # survive a concurrent compaction until the one after it; the
+        # meta-recorded schema (r15) skips per-scan footer inference
         from projet_5spar_sparkstreaming_spark.fsio import versioned_subdir
+        from projet_5spar_sparkstreaming_spark.operators.dedup import (
+            _reader_with_meta_schema,
+        )
 
-        df = spark.read.parquet(versioned_subdir(index_path, sub, version))
+        df = _reader_with_meta_schema(spark, meta, sub).parquet(
+            versioned_subdir(index_path, sub, version)
+        )
         if max_batch_id_exclusive is not None:
             df = df.filter(F.col("batch_id") < F.lit(max_batch_id_exclusive))
         return df.drop("batch_id")

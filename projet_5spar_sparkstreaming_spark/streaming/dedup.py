@@ -159,14 +159,19 @@ def minhash_ingest_batch(
         n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
         precomputed_sig=precomputed_sig,
     ).select(F.col("id_b").alias(id_col))  # id_a < id_b: keep min id
-    # one distinct over the unioned drop set (not per leg + again after
-    # the union — that plan paid three shuffle rounds per micro-batch
-    # where one suffices; left_anti ignores duplicate keys anyway, the
-    # distinct only bounds the join's build side)
+    # r15: NO distinct over the drop set — left_anti semantics ignore
+    # duplicate build-side keys entirely, so the distinct this replaces
+    # paid a full shuffle round per micro-batch only to shrink the
+    # anti-join input from candidate-pair rows down to distinct doc
+    # ids. Candidate volume is already bounded by the pair operators'
+    # own guards (dedup-grade thresholds, max_bucket_size, the LSH
+    # fence), and the anti join shuffles those few extra rows more
+    # cheaply than a dedicated exchange+agg round. r14 had already
+    # collapsed three distincts to one; zero is the honest count.
     dropped = (
         drop_within if drop_cross is None
         else drop_cross.unionByName(drop_within)
-    ).distinct()
+    )
     return batch.join(dropped, id_col, "left_anti")
 
 
@@ -226,13 +231,14 @@ def stream_neardup_ingest(
         # ONE signature pass per micro-batch, shared by the stored-index
         # query, the within-batch self-join AND the index append
         sig = minhash_signature_arrow(batch, id_col, text_col, p_n, p_hashes).cache()
-        survivors = minhash_ingest_batch(
-            batch, index_dir, batch_id, id_col, text_col, threshold,
-            n=p_n, num_hashes=p_hashes, bands=p_bands, precomputed_sig=sig,
-            meta=meta,
-        )
+        def _ingest() -> "DataFrame":
+            return minhash_ingest_batch(
+                batch, index_dir, batch_id, id_col, text_col, threshold,
+                n=p_n, num_hashes=p_hashes, bands=p_bands,
+                precomputed_sig=sig, meta=meta,
+            )
 
-        def _write_survivors() -> None:
+        def _write_survivors(survivors: "DataFrame") -> None:
             survivors.write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"batch_id={batch_id}")
             )
@@ -241,32 +247,45 @@ def stream_neardup_ingest(
             # first batch: the build DELETES and recreates the index
             # tree the survivors query never reads (no cross-batch leg
             # yet), but keep it sequential — it runs once per stream
-            _write_survivors()
+            _write_survivors(_ingest())
             build_minhash_index(
                 batch, index_dir, id_col, text_col,
                 n=p_n, num_hashes=p_hashes, bands=p_bands, batch_id=batch_id,
                 precomputed_sig=sig,
             )
         else:
-            # r15 (guide §2.6): the survivors write and the index
-            # append are independent actions over the same cached
-            # batch/sig tables — overlapped so the micro-batch pays one
-            # round of fixed job cost. Safe under replay: the append
-            # overwrites its own batch_id=N subdirs and re-stamps the
-            # same meta entry; the survivors query's scan listed the
-            # index files at plan time and its batch_id < N pruning
-            # never reads the subdir the append writes.
+            # r15 (guide §2.6): the survivors plan build + write and
+            # the index append are independent work over the same
+            # cached batch/sig tables — overlapped so the micro-batch
+            # pays one round of fixed cost (plan build is ~0.9 s of
+            # driver time per batch; the append ~0.9 s of mostly-idle
+            # job waves). On a FRESH batch the append only CREATES
+            # batch_id=N files, which the concurrently-built survivors
+            # plan prunes via its batch_id < N filter, so the file-
+            # listing race is benign. A REPLAYED batch (meta already
+            # holds this batch_id) instead builds the plan BEFORE the
+            # append runs: the replay's overwrite DELETES the crashed
+            # attempt's files, and a concurrent directory listing
+            # walking a vanishing subdir could fail the batch.
             from projet_5spar_sparkstreaming_spark.operators.dedup import (
                 _parallel_actions,
             )
 
-            _parallel_actions(
-                _write_survivors,
-                lambda: append_to_minhash_index(
+            def _append() -> None:
+                append_to_minhash_index(
                     batch, index_dir, id_col, text_col, batch_id,
                     precomputed_sig=sig,
-                ),
-            )
+                )
+
+            if str(batch_id) in (meta.get("batches") or {}):
+                survivors = _ingest()  # replay: list before the delete
+                _parallel_actions(
+                    lambda: _write_survivors(survivors), _append
+                )
+            else:
+                _parallel_actions(
+                    lambda: _write_survivors(_ingest()), _append
+                )
         sig.unpersist()
         batch.unpersist()
 
@@ -321,12 +340,14 @@ def embed_ingest_batch(
         batch, id_col, vec_col, threshold=threshold,
         n_planes=within_planes, n_tables=within_tables, dim=dim,
     ).select(F.col("id_b").alias(id_col))  # id_a < id_b: keep min id
-    # single distinct over the unioned drop set (one shuffle round, not
-    # three) — left_anti semantics are unaffected by duplicate keys
+    # r15: no distinct over the drop set — left_anti ignores duplicate
+    # build-side keys, and candidate volume is bounded by the pair
+    # operators' own guards, so the distinct's per-batch shuffle round
+    # bought nothing (see minhash_ingest_batch)
     dropped = (
         drop_within if drop_cross is None
         else drop_cross.unionByName(drop_within)
-    ).distinct()
+    )
     return batch.join(dropped, id_col, "left_anti")
 
 
@@ -408,28 +429,31 @@ def stream_embed_neardup_ingest(
             else {}
         )
         with scoped_conf(spark, confs):
-            survivors = embed_ingest_batch(
-                batch, index_dir, batch_id, id_col, vec_col, threshold,
-                dim=dim, meta=meta,
-            )
+            def _ingest() -> "DataFrame":
+                return embed_ingest_batch(
+                    batch, index_dir, batch_id, id_col, vec_col, threshold,
+                    dim=dim, meta=meta,
+                )
 
-            def _write_survivors() -> None:
+            def _write_survivors(survivors: "DataFrame") -> None:
                 survivors.write.mode("overwrite").parquet(
                     os.path.join(out_dir, f"batch_id={batch_id}")
                 )
 
             if meta is None:
-                _write_survivors()
+                _write_survivors(_ingest())
                 build_embed_lsh_index(
                     batch, index_dir, id_col, vec_col,
                     dim=dim, recall_at=max(threshold, 0.99),
                     expected_rows=expected_index_rows, batch_id=batch_id,
                 )
             else:
-                # r15 (guide §2.6): overlap the survivors write with
-                # the index append — same replay-safety argument as the
-                # text guard (idempotent batch_id=N overwrites; the
-                # survivors scan's file index predates the append)
+                # r15 (guide §2.6): overlap the survivors plan build +
+                # write with the index append — same fresh-vs-replay
+                # split as the text guard (a fresh append only CREATES
+                # pruned batch_id=N files; a replay's overwrite DELETES
+                # files a concurrent listing could walk, so replays
+                # build the plan first)
                 def _append() -> None:
                     append_to_embed_lsh_index(
                         batch, index_dir, id_col, vec_col, batch_id
@@ -443,7 +467,15 @@ def stream_embed_neardup_ingest(
                     _parallel_actions,
                 )
 
-                _parallel_actions(_write_survivors, _append)
+                if str(batch_id) in (meta.get("batches") or {}):
+                    survivors = _ingest()  # replay: list before delete
+                    _parallel_actions(
+                        lambda: _write_survivors(survivors), _append
+                    )
+                else:
+                    _parallel_actions(
+                        lambda: _write_survivors(_ingest()), _append
+                    )
         batch.unpersist()
 
     os.makedirs(out_dir, exist_ok=True)

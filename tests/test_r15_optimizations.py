@@ -142,6 +142,39 @@ def test_boilerplate_ratio_arrow_path_matches_explode(spark, sf_dir):
     assert rows_arrow == rows_small
 
 
+def test_meta_recorded_schema_matches_legacy_inference(spark, sf_dir, tmp_path):
+    """r15: index queries read the store with the meta-recorded schema
+    (skipping per-scan inference); a pre-r15 meta without the field
+    falls back to inference — identical results either way."""
+    from pyspark.sql import functions as F
+
+    from projet_5spar_sparkstreaming_spark.fsio import write_json
+    from projet_5spar_sparkstreaming_spark.operators.dedup import (
+        _minhash_meta_path,
+        build_minhash_index,
+        minhash_query_index,
+        read_minhash_meta,
+    )
+    from projet_5spar_sparkstreaming_spark.sources.files import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "mh")
+    build_minhash_index(docs.filter(F.col("doc_id") % 2 == 0), idx,
+                        "doc_id", "text")
+    meta = read_minhash_meta(spark, idx)
+    assert set(meta["schemas"]) == {"sigs", "bands"}
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    with_schema = sorted(map(tuple, minhash_query_index(
+        new, idx, "doc_id", "text", threshold=0.5).collect()))
+    meta.pop("schemas")
+    write_json(spark, _minhash_meta_path(idx), meta)
+    legacy = sorted(map(tuple, minhash_query_index(
+        new, idx, "doc_id", "text", threshold=0.5).collect()))
+    assert with_schema == legacy and with_schema
+
+
 def test_exact_cosine_pairs_arrow_empty_a_side(spark):
     """r15 ADVICE fix: an empty a-side returns an empty frame (the
     cross-join fallback's behavior) instead of crashing in einsum."""
