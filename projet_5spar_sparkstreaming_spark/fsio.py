@@ -362,6 +362,31 @@ class _LeaseHandle:
                 "commit; re-run the mutation"
             )
 
+    @_contextlib.contextmanager
+    def guard_data_writes(self):
+        """Wrap a mutation's DATA-write phase so a write ripped apart by
+        a new holder (r15, surfaced by the lease fuzz under host load):
+        a displaced lease's in-flight parquet job can fail with an
+        arbitrary IO error when the NEW holder's compaction deletes the
+        version tree (or a replacement writer's overwrite deletes the
+        batch dir) out from under it — semantically the same designed
+        abort ``validate()`` raises at the commit fence, but surfacing
+        as a raw ``Py4JJavaError`` that retry loops and the fuzz treat
+        as a genuine failure. On any exception here, re-check the
+        lease: if it is no longer ours, raise ``LeaseLostError`` (the
+        caller retries like a failed micro-batch); if we still hold it,
+        the failure is real — re-raise it unchanged."""
+        try:
+            yield
+        except LeaseLostError:
+            raise
+        except BaseException as e:
+            try:
+                self.validate()
+            except LeaseLostError as lost:
+                raise lost from e
+            raise
+
 
 @_contextlib.contextmanager
 def writer_lease(

@@ -2019,10 +2019,11 @@ def build_minhash_index(
         # crashed-build self-heal: see build_ivf_index / set_build_marker
         set_build_marker(spark, index_path)
         delete_path(spark, index_path)
-        n_rows = _write_minhash_batch(
-            docs, index_path, id_col, text_col, n, num_hashes, bands, batch_id,
-            precomputed_sig=precomputed_sig,
-        )
+        with lease.guard_data_writes():
+            n_rows = _write_minhash_batch(
+                docs, index_path, id_col, text_col, n, num_hashes, bands,
+                batch_id, precomputed_sig=precomputed_sig,
+            )
         lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(
             spark,
@@ -2149,18 +2150,19 @@ def append_to_minhash_index(
         # a crashed build's debris — shed it before it can misroute a
         # later transient meta-None read into a store-eating rebuild
         clear_stale_build_marker(spark, index_path)
-        n_rows = _write_minhash_batch(
-            docs,
-            index_path,
-            id_col,
-            text_col,
-            meta["n"],
-            meta["num_hashes"],
-            meta["bands"],
-            batch_id,
-            precomputed_sig=precomputed_sig,
-            version=int(meta.get("version", 0)),
-        )
+        with lease.guard_data_writes():
+            n_rows = _write_minhash_batch(
+                docs,
+                index_path,
+                id_col,
+                text_col,
+                meta["n"],
+                meta["num_hashes"],
+                meta["bands"],
+                batch_id,
+                precomputed_sig=precomputed_sig,
+                version=int(meta.get("version", 0)),
+            )
         meta.setdefault("batches", {})[str(batch_id)] = n_rows
         lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, _minhash_meta_path(index_path), meta)
@@ -2231,25 +2233,28 @@ def compact_minhash_index(
         remap = F.when(
             F.col("batch_id").isin(merged), F.lit(merged_id)
         ).otherwise(F.col("batch_id"))
-        for sub in ("sigs", "bands"):
-            # drop crashed next-version trees AND grace copies older than
-            # the live version — in-flight readers of the LIVE version are
-            # untouched (their grace window runs until the next compaction)
-            clean_versions_except(spark, index_path, sub, {version})
-            (
-                spark.read.parquet(versioned_subdir(index_path, sub, version))
-                # shed orphan batches the meta never acknowledged (a
-                # kill -9'd append's partial data); their at-least-once
-                # replay re-delivers them — see compact_ivf_index
-                .filter(F.col("batch_id").isin([int(b) for b in snapshot]))
-                .withColumn("batch_id", remap)
-                # spread each partition value over up to n_parts tasks by id
-                # hash: bounded file count without one-giant-file skew
-                .repartition(n_parts, "batch_id", "id")
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(versioned_subdir(index_path, sub, version + 1))
-            )
+        with lease.guard_data_writes():
+            for sub in ("sigs", "bands"):
+                # drop crashed next-version trees AND grace copies older
+                # than the live version — in-flight readers of the LIVE
+                # version are untouched (their grace window runs until
+                # the next compaction)
+                clean_versions_except(spark, index_path, sub, {version})
+                (
+                    spark.read.parquet(versioned_subdir(index_path, sub, version))
+                    # shed orphan batches the meta never acknowledged (a
+                    # kill -9'd append's partial data); their at-least-once
+                    # replay re-delivers them — see compact_ivf_index
+                    .filter(F.col("batch_id").isin([int(b) for b in snapshot]))
+                    .withColumn("batch_id", remap)
+                    # spread each partition value over up to n_parts tasks
+                    # by id hash: bounded file count without
+                    # one-giant-file skew
+                    .repartition(n_parts, "batch_id", "id")
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(versioned_subdir(index_path, sub, version + 1))
+                )
         require_no_meta_drift(
             read_minhash_meta(spark, index_path), snapshot, version, index_path
         )

@@ -613,9 +613,10 @@ def build_ivf_index(
         # instead of wedging the retry loop
         set_build_marker(spark, index_path)
         delete_path(spark, index_path)
-        n_rows = _write_ivf_batch(
-            corpus, index_path, corpus_id, corpus_vec, cent, batch_id
-        )
+        with lease.guard_data_writes():
+            n_rows = _write_ivf_batch(
+                corpus, index_path, corpus_id, corpus_vec, cent, batch_id
+            )
         corpus.unpersist()
         lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(
@@ -738,10 +739,11 @@ def append_to_ivf_index(
         # later transient meta-None read into a store-eating rebuild
         clear_stale_build_marker(spark, index_path)
         cent = np.array(meta["centroids"], dtype=np.float64)
-        n_rows = _write_ivf_batch(
-            vecs, index_path, id_col, vec_col, cent, batch_id,
-            version=int(meta.get("version", 0)),
-        )
+        with lease.guard_data_writes():
+            n_rows = _write_ivf_batch(
+                vecs, index_path, id_col, vec_col, cent, batch_id,
+                version=int(meta.get("version", 0)),
+            )
         meta.setdefault("batches", {})[str(batch_id)] = n_rows
         lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, meta_path, meta)
@@ -813,7 +815,7 @@ def compact_ivf_index(
             if cap is not None
             else {}
         )
-        with scoped_conf(spark, confs):
+        with scoped_conf(spark, confs), lease.guard_data_writes():
             (
                 spark.read.parquet(live_dir)
                 # drop ORPHAN rows: a writer kill -9'd between its batch
@@ -949,7 +951,7 @@ def rebuild_ivf_index(
             if cap is not None
             else {}
         )
-        with scoped_conf(spark, confs):
+        with scoped_conf(spark, confs), lease.guard_data_writes():
             stored = (
                 spark.read.option("basePath", live_dir)
                 .parquet(live_dir)
@@ -1937,9 +1939,11 @@ def build_embed_lsh_index(
         # crashed-build self-heal: see build_ivf_index / set_build_marker
         set_build_marker(spark, index_path)
         delete_path(spark, index_path)
-        n_rows = _write_embed_batch(
-            vecs, index_path, id_col, vec_col, n_planes, n_tables, dim, batch_id
-        )
+        with lease.guard_data_writes():
+            n_rows = _write_embed_batch(
+                vecs, index_path, id_col, vec_col, n_planes, n_tables, dim,
+                batch_id,
+            )
         if own_cache:
             vecs.unpersist()
         meta = {
@@ -2003,17 +2007,18 @@ def append_to_embed_lsh_index(
         # a crashed build's debris — shed it before it can misroute a
         # later transient meta-None read into a store-eating rebuild
         clear_stale_build_marker(spark, index_path)
-        n_rows = _write_embed_batch(
-            vecs,
-            index_path,
-            id_col,
-            vec_col,
-            meta["n_planes"],
-            meta["n_tables"],
-            meta["dim"],
-            batch_id,
-            version=int(meta.get("version", 0)),
-        )
+        with lease.guard_data_writes():
+            n_rows = _write_embed_batch(
+                vecs,
+                index_path,
+                id_col,
+                vec_col,
+                meta["n_planes"],
+                meta["n_tables"],
+                meta["dim"],
+                batch_id,
+                version=int(meta.get("version", 0)),
+            )
         meta.setdefault("batches", {})[str(batch_id)] = n_rows
         lease.validate()  # fencing: abort, never clobber, if displaced
         write_json(spark, _embed_meta_path(index_path), meta)
@@ -2205,7 +2210,7 @@ def compact_embed_lsh_index(
             if cap is not None
             else {}
         )
-        with scoped_conf(spark, confs):
+        with scoped_conf(spark, confs), lease.guard_data_writes():
             for sub in ("buckets", "vecs"):
                 clean_versions_except(spark, index_path, sub, {version})
                 (
@@ -2342,7 +2347,7 @@ def rebuild_embed_lsh_index(
             if cap is not None
             else {}
         )
-        with scoped_conf(spark, confs):
+        with scoped_conf(spark, confs), lease.guard_data_writes():
             stored = (
                 spark.read.option("basePath", vdir)
                 .parquet(vdir)

@@ -22,6 +22,10 @@ import time
 
 import pytest
 
+# r15 (verdict task 5): kill-9 fuzz harness — excluded from the
+# default run (pytest.ini deselects `slow`); run with -m "" / -m slow
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = os.path.join(REPO, "tools", "crash_child.py")
 BARRIERS = ["before_meta_write", "mid_meta_rename", "mid_data_write"]

@@ -622,6 +622,11 @@ def _noop_lease(*args, **kwargs):
         def validate(self):
             pass
 
+        @contextlib.contextmanager
+        def guard_data_writes(self):
+            # fence disabled: pass failures through unclassified (r15)
+            yield
+
     @contextlib.contextmanager
     def cm():
         yield _Handle()
